@@ -1,0 +1,210 @@
+"""HBM-resident dense vector index.
+
+Replaces the reference's external ANN engines (Milvus store
+``RAGHelper.py:385-394``; pgvector HNSW ``README.md:36-37``) with the
+TPU-native design from SURVEY.md §7: the corpus embedding matrix is pinned
+on-device, transposed ``(d, capacity)`` and padded to the kernel tile, and
+queried with the fused matmul+top-k kernel (``ops/topk.py``). Cosine
+similarity comes from storing normalized rows.
+
+CRUD without recompilation (SURVEY.md §7 hard part #4):
+- *insert*: columns are appended into pre-grown capacity via on-device
+  ``dynamic_update_slice`` (buffer donation → in-place); capacity doubles
+  when exhausted (one realloc + copy, amortized O(1) per row).
+- *delete*: additive mask flips to NEG_INF (a tombstone; parity with the
+  reference's delete-by-source → reload flow, ``server.py:353-385``).
+- *compact*: rebuilds the buffers densely using the ChunkStore's row
+  mapping.
+
+``search_type="mmr"`` reproduces the reference dense retriever's MMR mode
+(``RAGHelper.py:497-499``): fused top-``fetch_k`` on device, then maximal
+marginal relevance over the candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragmeup_tpu.ops.topk import (
+    NEG_INF, dense_topk, dense_topk_int8, quantize_int8,
+)
+from ragmeup_tpu.ops.fusion import mmr_select
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_cols(buf: jnp.ndarray, vals: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, vals, (0, start))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_mask(mask: jnp.ndarray, vals: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(mask, vals, (0, start))
+
+
+class DenseIndex:
+    """Dense cosine/IP index over an HBM-resident transposed corpus matrix."""
+
+    def __init__(self, dim: int, dtype: str = "bfloat16", tile_n: int = 1024,
+                 normalize: bool = True):
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unsupported dense dtype: {dtype}")
+        self.dim = dim
+        self.dtype = dtype
+        self.tile_n = tile_n
+        self.normalize = normalize
+        self.n = 0  # rows ever added (device columns in use)
+        self.capacity = 0
+        self.dead: set = set()
+        # host mirror (f16) for MMR candidate lookup, rescoring, persistence
+        self._host: List[np.ndarray] = []
+        self._corpus_t: Optional[jnp.ndarray] = None  # (d, cap) bf16/f32/int8
+        self._scales: Optional[jnp.ndarray] = None    # (1, cap) f32 (int8 only)
+        self._mask: Optional[jnp.ndarray] = None      # (1, cap) f32 additive
+
+    # -- capacity ---------------------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        new_cap = max(self.tile_n, self.capacity)
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        pad = new_cap - self.capacity
+        store_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                       "int8": jnp.int8}[self.dtype]
+        if self._corpus_t is None:
+            self._corpus_t = jnp.zeros((self.dim, new_cap), store_dtype)
+            self._mask = jnp.full((1, new_cap), NEG_INF, jnp.float32)
+            if self.dtype == "int8":
+                self._scales = jnp.zeros((1, new_cap), jnp.float32)
+        else:
+            self._corpus_t = jnp.pad(self._corpus_t, ((0, 0), (0, pad)))
+            self._mask = jnp.pad(self._mask, ((0, 0), (0, pad)),
+                                 constant_values=NEG_INF)
+            if self._scales is not None:
+                self._scales = jnp.pad(self._scales, ((0, 0), (0, pad)))
+        self.capacity = new_cap
+
+    # -- mutation ----------------------------------------------------------------
+
+    def add(self, vectors: np.ndarray) -> List[int]:
+        """Append (m, dim) vectors; returns their row ids."""
+        v = np.asarray(vectors, np.float32)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(f"expected (m, {self.dim}) vectors, got {v.shape}")
+        m = v.shape[0]
+        if m == 0:
+            return []
+        if self.normalize:
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        self._grow(self.n + m)
+        start = self.n
+        self._host.append(v.astype(np.float16))
+        if self.dtype == "int8":
+            q, scale = quantize_int8(jnp.asarray(v), axis=1)  # (m,d), (m,1)
+            self._corpus_t = _write_cols(self._corpus_t, q.T, start)
+            self._scales = _write_mask(self._scales, scale.T, start)
+        else:
+            store_dtype = jnp.float32 if self.dtype == "float32" else jnp.bfloat16
+            self._corpus_t = _write_cols(self._corpus_t,
+                                         jnp.asarray(v.T, store_dtype), start)
+        self._mask = _write_mask(self._mask, jnp.zeros((1, m), jnp.float32), start)
+        self.n += m
+        return list(range(start, start + m))
+
+    def delete_rows(self, rows: Sequence[int]) -> None:
+        rows = [int(r) for r in rows if 0 <= int(r) < self.n]
+        if not rows:
+            return
+        self.dead.update(rows)
+        mask = np.array(self._mask)  # copy — device buffers are read-only
+        mask[0, rows] = NEG_INF
+        self._mask = jnp.asarray(mask)
+
+    def compact(self, mapping: Sequence[int]) -> None:
+        """Rebuild densely given old→new row mapping (-1 = dropped), as
+        produced by ChunkStore.compact()."""
+        host = self.host_vectors()
+        keep = [i for i, m in enumerate(mapping) if m >= 0]
+        vecs = host[keep].astype(np.float32)
+        self.__init__(self.dim, self.dtype, self.tile_n, normalize=False)
+        if len(vecs):
+            self.add(vecs)
+        self.normalize = True  # vectors were already normalized on first add
+
+    # -- query --------------------------------------------------------------------
+
+    def host_vectors(self) -> np.ndarray:
+        if not self._host:
+            return np.zeros((0, self.dim), np.float16)
+        if len(self._host) > 1:
+            self._host = [np.concatenate(self._host, axis=0)]
+        return self._host[0]
+
+    def search(self, queries: np.ndarray, k: int, search_type: str = "similarity",
+               fetch_k: int = 20, mmr_lambda: float = 0.5
+               ) -> List[List[Tuple[int, float]]]:
+        """Top-k search. Returns per-query lists of (row, score), score desc.
+
+        search_type: 'similarity' → fused top-k; 'mmr' → fused top-fetch_k
+        then maximal marginal relevance down to k."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.n == 0:
+            return [[] for _ in range(q.shape[0])]
+        if self.normalize:
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        kk = min(fetch_k if search_type == "mmr" else k, self.n)
+        if self.dtype == "int8":
+            s, idx = dense_topk_int8(jnp.asarray(q), self._corpus_t, self._scales,
+                                     kk, mask=self._mask, tile_n=self.tile_n)
+        else:
+            s, idx = dense_topk(jnp.asarray(q), self._corpus_t, kk,
+                                mask=self._mask, tile_n=self.tile_n)
+        s = np.asarray(s)
+        idx = np.asarray(idx)
+        results: List[List[Tuple[int, float]]] = []
+        host = self.host_vectors() if search_type == "mmr" else None
+        for r in range(q.shape[0]):
+            live = [(int(i), float(v)) for i, v in zip(idx[r], s[r])
+                    if v > NEG_INF / 2 and i >= 0]
+            if search_type == "mmr" and live:
+                cand_rows = [i for i, _ in live]
+                cand_vecs = host[cand_rows].astype(np.float32)
+                chosen = mmr_select(q[r], cand_vecs, k, mmr_lambda)
+                live = [live[c] for c in chosen]
+            results.append(live[:k])
+        return results
+
+    # -- persistence -----------------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.save(os.path.join(directory, "vectors.npy"), self.host_vectors())
+        meta = {"dim": self.dim, "dtype": self.dtype, "tile_n": self.tile_n,
+                "normalize": self.normalize, "n": self.n,
+                "dead": sorted(self.dead)}
+        with open(os.path.join(directory, "dense_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "DenseIndex":
+        with open(os.path.join(directory, "dense_meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(meta["dim"], meta["dtype"], meta["tile_n"], normalize=False)
+        vecs = np.load(os.path.join(directory, "vectors.npy"))
+        if len(vecs):
+            idx.add(vecs.astype(np.float32))
+        idx.normalize = meta["normalize"]
+        idx.delete_rows(meta.get("dead", []))
+        return idx
+
+    @classmethod
+    def exists(cls, directory: str) -> bool:
+        return os.path.exists(os.path.join(directory, "dense_meta.json"))

@@ -1,0 +1,374 @@
+"""Retrieval engine tests: fused top-k kernels vs NumPy oracles, dense index
+CRUD, BM25 parity with Okapi, RRF fusion, MMR, hybrid wiring (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ragmeup_tpu.data.documents import Chunk
+from ragmeup_tpu.data.store import ChunkStore
+from ragmeup_tpu.ops.topk import (
+    dense_topk, dense_topk_int8, dense_topk_xla, quantize_int8, topk_oracle,
+)
+from ragmeup_tpu.ops.fusion import rrf_fuse, mmr_select, weighted_score_fuse
+from ragmeup_tpu.retrieval.dense import DenseIndex
+from ragmeup_tpu.retrieval.sparse import (
+    BM25Index, analyze, bm25_oracle, sanitize_query,
+)
+from ragmeup_tpu.retrieval.hybrid import HybridRetriever
+
+
+def _rand_corpus(rng, n, d, normalize=True):
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    if normalize:
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c
+
+
+# -- fused top-k kernel ---------------------------------------------------------
+
+def test_dense_topk_f32_matches_oracle(rng):
+    n, d, b, k = 1024, 128, 4, 10
+    corpus = _rand_corpus(rng, n, d)
+    q = _rand_corpus(rng, b, d)
+    s, i = dense_topk(jnp.asarray(q), jnp.asarray(corpus.T), k, tile_n=512)
+    os_, oi = topk_oracle(q, corpus, k)
+    assert np.array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_topk_single_query_and_odd_batch(rng):
+    n, d, k = 512, 128, 5
+    corpus = _rand_corpus(rng, n, d)
+    for b in (1, 3, 9):
+        q = _rand_corpus(rng, b, d)
+        s, i = dense_topk(jnp.asarray(q), jnp.asarray(corpus.T), k, tile_n=512)
+        os_, oi = topk_oracle(q, corpus, k)
+        assert np.array_equal(np.asarray(i), oi)
+        assert s.shape == (b, k)
+
+
+def test_dense_topk_mask_tombstones(rng):
+    n, d, b, k = 512, 128, 2, 5
+    corpus = _rand_corpus(rng, n, d)
+    q = _rand_corpus(rng, b, d)
+    _, oi = topk_oracle(q, corpus, k)
+    dead = {int(oi[0, 0]), int(oi[1, 0])}
+    mask = np.zeros((1, n), np.float32)
+    mask[0, list(dead)] = -1e30
+    s, i = dense_topk(jnp.asarray(q), jnp.asarray(corpus.T), k,
+                      mask=jnp.asarray(mask), tile_n=512)
+    os_, oi2 = topk_oracle(q, corpus, k, dead_rows=dead)
+    assert np.array_equal(np.asarray(i), oi2)
+
+
+def test_dense_topk_tie_break_lowest_index():
+    # duplicate vectors → equal scores; lowest index must win
+    d = 128
+    v = np.ones((1, d), np.float32) / np.sqrt(d)
+    corpus = np.concatenate([v, v, v, v], axis=0)
+    corpus = np.concatenate([corpus, -_rand_corpus(np.random.default_rng(1), 508, d)], 0)
+    s, i = dense_topk(v, jnp.asarray(corpus.T), 4, tile_n=512)
+    assert np.asarray(i)[0].tolist() == [0, 1, 2, 3]
+
+
+def test_dense_topk_bf16_high_recall(rng):
+    n, d, b, k = 2048, 384, 4, 10
+    corpus = _rand_corpus(rng, n, d)
+    q = _rand_corpus(rng, b, d)
+    s, i = dense_topk(jnp.asarray(q), jnp.asarray(corpus.T, jnp.bfloat16), k, tile_n=512)
+    _, oi = topk_oracle(q, corpus, k)
+    recall = np.mean([len(set(np.asarray(i)[r].tolist()) & set(oi[r].tolist())) / k
+                      for r in range(b)])
+    assert recall >= 0.9
+
+
+def test_dense_topk_int8_high_recall(rng):
+    n, d, b, k = 2048, 384, 4, 10
+    corpus = _rand_corpus(rng, n, d)
+    q = _rand_corpus(rng, b, d)
+    ci8, sc = quantize_int8(jnp.asarray(corpus), axis=1)
+    s, i = dense_topk_int8(jnp.asarray(q), ci8.T, sc.T, k, tile_n=512)
+    _, oi = topk_oracle(q, corpus, k)
+    recall = np.mean([len(set(np.asarray(i)[r].tolist()) & set(oi[r].tolist())) / k
+                      for r in range(b)])
+    assert recall >= 0.9
+
+
+def test_dense_topk_xla_matches_kernel(rng):
+    n, d, b, k = 1024, 128, 3, 7
+    corpus = _rand_corpus(rng, n, d)
+    q = _rand_corpus(rng, b, d)
+    s1, i1 = dense_topk(jnp.asarray(q), jnp.asarray(corpus.T), k, tile_n=512)
+    s2, i2 = dense_topk_xla(jnp.asarray(q), jnp.asarray(corpus.T), k)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+
+def test_dense_topk_rejects_unaligned():
+    with pytest.raises(ValueError):
+        dense_topk(np.zeros((1, 128), np.float32),
+                   jnp.zeros((128, 1000), jnp.float32), 5, tile_n=512)
+
+
+# -- DenseIndex -------------------------------------------------------------------
+
+def test_dense_index_add_search_exact(rng):
+    n, d = 300, 64
+    corpus = _rand_corpus(rng, n, d, normalize=False)
+    idx = DenseIndex(d, dtype="float32", tile_n=512)
+    rows = idx.add(corpus)
+    assert rows == list(range(n))
+    q = corpus[42:43] * 2.0  # same direction → cosine 1.0 with row 42
+    res = idx.search(q, k=3)[0]
+    assert res[0][0] == 42
+    assert res[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_dense_index_incremental_add_and_growth(rng):
+    d = 32
+    idx = DenseIndex(d, dtype="float32", tile_n=512)
+    a = _rand_corpus(rng, 400, d, normalize=False)
+    b = _rand_corpus(rng, 400, d, normalize=False)
+    idx.add(a)
+    assert idx.capacity == 512
+    idx.add(b)
+    assert idx.capacity == 1024
+    assert idx.n == 800
+    q = b[7:8]
+    res = idx.search(q, k=1)[0]
+    assert res[0][0] == 407
+
+
+def test_dense_index_delete_and_compact(rng):
+    d = 32
+    corpus = _rand_corpus(rng, 100, d, normalize=False)
+    idx = DenseIndex(d, dtype="float32", tile_n=512)
+    idx.add(corpus)
+    q = corpus[5:6]
+    assert idx.search(q, k=1)[0][0][0] == 5
+    idx.delete_rows([5])
+    top = idx.search(q, k=1)[0][0][0]
+    assert top != 5
+    # compact with a store-style mapping dropping row 5
+    mapping = [-1 if i == 5 else (i if i < 5 else i - 1) for i in range(100)]
+    idx.compact(mapping)
+    assert idx.n == 99
+    assert idx.search(q, k=1)[0][0][0] == top - 1 if top > 5 else top
+
+
+def test_dense_index_mmr_diversifies(rng):
+    d = 64
+    base = _rand_corpus(rng, 1, d)[0]
+    near = base + 0.01 * _rand_corpus(rng, 5, d)  # 5 near-duplicates
+    far = _rand_corpus(rng, 50, d)
+    corpus = np.concatenate([near, far], 0).astype(np.float32)
+    idx = DenseIndex(d, dtype="float32", tile_n=512)
+    idx.add(corpus)
+    sim = [r for r, _ in idx.search(base[None], k=5, search_type="similarity")[0]]
+    mmr = [r for r, _ in idx.search(base[None], k=5, search_type="mmr",
+                                    fetch_k=20, mmr_lambda=0.1)[0]]
+    assert set(sim) == {0, 1, 2, 3, 4}  # all near-dupes
+    assert set(mmr) != set(sim)  # diversity kicked in
+
+
+def test_dense_index_int8_mode(rng):
+    d = 384
+    corpus = _rand_corpus(rng, 600, d, normalize=False)
+    idx = DenseIndex(d, dtype="int8", tile_n=512)
+    idx.add(corpus)
+    q = corpus[13:14]
+    res = idx.search(q, k=5)[0]
+    assert res[0][0] == 13
+
+
+def test_dense_index_save_load(tmp_path, rng):
+    d = 32
+    corpus = _rand_corpus(rng, 50, d, normalize=False)
+    idx = DenseIndex(d, dtype="float32", tile_n=512)
+    idx.add(corpus)
+    idx.delete_rows([3])
+    idx.save(str(tmp_path))
+    idx2 = DenseIndex.load(str(tmp_path))
+    assert idx2.n == 50 and 3 in idx2.dead
+    q = corpus[10:11]
+    assert idx2.search(q, k=1)[0][0][0] == 10
+
+
+def test_dense_index_empty():
+    idx = DenseIndex(16, dtype="float32")
+    assert idx.search(np.zeros((1, 16), np.float32), k=5) == [[]]
+
+
+# -- BM25 --------------------------------------------------------------------------
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over a sleepy canine",
+    "the stock market rallied on tech earnings today",
+    "quantum computing uses qubits instead of classical bits",
+    "the dog sat by the door waiting for the fox",
+    "earnings season lifts markets as tech stocks rally",
+]
+
+
+def test_analyze():
+    assert analyze("Hello, World! x2") == ["hello", "world", "x2"]
+
+
+def test_sanitize_query():
+    q = "what is (this): 'thing'\nRead the question again: what is (this)"
+    out = sanitize_query(q, re2_prompt="Read the question again: ")
+    assert "Read the question" not in out
+    assert "(" not in out and "'" not in out
+
+
+def test_bm25_matches_oracle():
+    idx = BM25Index()
+    idx.add(CORPUS)
+    for query in ["fox dog", "tech earnings rally", "quantum bits", "sleepy canine door"]:
+        hits = idx.search([query], k=6)[0]
+        oracle = bm25_oracle(CORPUS, query)
+        got = {r: s for r, s in hits}
+        want = {i: s for i, s in enumerate(oracle) if s > 0}
+        assert set(got) == set(want), query
+        for r in got:
+            assert got[r] == pytest.approx(want[r], rel=1e-4), (query, r)
+
+
+def test_bm25_ranking_order():
+    idx = BM25Index()
+    idx.add(CORPUS)
+    hits = idx.search(["fox dog"], k=6)[0]
+    oracle = bm25_oracle(CORPUS, "fox dog")
+    expected = np.argsort(-oracle, kind="stable")
+    live = [i for i in expected if oracle[i] > 0]
+    assert [r for r, _ in hits] == [int(i) for i in live]
+
+
+def test_bm25_incremental_add():
+    idx = BM25Index()
+    idx.add(CORPUS[:3])
+    idx.add(CORPUS[3:])
+    hits = idx.search(["quantum bits"], k=3)[0]
+    assert hits[0][0] == 3
+    oracle = bm25_oracle(CORPUS, "quantum bits")
+    assert hits[0][1] == pytest.approx(oracle[3], rel=1e-4)
+
+
+def test_bm25_delete_changes_idf():
+    idx = BM25Index()
+    idx.add(CORPUS)
+    idx.delete_rows([0])
+    hits = idx.search(["fox dog"], k=6)[0]
+    assert all(r != 0 for r, _ in hits)
+    oracle = bm25_oracle(CORPUS, "fox dog", dead_rows={0})
+    got = {r: s for r, s in hits}
+    for r in got:
+        assert got[r] == pytest.approx(oracle[r], rel=1e-4)
+
+
+def test_bm25_unknown_terms():
+    idx = BM25Index()
+    idx.add(CORPUS)
+    assert idx.search(["zzzgibberish xyzzy"], k=3) == [[]]
+
+
+def test_bm25_batch_queries():
+    idx = BM25Index()
+    idx.add(CORPUS)
+    res = idx.search(["fox", "earnings"], k=3)
+    assert len(res) == 2
+    assert {r for r, _ in res[0]} <= {0, 1, 4}
+    assert {r for r, _ in res[1]} <= {2, 5}
+
+
+def test_bm25_save_load(tmp_path):
+    idx = BM25Index()
+    idx.add(CORPUS)
+    idx.delete_rows([2])
+    idx.save(str(tmp_path))
+    idx2 = BM25Index.load(str(tmp_path))
+    h1 = idx.search(["fox dog"], k=4)[0]
+    h2 = idx2.search(["fox dog"], k=4)[0]
+    assert h1 == h2
+
+
+def test_bm25_empty():
+    idx = BM25Index()
+    assert idx.search(["anything"], k=5) == [[]]
+
+
+# -- fusion -------------------------------------------------------------------------
+
+def test_rrf_fuse_weights_and_order():
+    fused = rrf_fuse([["a", "b", "c"], ["b", "d"]], weights=[0.5, 0.5], c=60, k=4)
+    ids = [x for x, _ in fused]
+    assert ids[0] == "b"  # appears in both lists
+    scores = dict(fused)
+    assert scores["b"] == pytest.approx(0.5 / 61 + 0.5 / 62)
+    assert scores["a"] == pytest.approx(0.5 / 61)
+
+
+def test_rrf_fuse_respects_k_and_weights():
+    fused = rrf_fuse([["a"], ["b"]], weights=[1.0, 0.1], c=60, k=1)
+    assert fused[0][0] == "a"
+
+
+def test_weighted_score_fuse():
+    fused = weighted_score_fuse([{"a": 10.0, "b": 8.0, "z": 0.0},
+                                 {"b": 1.0, "c": 0.5}],
+                                weights=[0.5, 0.5], k=3)
+    assert fused[0][0] == "b"  # 0.5*0.8 + 0.5*1.0 beats a's 0.5*1.0
+
+
+def test_mmr_select_diversity():
+    q = np.array([1.0, 0.0])
+    cands = np.array([[1.0, 0.0], [0.999, 0.01], [0.7, 0.7]])
+    sel = mmr_select(q, cands, k=2, lambda_mult=0.3)
+    assert sel[0] == 0 and sel[1] == 2  # skips the near-duplicate
+
+
+# -- hybrid -------------------------------------------------------------------------
+
+def _hash_embed(texts, d=64):
+    """Deterministic bag-of-words hash embedding for tests."""
+    out = np.zeros((len(texts), d), np.float32)
+    for i, t in enumerate(texts):
+        for tok in analyze(t):
+            out[i, hash(tok) % d] += 1.0
+    n = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(n, 1e-9)
+
+
+def _build_hybrid(tmp_path):
+    store = ChunkStore(str(tmp_path))
+    chunks = [Chunk(content=t, metadata={"source": f"doc{i}.txt"})
+              for i, t in enumerate(CORPUS)]
+    store.add(chunks)
+    dense = DenseIndex(64, dtype="float32", tile_n=512)
+    dense.add(_hash_embed([c.content for c in chunks]))
+    sparse = BM25Index()
+    sparse.add([c.content for c in chunks])
+    return store, HybridRetriever(store, dense, sparse,
+                                  embed_query_fn=_hash_embed, k=4,
+                                  search_type="similarity")
+
+
+def test_hybrid_retrieve(tmp_path):
+    store, retriever = _build_hybrid(tmp_path)
+    chunks = retriever.retrieve("fox and dog")
+    assert len(chunks) >= 2
+    assert chunks[0].metadata["relevance_score"] > 0
+    assert "pk" in chunks[0].metadata
+    contents = " ".join(c.content for c in chunks)
+    assert "fox" in contents
+
+
+def test_hybrid_rows_are_fused(tmp_path):
+    store, retriever = _build_hybrid(tmp_path)
+    rows = retriever.retrieve_rows("tech earnings rally")
+    ids = [r for r, _ in rows]
+    assert 2 in ids and 5 in ids
