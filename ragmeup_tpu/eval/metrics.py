@@ -1,0 +1,123 @@
+"""Evaluation metrics.
+
+The reference evaluates with LLM-judged Ragas/DeepEval metrics
+(``Ragas_eval.py:16-18``, ``DeepEval_eval.py:43-51``: answer relevancy,
+faithfulness, contextual precision/recall/relevancy, hallucination).
+Network LLM judges don't exist in a self-contained TPU deployment, so each
+metric here has a deterministic embedding-based scorer computed with the
+framework's own sentence encoder (batched on device); thresholds come from
+the same config knobs (``.env.template:91-97``). An LLM-judge variant can be
+layered on any ChatBackend via ``llm_judge_score``.
+
+All metrics return floats in [0, 1].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence
+
+import numpy as np
+
+from ragmeup_tpu.data.splitters import split_sentences
+
+
+def _embed(encoder, texts: Sequence[str]) -> np.ndarray:
+    e = np.asarray(encoder.encode(list(texts)), np.float64)
+    n = np.linalg.norm(e, axis=1, keepdims=True)
+    return e / np.maximum(n, 1e-12)
+
+
+def answer_relevancy(encoder, question: str, answer: str) -> float:
+    """Cosine similarity of answer to question, mapped to [0, 1]."""
+    q, a = _embed(encoder, [question, answer])
+    return float((q @ a + 1.0) / 2.0)
+
+
+def faithfulness(encoder, answer: str, contexts: Sequence[str]) -> float:
+    """Fraction of answer sentences supported by some context (max cosine
+    over contexts, averaged over sentences, mapped to [0,1])."""
+    sents = split_sentences(answer) or [answer]
+    if not contexts:
+        return 0.0
+    embs = _embed(encoder, list(sents) + list(contexts))
+    s, c = embs[:len(sents)], embs[len(sents):]
+    support = (s @ c.T).max(axis=1)  # best-supporting context per sentence
+    return float(((support + 1.0) / 2.0).mean())
+
+
+def hallucination_score(encoder, answer: str, contexts: Sequence[str]) -> float:
+    """1 - faithfulness (higher = more hallucinated)."""
+    return 1.0 - faithfulness(encoder, answer, contexts)
+
+
+def contextual_precision(encoder, question: str, contexts: Sequence[str],
+                         relevance_threshold: float = 0.6) -> float:
+    """Rank-weighted precision: relevant contexts (cos-sim above threshold)
+    should appear before irrelevant ones (DeepEval's contextual precision
+    shape)."""
+    if not contexts:
+        return 0.0
+    embs = _embed(encoder, [question] + list(contexts))
+    q, c = embs[0], embs[1:]
+    rel = ((c @ q + 1.0) / 2.0) >= relevance_threshold
+    if not rel.any():
+        return 0.0
+    hits = 0
+    total = 0.0
+    for k, r in enumerate(rel, start=1):
+        if r:
+            hits += 1
+            total += hits / k
+    return float(total / rel.sum())
+
+
+def contextual_recall(encoder, ground_truth: str,
+                      contexts: Sequence[str]) -> float:
+    """Fraction of ground-truth sentences attributable to the contexts."""
+    sents = split_sentences(ground_truth) or [ground_truth]
+    if not contexts:
+        return 0.0
+    embs = _embed(encoder, list(sents) + list(contexts))
+    s, c = embs[:len(sents)], embs[len(sents):]
+    support = (s @ c.T).max(axis=1)
+    return float(((support + 1.0) / 2.0).mean())
+
+
+def contextual_relevancy(encoder, question: str,
+                         contexts: Sequence[str]) -> float:
+    """Mean relevance of retrieved contexts to the question."""
+    if not contexts:
+        return 0.0
+    embs = _embed(encoder, [question] + list(contexts))
+    q, c = embs[0], embs[1:]
+    return float(((c @ q + 1.0) / 2.0).mean())
+
+
+_NUM_RE = re.compile(r"(\d+(?:\.\d+)?)")
+
+
+def llm_judge_score(chat_fn, prompt: str, scale: float = 10.0) -> float:
+    """Generic LLM-judge: ask for a 0-{scale} score, parse the last number,
+    normalize to [0,1]. Usable with any ChatBackend.complete."""
+    reply = chat_fn(prompt) or ""
+    nums = _NUM_RE.findall(reply)
+    if not nums:
+        return 0.0
+    return max(0.0, min(1.0, float(nums[-1]) / scale))
+
+
+def retrieval_recall_at_k(retrieved_ids: Sequence[Sequence],
+                          true_ids: Sequence[Sequence], k: int = 10) -> float:
+    """Mean recall@k of retrieved id lists vs ground-truth id lists — the
+    BASELINE.md harness metric (vs exact brute-force)."""
+    if not len(true_ids):
+        return 0.0
+    recs = []
+    for got, want in zip(retrieved_ids, true_ids):
+        w = set(list(want)[:k])
+        if not w:
+            continue
+        g = set(list(got)[:k])
+        recs.append(len(g & w) / len(w))
+    return float(np.mean(recs)) if recs else 0.0

@@ -1,0 +1,367 @@
+"""Llama-class causal decoder in flax: the local chat LLM.
+
+TPU-native replacement for the reference's in-process HF LLM
+(``RAGHelper_local.py:42-105``: Meta-Llama-3.1-8B-Instruct, 4-bit nf4
+bitsandbytes, HF text-generation pipeline). Here:
+
+- the forward is a jit'd flax module (RMSNorm → GQA attention with RoPE →
+  SwiGLU), bf16 activations on the MXU;
+- weight-only int8 quantization (per-output-channel scales) replaces
+  bitsandbytes nf4 (``RAGHelper_local.py:76-89``) — dequant fuses into the
+  matmul under XLA;
+- generation = one jit'd prefill over the (length-bucketed) prompt + a
+  jit'd single-token decode step over a static-shape KV cache, with
+  temperature sampling and repetition penalty matching the reference's
+  pipeline knobs (``.env.template:45-47``);
+- ``capture_weights`` returns per-layer attention matrices for the
+  attention-provenance method (``provenance.py:19-88``).
+
+Params carry logical partitioning names; TP shards heads/ffn over the
+``model`` mesh axis (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ragmeup_tpu.models.layers import RMSNorm, dense_init, embed_init
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 14336
+    rope_theta: float = 500000.0
+    max_seq_len: int = 8192
+    rms_eps: float = 1e-5
+    dtype: str = "bfloat16"
+    quantization: str = "none"  # none | int8
+    tie_embeddings: bool = True  # Llama-3.1-8B+ uses an untied lm_head
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def jdtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                    num_kv_heads=2, intermediate_size=128, max_seq_len=256,
+                    rope_theta=10000.0)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+def rope_freqs(head_dim: int, max_len: int, theta: float) -> Tuple[np.ndarray, np.ndarray]:
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    t = np.arange(max_len, dtype=np.float64)
+    ang = np.outer(t, inv)  # (L, hd/2)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (b, s, h, hd); cos/sin: (s, hd/2) for these positions."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 linear (per-output-channel scale); falls back to a
+    plain kernel when quantization is off."""
+
+    features: int
+    names: Tuple[str, str]
+    quantize: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d_in = x.shape[-1]
+        if self.quantize:
+            w = self.param("kernel_q", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), self.names),
+                (d_in, self.features), jnp.int8)
+            s = self.param("scale", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), (self.names[1],)),
+                (self.features,), jnp.float32)
+            wd = w.astype(self.dtype) * s.astype(self.dtype)[None, :]
+            return jnp.dot(x, wd, preferred_element_type=self.dtype)
+        w = self.param("kernel", dense_init(self.names),
+                       (d_in, self.features), jnp.float32)
+        return jnp.dot(x, w.astype(self.dtype), preferred_element_type=self.dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias=None, cache=None,
+                 cache_pos=None, capture_weights: bool = False):
+        c = self.cfg
+        b, s, _ = x.shape
+        hd, nh, nkv = c.head_dim, c.num_heads, c.num_kv_heads
+        quant = c.quantization == "int8"
+        q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, name="q_proj")(x)
+        k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, name="k_proj")(x)
+        v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, name="v_proj")(x)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            ck, cv = cache  # (b, L, nkv, hd)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        scale = 1.0 / np.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(c.jdtype), v,
+                         preferred_element_type=c.jdtype)
+        out = out.reshape(b, s, nh * hd)
+        out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
+                         name="o_proj")(out)
+        return out, new_cache, (weights if capture_weights else None)
+
+
+class LlamaMlp(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        quant = c.quantization == "int8"
+        g = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
+                       name="gate_proj")(x)
+        u = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
+                       name="up_proj")(x)
+        return QuantDense(c.hidden_size, ("mlp", "embed"), quant, c.jdtype,
+                          name="down_proj")(nn.silu(g) * u)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias, cache, cache_pos,
+                 capture_weights: bool = False):
+        c = self.cfg
+        h, new_cache, w = LlamaAttention(c, name="attention")(
+            RMSNorm(c.rms_eps, c.jdtype, name="input_norm")(x),
+            cos, sin, attn_bias, cache, cache_pos, capture_weights)
+        x = x + h
+        x = x + LlamaMlp(c, name="mlp")(
+            RMSNorm(c.rms_eps, c.jdtype, name="post_attn_norm")(x))
+        return x, new_cache, w
+
+
+class LlamaModel(nn.Module):
+    """Causal LM. Two modes:
+    - prefill: full-sequence forward with causal mask, optionally returning
+      a KV cache sized max_seq_len and/or attention weights;
+    - decode: single-token step against the cache at position cache_pos.
+    """
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, input_ids, *, positions, attn_bias=None,
+                 caches: Optional[list] = None, cache_pos=None,
+                 capture_weights: bool = False):
+        c = self.cfg
+        emb = self.param("token_embedding", embed_init(("vocab", "embed")),
+                         (c.vocab_size, c.hidden_size), jnp.float32)
+        x = emb[input_ids].astype(c.jdtype)
+        cos_t, sin_t = rope_freqs(c.head_dim, c.max_seq_len, c.rope_theta)
+        cos = jnp.asarray(cos_t)[positions]
+        sin = jnp.asarray(sin_t)[positions]
+        new_caches, all_w = [], []
+        for i in range(c.num_layers):
+            cache = caches[i] if caches is not None else None
+            x, nc, w = LlamaBlock(c, name=f"layer_{i}")(
+                x, cos, sin, attn_bias, cache, cache_pos, capture_weights)
+            new_caches.append(nc)
+            if capture_weights:
+                all_w.append(w)
+        x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
+        if c.tie_embeddings:
+            head = emb.T
+        else:
+            head = self.param("lm_head", dense_init(("embed", "vocab")),
+                              (c.hidden_size, c.vocab_size), jnp.float32)
+        logits = jnp.dot(x.astype(jnp.float32), head,
+                         preferred_element_type=jnp.float32)
+        out = {"logits": logits}
+        if caches is not None:
+            out["caches"] = new_caches
+        if capture_weights:
+            out["attn_weights"] = all_w
+        return out
+
+
+def causal_bias(q_len: int, kv_len: int, q_offset: int = 0) -> jnp.ndarray:
+    """(1, 1, q, kv) additive causal mask; query i at absolute pos q_offset+i
+    may attend kv positions <= that."""
+    qpos = q_offset + jnp.arange(q_len)[:, None]
+    kpos = jnp.arange(kv_len)[None, :]
+    return jnp.where(kpos <= qpos, 0.0, -1e30)[None, None]
+
+
+class LocalLLM:
+    """Generation wrapper: prefill + stepwise decode with temperature
+    sampling and repetition penalty (reference pipeline knobs:
+    temperature, repetition_penalty, max_new_tokens — .env.template:45-47)."""
+
+    PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+    def __init__(self, cfg: LlamaConfig, tokenizer, params=None, seed: int = 0,
+                 eos_ids: Sequence[int] = ()):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.model = LlamaModel(cfg)
+        self.eos_ids = set(int(e) for e in eos_ids)
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, 8), jnp.int32),
+                positions=jnp.arange(8),
+            )["params"]
+        self.params = params
+        self._prefill = jax.jit(self._prefill_impl, static_argnames=("cache_len",))
+        self._decode = jax.jit(self._decode_impl)
+
+    # -- jitted internals ------------------------------------------------------
+
+    def _prefill_impl(self, params, ids, length, cache_len: int):
+        """ids: (1, L) padded; length: actual prompt length (traced)."""
+        c = self.cfg
+        L = ids.shape[1]
+        positions = jnp.arange(L)
+        bias = causal_bias(L, L)
+        # mask out padding keys beyond `length`
+        kmask = jnp.where(jnp.arange(L) < length, 0.0, -1e30)[None, None, None, :]
+        caches = [(jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype),
+                   jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype))
+                  for _ in range(c.num_layers)]
+        # place prompt K/V at cache[0:L]
+        out = self.model.apply({"params": params}, ids,
+                               positions=positions, attn_bias=bias + kmask,
+                               caches=caches, cache_pos=0)
+        last_logits = out["logits"][0, length - 1]
+        return last_logits, out["caches"]
+
+    def _decode_impl(self, params, token, pos, caches):
+        """token: (1,1); pos: scalar absolute position; caches at len L."""
+        positions = pos[None] if pos.ndim == 0 else pos
+        kv_len = caches[0][0].shape[1]
+        kmask = jnp.where(jnp.arange(kv_len) <= pos, 0.0, -1e30)[None, None, None, :]
+        out = self.model.apply({"params": params}, token,
+                               positions=positions, attn_bias=kmask,
+                               caches=caches, cache_pos=pos)
+        return out["logits"][0, -1], out["caches"]
+
+    # -- public ------------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.PREFILL_BUCKETS:
+            if n <= b:
+                return min(b, self.cfg.max_seq_len)
+        return self.cfg.max_seq_len
+
+    def forward_logits(self, ids: Sequence[int]) -> np.ndarray:
+        """Full-sequence logits (used by tests/eval)."""
+        L = self._bucket(len(ids))
+        padded = np.zeros((1, L), np.int32)
+        padded[0, :len(ids)] = ids
+        logits, _ = self._prefill(self.params, jnp.asarray(padded),
+                                  jnp.int32(len(ids)), cache_len=L)
+        return np.asarray(logits)
+
+    def attention_forward(self, ids: Sequence[int]):
+        """Forward with attention capture (provenance). Returns per-layer
+        (1, heads, L, L) weights for the unpadded length."""
+        L = len(ids)
+        arr = jnp.asarray(np.asarray(ids, np.int32)[None])
+        bias = causal_bias(L, L)
+        out = self.model.apply({"params": self.params}, arr,
+                               positions=jnp.arange(L), attn_bias=bias,
+                               capture_weights=True)
+        return [np.asarray(w, np.float32) for w in out["attn_weights"]]
+
+    def generate(self, prompt_ids: Sequence[int], max_new_tokens: int = 100,
+                 temperature: float = 0.2, repetition_penalty: float = 1.1,
+                 seed: int = 0) -> List[int]:
+        """Sample continuation token ids (prompt not included)."""
+        n = len(prompt_ids)
+        cache_len = self._bucket(n + max_new_tokens)
+        L = self._bucket(n)
+        padded = np.zeros((1, L), np.int32)
+        padded[0, :n] = prompt_ids
+        logits, caches = self._prefill(self.params, jnp.asarray(padded),
+                                       jnp.int32(n), cache_len=cache_len)
+        key = jax.random.PRNGKey(seed)
+        out: List[int] = []
+        seen = set(int(t) for t in prompt_ids)
+        pos = n
+        tok = None
+        for _ in range(max_new_tokens):
+            lg = np.array(logits, np.float32)  # writable copy
+            if repetition_penalty and repetition_penalty != 1.0 and seen:
+                idxs = np.fromiter(seen, dtype=np.int64)
+                vals = lg[idxs]
+                lg[idxs] = np.where(vals > 0, vals / repetition_penalty,
+                                    vals * repetition_penalty)
+            if temperature and temperature > 0:
+                key, sub = jax.random.split(key)
+                probs = jax.nn.softmax(jnp.asarray(lg) / temperature)
+                tok = int(jax.random.choice(sub, lg.shape[-1], p=probs))
+            else:
+                tok = int(np.argmax(lg))
+            if tok in self.eos_ids:
+                break
+            out.append(tok)
+            seen.add(tok)
+            logits, caches = self._decode(self.params,
+                                          jnp.asarray([[tok]], jnp.int32),
+                                          jnp.int32(pos), caches)
+            pos += 1
+            if pos >= cache_len:
+                break
+        return out
+
+    def generate_text(self, prompt: str, max_new_tokens: int = 100,
+                      temperature: float = 0.2, repetition_penalty: float = 1.1,
+                      seed: int = 0) -> str:
+        ids = self.tokenizer.encode(prompt)
+        out = self.generate(ids, max_new_tokens, temperature,
+                            repetition_penalty, seed)
+        if hasattr(self.tokenizer, "decode"):
+            return self.tokenizer.decode(out)
+        return " ".join(str(t) for t in out)

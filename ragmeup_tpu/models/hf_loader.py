@@ -165,3 +165,112 @@ def load_cross_encoder(checkpoint_dir: Optional[str], seed: int = 1,
     cfg = BertConfig.tiny()
     tok = load_tokenizer(None, cfg.vocab_size)
     return CrossEncoder(cfg, tok, seed=seed, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Llama-class decoder checkpoints
+# ---------------------------------------------------------------------------
+
+def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none"):
+    from ragmeup_tpu.models.decoder import LlamaConfig
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        c = json.load(f)
+    return LlamaConfig(
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=c["num_attention_heads"],
+        num_kv_heads=c.get("num_key_value_heads", c["num_attention_heads"]),
+        intermediate_size=c["intermediate_size"],
+        rope_theta=c.get("rope_theta", 10000.0),
+        max_seq_len=min(c.get("max_position_embeddings", 8192), 8192),
+        rms_eps=c.get("rms_norm_eps", 1e-5),
+        tie_embeddings=c.get("tie_word_embeddings", False),
+        quantization=quantization,
+    )
+
+
+def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
+                         tie_embeddings: bool) -> dict:
+    """HF Llama safetensors → LlamaModel param tree (torch Linear weights
+    transposed into flax kernels)."""
+    t = _strip_prefix(tensors)
+
+    def W(name):
+        return np.ascontiguousarray(t[name].T.astype(np.float32))
+
+    params = {
+        "token_embedding": t["embed_tokens.weight"].astype(np.float32),
+        "final_norm": {"scale": t["norm.weight"].astype(np.float32)},
+    }
+    if not tie_embeddings and "lm_head.weight" in tensors:
+        params["lm_head"] = np.ascontiguousarray(
+            tensors["lm_head.weight"].T.astype(np.float32))
+    for i in range(num_layers):
+        p = f"layers.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": {"kernel": W(p + "self_attn.q_proj.weight")},
+                "k_proj": {"kernel": W(p + "self_attn.k_proj.weight")},
+                "v_proj": {"kernel": W(p + "self_attn.v_proj.weight")},
+                "o_proj": {"kernel": W(p + "self_attn.o_proj.weight")},
+            },
+            "input_norm": {"scale": t[p + "input_layernorm.weight"].astype(np.float32)},
+            "post_attn_norm": {"scale": t[p + "post_attention_layernorm.weight"].astype(np.float32)},
+            "mlp": {
+                "gate_proj": {"kernel": W(p + "mlp.gate_proj.weight")},
+                "up_proj": {"kernel": W(p + "mlp.up_proj.weight")},
+                "down_proj": {"kernel": W(p + "mlp.down_proj.weight")},
+            },
+        }
+    return params
+
+
+def quantize_decoder_params(params: dict) -> dict:
+    """Post-load weight-only int8 quantization (per-output-channel scales).
+
+    Transforms every QuantDense 'kernel' into ('kernel_q', 'scale') so the
+    tree matches a LlamaConfig with quantization='int8'. The TPU-native
+    replacement for bitsandbytes nf4 (reference RAGHelper_local.py:76-89)."""
+    def quant(w: np.ndarray):
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return q, scale[0].astype(np.float32)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"kernel"} and getattr(node["kernel"], "ndim", 0) == 2:
+                q, s = quant(np.asarray(node["kernel"], np.float32))
+                return {"kernel_q": q, "scale": s}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
+                   seed: int = 0):
+    """Factory for the local chat LLM: real Llama checkpoint if given (with
+    optional int8 weight-only quantization), else a tiny deterministic
+    random-init model so the pipeline runs self-contained."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import load_tokenizer
+    if checkpoint_dir and os.path.isdir(checkpoint_dir):
+        cfg = llama_config_from_hf(checkpoint_dir, quantization)
+        tensors = load_safetensors(checkpoint_dir)
+        params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+        if quantization == "int8":
+            params = quantize_decoder_params(params)
+        tok = load_tokenizer(checkpoint_dir, cfg.vocab_size)
+        eos = []
+        gen_cfg = os.path.join(checkpoint_dir, "generation_config.json")
+        if os.path.exists(gen_cfg):
+            with open(gen_cfg) as f:
+                g = json.load(f)
+            e = g.get("eos_token_id", [])
+            eos = e if isinstance(e, list) else [e]
+        return LocalLLM(cfg, tok, params=params, eos_ids=eos)
+    cfg = LlamaConfig.tiny()
+    tok = load_tokenizer(None, cfg.vocab_size)
+    return LocalLLM(cfg, tok, seed=seed)

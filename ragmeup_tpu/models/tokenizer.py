@@ -163,6 +163,19 @@ class WordPieceTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    def decode(self, ids: List[int]) -> str:
+        inv = getattr(self, "_inv", None)
+        if inv is None:
+            inv = self._inv = {v: k for k, v in self.vocab.items()}
+        parts: List[str] = []
+        for i in ids:
+            tok = inv.get(int(i), "[UNK]")
+            if tok.startswith("##") and parts:
+                parts[-1] += tok[2:]
+            elif tok not in ("[CLS]", "[SEP]", "[PAD]"):
+                parts.append(tok)
+        return " ".join(parts)
+
 
 class SimpleTokenizer:
     """Deterministic hashing tokenizer: stable ids without any vocab file.
@@ -197,6 +210,12 @@ class SimpleTokenizer:
         types = [0] * (len(ia) + 2) + [1] * (len(ib) + 1)
         return ids, types
 
+    def decode(self, ids: List[int]) -> str:
+        """Hash ids are not invertible; emit placeholders (self-contained
+        random-init mode produces token-id text by design)."""
+        return " ".join(f"<{int(i)}>" for i in ids
+                        if int(i) >= self.n_special)
+
     @property
     def vocab_size(self) -> int:
         return self._vocab_size
@@ -223,6 +242,9 @@ class HFTokenizer:
 
     def tokenize_ids(self, text: str) -> List[int]:
         return self._tok.encode(text, add_special_tokens=False).ids
+
+    def decode(self, ids: List[int]) -> str:
+        return self._tok.decode(list(ids))
 
     @property
     def vocab_size(self) -> int:

@@ -1,0 +1,151 @@
+"""Chat LLM backends.
+
+The pipeline talks to one ``ChatBackend`` protocol: ``chat(messages) -> str``
+over role/content dicts. Backends:
+
+- ``LocalChatBackend`` — the in-process JAX decoder (``models/decoder.py``),
+  replacing the reference's HF pipeline path (``RAGHelper_local.py:91-105``);
+  applies a Llama-3-style chat template and strips the reply after the
+  assistant token (``RAGHelper_local.py:266-271`` semantics).
+- ``CloudChatBackend`` — OpenAI / Azure / Gemini / Ollama HTTP adapters with
+  the reference's selection flags (``RAGHelper_cloud.py:60-88``). Zero-egress
+  environments simply never enable these.
+- ``StaticChatBackend`` — scriptable responses for tests and offline evals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+Message = Dict[str, str]  # {"role": ..., "content": ...}
+
+
+class ChatBackend:
+    def chat(self, messages: List[Message], max_new_tokens: int = 1000,
+             temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
+        raise NotImplementedError
+
+    def complete(self, prompt: str, **kw) -> str:
+        return self.chat([{"role": "user", "content": prompt}], **kw)
+
+
+def llama3_template(messages: List[Message]) -> str:
+    """Llama-3-instruct-style chat template (generic enough for any decoder:
+    role headers + end-of-turn markers)."""
+    parts = ["<|begin_of_text|>"]
+    for m in messages:
+        parts.append(f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n"
+                     f"{m['content']}<|eot_id|>")
+    parts.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(parts)
+
+
+class LocalChatBackend(ChatBackend):
+    def __init__(self, llm, template: Callable[[List[Message]], str] = llama3_template,
+                 assistant_token: Optional[str] = None, seed: int = 0):
+        self.llm = llm
+        self.template = template
+        self.assistant_token = assistant_token
+        self.seed = seed
+
+    def chat(self, messages: List[Message], max_new_tokens: int = 1000,
+             temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
+        prompt = self.template(messages)
+        reply = self.llm.generate_text(prompt, max_new_tokens=max_new_tokens,
+                                       temperature=temperature,
+                                       repetition_penalty=repetition_penalty,
+                                       seed=self.seed)
+        # parity with reference reply extraction: keep text after the last
+        # assistant token if the model echoed the prompt (RAGHelper_local.py:266-271)
+        if self.assistant_token and self.assistant_token in reply:
+            reply = reply.rsplit(self.assistant_token, 1)[-1]
+        for stop in ("<|eot_id|>", "<|end_of_text|>"):
+            if stop in reply:
+                reply = reply.split(stop, 1)[0]
+        return reply.strip()
+
+
+class StaticChatBackend(ChatBackend):
+    """Deterministic scripted backend for tests/evals: matches the first
+    rule whose keyword appears in the last message; else echoes a default."""
+
+    def __init__(self, rules: Optional[Sequence[tuple]] = None,
+                 default: str = "I could not find an answer."):
+        self.rules = list(rules or [])
+        self.default = default
+        self.calls: List[List[Message]] = []
+
+    def chat(self, messages: List[Message], **kw) -> str:
+        self.calls.append(messages)
+        text = messages[-1]["content"] if messages else ""
+        all_text = "\n".join(m["content"] for m in messages)
+        for keyword, response in self.rules:
+            if keyword in text or keyword in all_text:
+                return response
+        return self.default
+
+
+class CloudChatBackend(ChatBackend):
+    """HTTP adapters for the reference's cloud LLM matrix
+    (RAGHelper_cloud.py:60-88). Provider chosen by flags, credentials from
+    env, requests made lazily so offline environments can still construct
+    the pipeline object."""
+
+    def __init__(self, provider: str, model_name: str,
+                 api_key: Optional[str] = None, base_url: Optional[str] = None,
+                 timeout: int = 120):
+        if provider not in ("openai", "azure", "gemini", "ollama"):
+            raise ValueError(f"unknown cloud provider: {provider}")
+        self.provider = provider
+        self.model_name = model_name
+        self.api_key = api_key
+        self.base_url = base_url
+        self.timeout = timeout
+
+    @classmethod
+    def from_config(cls, model_cfg) -> "CloudChatBackend":
+        if model_cfg.use_openai:
+            return cls("openai", model_cfg.openai_model_name,
+                       api_key=os.getenv("OPENAI_API_KEY"))
+        if model_cfg.use_gemini:
+            return cls("gemini", model_cfg.gemini_model_name,
+                       api_key=os.getenv("GOOGLE_API_KEY"))
+        if model_cfg.use_azure:
+            return cls("azure", model_cfg.openai_model_name,
+                       api_key=os.getenv("AZURE_OPENAI_API_KEY"),
+                       base_url=os.getenv("AZURE_OPENAI_ENDPOINT"))
+        if model_cfg.use_ollama:
+            return cls("ollama", model_cfg.ollama_model,
+                       base_url=os.getenv("OLLAMA_BASE_URL",
+                                          "http://localhost:11434"))
+        raise ValueError("no cloud provider enabled in config")
+
+    def chat(self, messages: List[Message], max_new_tokens: int = 1000,
+             temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
+        import requests
+        if self.provider in ("openai", "azure"):
+            url = (self.base_url or "https://api.openai.com/v1") + "/chat/completions"
+            headers = {"Authorization": f"Bearer {self.api_key}",
+                       "Content-Type": "application/json"}
+            body = {"model": self.model_name, "messages": messages,
+                    "max_tokens": max_new_tokens, "temperature": temperature}
+            r = requests.post(url, headers=headers, json=body, timeout=self.timeout)
+            r.raise_for_status()
+            return r.json()["choices"][0]["message"]["content"]
+        if self.provider == "gemini":
+            url = (f"https://generativelanguage.googleapis.com/v1beta/models/"
+                   f"{self.model_name}:generateContent?key={self.api_key}")
+            contents = [{"role": "user" if m["role"] != "assistant" else "model",
+                         "parts": [{"text": m["content"]}]} for m in messages]
+            r = requests.post(url, json={"contents": contents}, timeout=self.timeout)
+            r.raise_for_status()
+            return r.json()["candidates"][0]["content"]["parts"][0]["text"]
+        # ollama
+        url = (self.base_url or "http://localhost:11434") + "/api/chat"
+        r = requests.post(url, json={"model": self.model_name,
+                                     "messages": messages, "stream": False},
+                          timeout=self.timeout)
+        r.raise_for_status()
+        return r.json()["message"]["content"]

@@ -1,0 +1,197 @@
+"""RagSystem: the framework facade (the reference's RAGHelper role).
+
+Owns config, chunk store, device indexes, models, and the pipeline; exposes
+the lifecycle the HTTP server drives:
+
+- startup: load the on-disk index artifact if present, else ingest the data
+  directory, embed on device, and persist (``RAGHelper.load_data``,
+  ``RAGHelper.py:551-566``);
+- ``add_document``: load → split → dedup-append to store + both indexes +
+  artifact (``RAGHelper.py:712-737``, minus the full BM25 rebuild);
+- ``delete_document``: tombstone by source in store + both indexes, then
+  persist — the *intent* of the reference's broken delete path
+  (``server.py:353-385``, SURVEY.md §7 quirks);
+- ``pipeline.handle_user_interaction`` for chat.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ragmeup_tpu.config import RagConfig
+from ragmeup_tpu.data.documents import Chunk, filter_metadata
+from ragmeup_tpu.data.loaders import load_directory, load_file
+from ragmeup_tpu.data.splitters import make_splitter
+from ragmeup_tpu.data.store import ChunkStore
+from ragmeup_tpu.retrieval.dense import DenseIndex
+from ragmeup_tpu.retrieval.sparse import BM25Index
+from ragmeup_tpu.retrieval.hybrid import HybridRetriever
+from ragmeup_tpu.pipeline.rag import RAGPipeline
+from ragmeup_tpu.pipeline.llm_backends import (
+    ChatBackend, CloudChatBackend, LocalChatBackend,
+)
+
+logger = logging.getLogger("ragmeup_tpu.system")
+
+
+class RagSystem:
+    def __init__(self, cfg: RagConfig, encoder=None, cross_encoder=None,
+                 llm=None, backend: Optional[ChatBackend] = None,
+                 extra_retrievers=(), eager_load: bool = True):
+        self.cfg = cfg
+        from ragmeup_tpu.models.hf_loader import (
+            load_cross_encoder, load_local_llm, load_sentence_encoder,
+        )
+        self.encoder = encoder or load_sentence_encoder(
+            cfg.model.embedding_checkpoint, dim=cfg.model.embedding_dim)
+        self.cross_encoder = cross_encoder
+        if cross_encoder is None and cfg.retrieval.rerank:
+            self.cross_encoder = load_cross_encoder(
+                cfg.model.cross_encoder_checkpoint)
+        self.llm = llm
+        if backend is None:
+            if cfg.model.use_cloud:
+                backend = CloudChatBackend.from_config(cfg.model)
+            else:
+                if self.llm is None:
+                    self.llm = load_local_llm(cfg.model.llm_checkpoint,
+                                              quantization=cfg.model.quantization)
+                backend = LocalChatBackend(
+                    self.llm, assistant_token=cfg.model.llm_assistant_token)
+        self.backend = backend
+        self.extra_retrievers = list(extra_retrievers)
+
+        self.store: ChunkStore = ChunkStore(cfg.data.index_directory)
+        self.dense: Optional[DenseIndex] = None
+        self.sparse: Optional[BM25Index] = None
+        self.retriever: Optional[HybridRetriever] = None
+        self.pipeline: Optional[RAGPipeline] = None
+        if eager_load:
+            self.load_data()
+
+    # -- index lifecycle ---------------------------------------------------------
+
+    def _splitter(self):
+        return make_splitter(self.cfg, embed_fn=self.encoder.encode)
+
+    def load_data(self) -> None:
+        """Artifact cache hit → mmap-load; miss → ingest + embed + persist
+        (reference load_data flow, RAGHelper.py:551-566)."""
+        d = self.cfg.data
+        idx_dir = d.index_directory
+        if ChunkStore.exists(idx_dir) and DenseIndex.exists(idx_dir) \
+                and BM25Index.exists(idx_dir):
+            logger.info("loading index artifact from %s", idx_dir)
+            self.store = ChunkStore.load(idx_dir)
+            self.dense = DenseIndex.load(idx_dir)
+            self.sparse = BM25Index.load(idx_dir)
+        else:
+            logger.info("building index from data dir %s", d.data_directory)
+            self.store = ChunkStore(idx_dir)
+            raw = []
+            if os.path.isdir(d.data_directory):
+                raw = load_directory(
+                    d.data_directory, d.file_types,
+                    json_schema=d.json_schema,
+                    json_text_content=d.json_text_content,
+                    xml_xpath=d.xml_xpath,
+                    on_error=lambda p, e: logger.warning("load failed %s: %s", p, e))
+            chunks = filter_metadata(self._splitter().split_chunks(raw))
+            self.store.add(chunks)
+            r = self.cfg.retrieval
+            self.dense = DenseIndex(self.cfg.model.embedding_dim,
+                                    dtype=r.dense_dtype)
+            self.sparse = BM25Index(k1=r.bm25_k1, b=r.bm25_b)
+            live = self.store.live_chunks()
+            if live:
+                # the corpus-embedding hot loop: one batched device run
+                vecs = self.encoder.encode([c.content for c in live])
+                self.dense.add(vecs)
+                self.sparse.add([c.content for c in live])
+            self.save()
+        self._wire()
+
+    def _wire(self) -> None:
+        r = self.cfg.retrieval
+        self.retriever = HybridRetriever(
+            self.store, self.dense, self.sparse,
+            embed_query_fn=self.encoder.encode,
+            k=r.vector_store_k, weights=r.hybrid_weights, rrf_c=r.rrf_c,
+            search_type=r.search_type, mmr_fetch_k=r.mmr_fetch_k,
+            mmr_lambda=r.mmr_lambda,
+            reranker=self.cross_encoder if r.rerank else None,
+            rerank_k=r.rerank_k,
+            re2_prompt=self.cfg.prompts.re2_prompt if self.cfg.pipeline.use_re2 else None)
+        self.pipeline = RAGPipeline(
+            self.cfg, self.retriever, self.backend,
+            cross_encoder=self.cross_encoder, encoder=self.encoder,
+            llm=self.llm, extra_retrievers=self.extra_retrievers)
+
+    def save(self) -> None:
+        idx = self.cfg.data.index_directory
+        os.makedirs(idx, exist_ok=True)
+        self.store.save(idx)
+        if self.dense is not None:
+            self.dense.save(idx)
+        if self.sparse is not None:
+            self.sparse.save(idx)
+
+    # -- CRUD ----------------------------------------------------------------------
+
+    def add_document(self, path: str) -> int:
+        """Ingest one file incrementally; returns number of new chunks."""
+        d = self.cfg.data
+        raw = load_file(path, d.json_schema, d.json_text_content, d.xml_xpath)
+        chunks = filter_metadata(self._splitter().split_chunks(raw))
+        rows = self.store.add(chunks)
+        if rows:
+            new_chunks = [self.store[r] for r in rows]
+            vecs = self.encoder.encode([c.content for c in new_chunks])
+            dr = self.dense.add(np.asarray(vecs))
+            sr = self.sparse.add([c.content for c in new_chunks])
+            assert dr == rows and sr == rows, "row id drift between store and indexes"
+        self.save()
+        return len(rows)
+
+    def delete_document(self, source: str) -> int:
+        """Tombstone all chunks of a source everywhere; returns count."""
+        rows = self.store.delete_source(source)
+        if rows:
+            self.dense.delete_rows(rows)
+            self.sparse.delete_rows(rows)
+        self.save()
+        return len(rows)
+
+    def compact(self) -> None:
+        """Rewrite artifacts densely (periodic maintenance)."""
+        mapping = self.store.compact()
+        self.dense.compact(mapping)
+        # sparse index rebuild from live texts (postings reference rows)
+        r = self.cfg.retrieval
+        self.sparse = BM25Index(k1=r.bm25_k1, b=r.bm25_b)
+        self.sparse.add([c.content for c in self.store.live_chunks()])
+        self.save()
+        self._wire()
+
+    # -- queries ----------------------------------------------------------------------
+
+    def list_documents(self) -> List[str]:
+        """Files in the data dir matching configured types
+        (server.py:306-324 semantics) plus any indexed sources."""
+        d = self.cfg.data
+        exts = {t.lower().lstrip(".") for t in d.file_types}
+        out = set()
+        if os.path.isdir(d.data_directory):
+            for root, _dirs, files in os.walk(d.data_directory):
+                for f in files:
+                    if os.path.splitext(f)[1].lstrip(".").lower() in exts:
+                        out.add(os.path.join(root, f))
+        out.update(self.store.sources())
+        return sorted(out)
+
+    def chat(self, prompt: str, history=None) -> dict:
+        return self.pipeline.handle_user_interaction(prompt, history)

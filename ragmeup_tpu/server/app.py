@@ -1,0 +1,213 @@
+"""HTTP API server (werkzeug WSGI — no Flask dependency).
+
+Endpoint surface is a superset of the reference's
+(``server/server.py:149-394``):
+
+- ``POST /chat``            — main inference; request ``{prompt, history,
+  docs}`` → response ``{reply, history, documents, rewritten, question,
+  fetched_new_documents}`` (server.py:238-303). Client-held docs round-trip
+  when no new fetch happens (the UI owns RAG state — SURVEY.md §2.2 #13).
+- ``POST /add_document``    — multipart upload → data dir → incremental
+  index (server.py:149-180).
+- ``GET  /get_documents``   — data-dir listing filtered by file_types
+  (server.py:306-324).
+- ``POST /get_document``    — file download (server.py:327-350).
+- ``POST /delete``          — delete by filename from indexes + disk
+  (server.py:353-385, with the intent fixed: tombstone + persist instead of
+  the reference's AttributeError reload).
+- ``POST /deepeval_evaluate`` — generative eval harness (server.py:183-235).
+- ``GET  /health``, ``GET /stats`` — new: liveness + per-stage counters
+  (SURVEY.md §5.5 observability gap).
+
+ngrok tunneling is deliberately out of scope (SURVEY.md §7 quirks).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+from werkzeug.exceptions import HTTPException, NotFound
+from werkzeug.routing import Map, Rule
+from werkzeug.utils import secure_filename
+from werkzeug.wrappers import Request, Response
+
+from ragmeup_tpu.pipeline.system import RagSystem
+
+logger = logging.getLogger("ragmeup_tpu.server")
+
+
+def _json(data, status: int = 200) -> Response:
+    return Response(json.dumps(data), status=status,
+                    content_type="application/json")
+
+
+class RagServer:
+    def __init__(self, system: RagSystem):
+        self.system = system
+        self.stats = {"requests": 0, "chat_requests": 0, "errors": 0,
+                      "chat_latency_ms_sum": 0.0, "started_at": time.time()}
+        self.url_map = Map([
+            Rule("/chat", endpoint="chat", methods=["POST"]),
+            Rule("/add_document", endpoint="add_document", methods=["POST"]),
+            Rule("/get_documents", endpoint="get_documents", methods=["GET"]),
+            Rule("/get_document", endpoint="get_document", methods=["POST"]),
+            Rule("/delete", endpoint="delete", methods=["POST"]),
+            Rule("/deepeval_evaluate", endpoint="deepeval_evaluate",
+                 methods=["POST"]),
+            Rule("/health", endpoint="health", methods=["GET"]),
+            Rule("/stats", endpoint="stats", methods=["GET"]),
+        ])
+
+    # -- endpoints ---------------------------------------------------------------
+
+    def ep_chat(self, request: Request) -> Response:
+        data = request.get_json(force=True, silent=True) or {}
+        prompt = data.get("prompt")
+        if not prompt:
+            return _json({"error": "prompt is required"}, 400)
+        history = data.get("history", []) or []
+        original_docs = data.get("docs", []) or []
+        t0 = time.perf_counter()
+        out = self.system.chat(prompt, history)
+        latency = (time.perf_counter() - t0) * 1e3
+        self.stats["chat_requests"] += 1
+        self.stats["chat_latency_ms_sum"] += latency
+        documents = out["documents"] if out["fetched_new_documents"] else original_docs
+        return _json({
+            "reply": out["reply"],
+            "history": out["history"],
+            "documents": documents,
+            "rewritten": out["rewritten"],
+            "question": out["question"],
+            "fetched_new_documents": out["fetched_new_documents"],
+        })
+
+    def ep_add_document(self, request: Request) -> Response:
+        if "file" not in request.files:
+            return _json({"error": "No file part in the request"}, 400)
+        file = request.files["file"]
+        if not file.filename:
+            return _json({"error": "No file selected"}, 400)
+        filename = secure_filename(file.filename)
+        data_dir = self.system.cfg.data.data_directory
+        os.makedirs(data_dir, exist_ok=True)
+        location = os.path.join(data_dir, filename)
+        file.save(location)
+        n = self.system.add_document(location)
+        return _json({"filename": filename, "chunks": n})
+
+    def ep_get_documents(self, request: Request) -> Response:
+        d = self.system.cfg.data
+        exts = {t.lower().lstrip(".") for t in d.file_types}
+        files = []
+        if os.path.isdir(d.data_directory):
+            files = sorted(
+                f for f in os.listdir(d.data_directory)
+                if os.path.isfile(os.path.join(d.data_directory, f))
+                and os.path.splitext(f)[1][1:].lower() in exts)
+        return _json(files)
+
+    def ep_get_document(self, request: Request) -> Response:
+        data = request.get_json(force=True, silent=True) or {}
+        filename = data.get("filename", "")
+        data_dir = self.system.cfg.data.data_directory
+        path = os.path.join(data_dir, secure_filename(filename))
+        if not filename or not os.path.exists(path):
+            return _json({"error": "File not found"}, 404)
+        with open(path, "rb") as f:
+            body = f.read()
+        return Response(body, content_type="application/octet-stream",
+                        headers={"Content-Disposition":
+                                 f'attachment; filename="{filename}"'})
+
+    def ep_delete(self, request: Request) -> Response:
+        data = request.get_json(force=True, silent=True) or {}
+        filename = data.get("filename", "")
+        data_dir = self.system.cfg.data.data_directory
+        path = os.path.join(data_dir, secure_filename(filename))
+        if not filename or not os.path.exists(path):
+            return _json({"error": "File not found"}, 404)
+        count = self.system.delete_document(path)
+        os.remove(path)
+        return _json({"count": count})
+
+    def ep_deepeval_evaluate(self, request: Request) -> Response:
+        data = request.get_json(force=True, silent=True) or {}
+        from ragmeup_tpu.eval.generative import generate_qa_pairs, evaluate_pairs
+        sample_size = int(data.get("sample_size", self.system.cfg.eval.sample_size))
+        qa_count = int(data.get("qa_pairs", self.system.cfg.eval.qa_pairs))
+        pairs = generate_qa_pairs(self.system, sample_size, qa_count,
+                                  seed=int(data.get("seed", 0)))
+        results = evaluate_pairs(self.system, pairs)
+        return _json({"evaluation_results": results})
+
+    def ep_health(self, request: Request) -> Response:
+        return _json({"status": "ok", "chunks": len(self.system.store),
+                      "uptime_s": time.time() - self.stats["started_at"]})
+
+    def ep_stats(self, request: Request) -> Response:
+        s = dict(self.stats)
+        if s["chat_requests"]:
+            s["chat_latency_ms_avg"] = s["chat_latency_ms_sum"] / s["chat_requests"]
+        return _json(s)
+
+    # -- wsgi --------------------------------------------------------------------
+
+    def wsgi_app(self, environ, start_response):
+        request = Request(environ)
+        self.stats["requests"] += 1
+        try:
+            adapter = self.url_map.bind_to_environ(environ)
+            endpoint, _args = adapter.match()
+            response = getattr(self, f"ep_{endpoint}")(request)
+        except NotFound:
+            response = _json({"error": "not found"}, 404)
+        except HTTPException as e:
+            response = _json({"error": e.description}, e.code or 500)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("request failed")
+            self.stats["errors"] += 1
+            response = _json({"error": str(e)}, 500)
+        return response(environ, start_response)
+
+    def __call__(self, environ, start_response):
+        return self.wsgi_app(environ, start_response)
+
+
+def create_wsgi_app(cfg=None, system: Optional[RagSystem] = None) -> RagServer:
+    if system is None:
+        from ragmeup_tpu.config import load_config
+        cfg = cfg or load_config(env_file=".env")
+        system = RagSystem(cfg)
+    return RagServer(system)
+
+
+def main():
+    import argparse
+    from ragmeup_tpu.config import load_config
+    from ragmeup_tpu.utils.platform import ensure_platform
+    parser = argparse.ArgumentParser(description="ragmeup_tpu server")
+    parser.add_argument("--env-file", default=".env")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force JAX platform (tpu/cpu)")
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    logger.info("JAX backend: %s", ensure_platform(args.platform))
+    cfg = load_config(env_file=args.env_file)
+    if args.host:
+        cfg.server.host = args.host
+    if args.port:
+        cfg.server.port = args.port
+    app = create_wsgi_app(cfg)
+    from werkzeug.serving import run_simple
+    run_simple(cfg.server.host, cfg.server.port, app, threaded=True)
+
+
+if __name__ == "__main__":
+    main()

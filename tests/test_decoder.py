@@ -1,0 +1,177 @@
+"""Decoder LLM tests: prefill/decode KV-cache consistency, generation
+semantics (greedy, temperature, repetition penalty, EOS), attention capture,
+int8 quantization, HF Llama weight mapping."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ragmeup_tpu.models.decoder import (
+    LlamaConfig, LlamaModel, LocalLLM, causal_bias, rope_freqs, apply_rope,
+)
+from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+from ragmeup_tpu.models.hf_loader import (
+    llama_params_from_hf, quantize_decoder_params,
+)
+
+
+@pytest.fixture(scope="module")
+def llm():
+    cfg = LlamaConfig.tiny()
+    return LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+
+
+def test_rope_rotation_preserves_norm():
+    cos, sin = rope_freqs(8, 16, 10000.0)
+    x = np.random.default_rng(0).standard_normal((1, 16, 2, 8)).astype(np.float32)
+    y = apply_rope(jnp.asarray(x), jnp.asarray(cos), jnp.asarray(sin))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                               np.linalg.norm(x, axis=-1), rtol=1e-5)
+
+
+def test_causal_bias():
+    b = np.asarray(causal_bias(3, 5, q_offset=2))[0, 0]
+    # query at abs pos 2 sees kv 0..2, pos 4 sees all 5
+    assert (b[0, :3] == 0).all() and (b[0, 3:] < -1e29).all()
+    assert (b[2] == 0).all()
+
+
+def test_full_forward_is_causal(llm):
+    """Changing a later token must not affect earlier logits."""
+    ids1 = [5, 6, 7, 8]
+    ids2 = [5, 6, 7, 9]
+    l1 = llm.forward_logits(ids1)
+    # forward_logits returns only last-position logits; use model directly
+    out1 = llm.model.apply({"params": llm.params},
+                           jnp.asarray([ids1]), positions=jnp.arange(4),
+                           attn_bias=causal_bias(4, 4))["logits"]
+    out2 = llm.model.apply({"params": llm.params},
+                           jnp.asarray([ids2]), positions=jnp.arange(4),
+                           attn_bias=causal_bias(4, 4))["logits"]
+    np.testing.assert_allclose(np.asarray(out1[0, :3]), np.asarray(out2[0, :3]),
+                               atol=1e-4)
+    assert np.abs(np.asarray(out1[0, 3]) - np.asarray(out2[0, 3])).max() > 1e-6
+
+
+def test_greedy_decode_matches_full_forward(llm):
+    """KV-cache stepwise decode must equal repeated full forwards."""
+    prompt = [5, 17, 101, 42]
+    gen = llm.generate(prompt, max_new_tokens=5, temperature=0.0,
+                       repetition_penalty=1.0)
+    assert len(gen) == 5
+    # oracle: greedy with full recompute each step
+    seq = list(prompt)
+    for _ in range(5):
+        logits = llm.model.apply(
+            {"params": llm.params}, jnp.asarray([seq]),
+            positions=jnp.arange(len(seq)),
+            attn_bias=causal_bias(len(seq), len(seq)))["logits"]
+        seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
+    assert gen == seq[len(prompt):]
+
+
+def test_prefill_padding_invariance(llm):
+    """Bucket padding must not change the last-position logits."""
+    prompt = [5, 17, 101, 42, 9]
+    l1 = llm.forward_logits(prompt)
+    # same prompt, different bucket (pad more by exceeding bucket 128? use
+    # direct call with extra pad)
+    L = 64
+    padded = np.zeros((1, L), np.int32)
+    padded[0, :len(prompt)] = prompt
+    l2, _ = llm._prefill(llm.params, jnp.asarray(padded),
+                         jnp.int32(len(prompt)), cache_len=L)
+    np.testing.assert_allclose(l1, np.asarray(l2), atol=1e-4)
+
+
+def test_repetition_penalty_changes_output(llm):
+    prompt = [5, 17, 101, 42]
+    g1 = llm.generate(prompt, max_new_tokens=8, temperature=0.0,
+                      repetition_penalty=1.0)
+    g2 = llm.generate(prompt, max_new_tokens=8, temperature=0.0,
+                      repetition_penalty=10.0)
+    assert g1 != g2  # a huge penalty must alter the greedy path
+
+
+def test_temperature_sampling_deterministic_per_seed(llm):
+    prompt = [5, 17, 101]
+    a = llm.generate(prompt, max_new_tokens=6, temperature=1.0, seed=7)
+    b = llm.generate(prompt, max_new_tokens=6, temperature=1.0, seed=7)
+    c = llm.generate(prompt, max_new_tokens=6, temperature=1.0, seed=8)
+    assert a == b
+    assert a != c or len(a) == 0
+
+
+def test_eos_stops_generation():
+    cfg = LlamaConfig.tiny()
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    g_free = llm.generate([5, 6], max_new_tokens=6, temperature=0.0,
+                          repetition_penalty=1.0)
+    eos_tok = g_free[2]
+    llm_eos = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0,
+                       eos_ids=[eos_tok])
+    g = llm_eos.generate([5, 6], max_new_tokens=6, temperature=0.0,
+                         repetition_penalty=1.0)
+    expected = g_free[:g_free.index(eos_tok)]
+    assert g == expected
+
+
+def test_attention_capture(llm):
+    ids = [5, 6, 7, 8, 9]
+    weights = llm.attention_forward(ids)
+    assert len(weights) == llm.cfg.num_layers
+    w = weights[0]
+    assert w.shape == (1, llm.cfg.num_heads, 5, 5)
+    # causal: upper triangle must be ~0
+    assert np.triu(w[0, 0], k=1).max() < 1e-6
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-3)
+
+
+def _fake_hf_llama(cfg: LlamaConfig, rng):
+    h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    t = {"model.embed_tokens.weight": r(v, h), "model.norm.weight": np.ones(h, np.float32),
+         "lm_head.weight": r(v, h)}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.q_proj.weight"] = r(h, h)
+        t[p + "self_attn.k_proj.weight"] = r(kvh, h)
+        t[p + "self_attn.v_proj.weight"] = r(kvh, h)
+        t[p + "self_attn.o_proj.weight"] = r(h, h)
+        t[p + "mlp.gate_proj.weight"] = r(inter, h)
+        t[p + "mlp.up_proj.weight"] = r(inter, h)
+        t[p + "mlp.down_proj.weight"] = r(h, inter)
+        t[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+    return t
+
+
+def test_llama_params_from_hf_and_quant(rng):
+    cfg = LlamaConfig.tiny(tie_embeddings=False)
+    tensors = _fake_hf_llama(cfg, rng)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=params)
+    logits = llm.forward_logits([3, 4, 5])
+    assert logits.shape == (cfg.vocab_size,)
+    assert np.isfinite(logits).all()
+
+    # int8 quantized params must give close logits
+    qcfg = LlamaConfig.tiny(tie_embeddings=False, quantization="int8")
+    qparams = quantize_decoder_params(params)
+    qllm = LocalLLM(qcfg, SimpleTokenizer(qcfg.vocab_size), params=qparams)
+    qlogits = qllm.forward_logits([3, 4, 5])
+    # same top token and high correlation
+    assert int(np.argmax(qlogits)) == int(np.argmax(logits))
+    corr = np.corrcoef(logits, qlogits)[0, 1]
+    assert corr > 0.99
+
+
+def test_generate_text_roundtrip(llm):
+    out = llm.generate_text("hello world", max_new_tokens=3, temperature=0.0)
+    assert isinstance(out, str)

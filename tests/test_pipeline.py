@@ -1,0 +1,328 @@
+"""Pipeline tests: RAG state machine semantics (fetch-new decision, rewrite
+loop, Re2, thread assembly, response contract), all four provenance methods,
+and the RagSystem lifecycle end-to-end with tiny self-contained models."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ragmeup_tpu.config import RagConfig
+from ragmeup_tpu.data.documents import Chunk
+from ragmeup_tpu.data.store import ChunkStore
+from ragmeup_tpu.models.encoder import BertConfig, SentenceEncoder
+from ragmeup_tpu.models.cross_encoder import CrossEncoder
+from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+from ragmeup_tpu.pipeline.llm_backends import (
+    LocalChatBackend, StaticChatBackend, llama3_template,
+)
+from ragmeup_tpu.pipeline.rag import RAGPipeline
+from ragmeup_tpu.pipeline.system import RagSystem
+from ragmeup_tpu.pipeline import provenance as prov
+from ragmeup_tpu.retrieval.dense import DenseIndex
+from ragmeup_tpu.retrieval.sparse import BM25Index, analyze
+from ragmeup_tpu.retrieval.hybrid import HybridRetriever
+
+CORPUS = [
+    ("fox.txt", "The quick brown fox jumps over the lazy dog."),
+    ("tpu.txt", "TPU chips use a systolic array called the MXU for matmuls."),
+    ("fin.txt", "Stock markets rallied on strong tech earnings."),
+]
+
+
+def _hash_embed(texts, d=64):
+    out = np.zeros((len(texts), d), np.float32)
+    for i, t in enumerate(texts):
+        for tok in analyze(t):
+            out[i, hash(tok) % d] += 1.0
+    return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+
+class _HashEncoder:
+    """encoder protocol shim for provenance/similarity tests."""
+    def encode(self, texts):
+        return _hash_embed(texts)
+
+
+def _make_pipeline(tmp_path, backend, cfg=None, **kw):
+    cfg = cfg or RagConfig()
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    store = ChunkStore(str(tmp_path))
+    chunks = [Chunk(content=c, metadata={"source": s}) for s, c in CORPUS]
+    store.add(chunks)
+    dense = DenseIndex(64, dtype="float32", tile_n=512)
+    dense.add(_hash_embed([c.content for c in chunks]))
+    sparse = BM25Index()
+    sparse.add([c.content for c in chunks])
+    retriever = HybridRetriever(store, dense, sparse, embed_query_fn=_hash_embed,
+                                k=3, search_type="similarity")
+    return RAGPipeline(cfg, retriever, backend, **kw), cfg
+
+
+# -- state machine -------------------------------------------------------------
+
+def test_first_turn_always_fetches(tmp_path):
+    backend = StaticChatBackend(default="The answer.")
+    pipe, _ = _make_pipeline(tmp_path, backend)
+    out = pipe.handle_user_interaction("what does the fox do?")
+    assert out["fetched_new_documents"] is True
+    assert out["reply"] == "The answer."
+    assert len(out["documents"]) > 0
+    assert out["documents"][0]["s"].endswith(".txt")
+
+
+def test_followup_fetch_decision_no(tmp_path):
+    backend = StaticChatBackend(
+        rules=[("Should new documents be fetched", "no"),
+               ("should new documents be fetched", "no")],
+        default="Follow-up answer.")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    history = [{"role": "user", "content": "q1"},
+               {"role": "assistant", "content": "a1"}]
+    out = pipe.handle_user_interaction("tell me more", history)
+    assert out["fetched_new_documents"] is False
+    assert out["documents"] == []
+    # history grew by 2 (no new system message on follow-up)
+    assert len(out["history"]) == 4
+
+
+def test_rewrite_loop(tmp_path):
+    # verdict 'no' → rewrite once; the rewrite response is used as the query
+    backend = StaticChatBackend(
+        rules=[("only answer with exactly yes or no", "no"),
+               ("exact rephrasing", "what sound does the canine make"),
+               ("decide whether the documents below contain", "no"),
+               ("Rewrite the", "what sound does the canine make")],
+        default="Rewritten answer.")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    # make rule matching robust to prompt text: the instruction contains
+    # 'Answer with exactly yes or no'; the rewrite prompt contains 'Rewrite'
+    backend.rules = [("Answer with exactly yes or no", "no"),
+                     ("Rewrite the question", "what sound does the canine make"),
+                     ("rephrasing only", "what sound does the canine make")]
+    out = pipe.handle_user_interaction("original question about foxes")
+    assert out["rewritten"] is True
+    assert out["question"] == "what sound does the canine make"
+
+
+def test_rewrite_loop_yes_keeps_query(tmp_path):
+    backend = StaticChatBackend(
+        rules=[("Answer with exactly yes or no", "yes")],
+        default="Answer.")
+    pipe, _ = _make_pipeline(tmp_path, backend)
+    out = pipe.handle_user_interaction("what does the fox do?")
+    assert out["rewritten"] is False
+    assert out["question"] == "what does the fox do?"
+
+
+def test_re2_in_thread(tmp_path):
+    backend = StaticChatBackend(default="ok")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    cfg.pipeline.use_rewrite_loop = False
+    pipe.handle_user_interaction("what is the MXU?")
+    # last call's user message must contain the question twice (Re2)
+    final_thread = backend.calls[-1]
+    user_msg = final_thread[-1]["content"]
+    assert user_msg.count("what is the MXU?") == 2
+    assert cfg.prompts.re2_prompt in user_msg
+
+
+def test_thread_has_context_and_history(tmp_path):
+    backend = StaticChatBackend(rules=[("new documents should be fetched", "yes"),
+                                       ("Answer with exactly yes or no", "yes")],
+                                default="ok")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    history = [{"role": "user", "content": "earlier question"},
+               {"role": "assistant", "content": "earlier answer"}]
+    out = pipe.handle_user_interaction("what is the MXU?", history)
+    final_thread = backend.calls[-1]
+    assert final_thread[0]["role"] == "system"
+    assert "content:" in final_thread[0]["content"]  # format_documents context
+    assert any(m["content"] == "earlier question" for m in final_thread)
+    # follow-up template used
+    assert "follow-up" in final_thread[-1]["content"].lower()
+
+
+def test_max_document_limit(tmp_path):
+    backend = StaticChatBackend(default="ok")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    cfg.retrieval.max_document_limit = 1
+    out = pipe.handle_user_interaction("fox dog earnings MXU")
+    assert len(out["documents"]) == 1
+
+
+def test_response_contract_keys(tmp_path):
+    backend = StaticChatBackend(default="ok")
+    pipe, _ = _make_pipeline(tmp_path, backend)
+    out = pipe.handle_user_interaction("anything")
+    for key in ("reply", "history", "documents", "rewritten", "question",
+                "fetched_new_documents", "timings"):
+        assert key in out
+    assert out["history"][-1] == {"role": "assistant", "content": "ok"}
+    assert out["history"][-2] == {"role": "user", "content": "anything"}
+
+
+# -- provenance ----------------------------------------------------------------
+
+def test_similarity_provenance():
+    enc = _HashEncoder()
+    docs = [Chunk(content="the fox jumps over the dog"),
+            Chunk(content="stock markets rallied strongly")]
+    scores = prov.compute_similarity_provenance(
+        enc, "what does the fox do", "the fox jumps over the dog", docs)
+    assert len(scores) == 2
+    assert scores[0] > scores[1]
+    assert sum(scores) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_llm_provenance_parses_floats():
+    backend = StaticChatBackend(default="I'd score this a 3")
+    scores = prov.compute_llm_provenance(
+        lambda s: backend.complete(s), "{query} {answer} {context}",
+        "q", "a", [Chunk(content="d1"), Chunk(content="d2")])
+    assert scores == [3.0, 3.0]
+    assert isinstance(scores[0], float)
+
+
+def test_rerank_provenance():
+    cfg = BertConfig.tiny()
+    ce = CrossEncoder(cfg, SimpleTokenizer(cfg.vocab_size), seed=1)
+    docs = [Chunk(content="alpha"), Chunk(content="beta")]
+    scores = prov.compute_rerank_provenance(ce, "q", "a", docs)
+    assert len(scores) == 2 and all(isinstance(s, float) for s in scores)
+
+
+def test_attention_provenance():
+    cfg = LlamaConfig.tiny()
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    docs = [Chunk(content="the fox document text"),
+            Chunk(content="market earnings text")]
+    scores = prov.compute_attention_provenance(
+        llm, "what about the fox", "the fox jumps", docs)
+    assert len(scores) == 2
+    assert all(s >= 0 for s in scores)
+    assert sum(scores) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_provenance_attached_in_pipeline(tmp_path):
+    backend = StaticChatBackend(default="the fox jumps over the dog")
+    pipe, cfg = _make_pipeline(tmp_path, backend, encoder=_HashEncoder())
+    cfg.pipeline.use_provenance = True
+    cfg.pipeline.provenance_method = "similarity"
+    cfg.pipeline.use_rewrite_loop = False
+    out = pipe.handle_user_interaction("what does the fox do?")
+    assert all("provenance" in d for d in out["documents"])
+
+
+def test_provenance_failure_is_nonfatal(tmp_path):
+    class BrokenEncoder:
+        def encode(self, texts):
+            raise RuntimeError("boom")
+    backend = StaticChatBackend(default="ok")
+    pipe, cfg = _make_pipeline(tmp_path, backend, encoder=BrokenEncoder())
+    cfg.pipeline.use_provenance = True
+    cfg.pipeline.provenance_method = "similarity"
+    cfg.pipeline.use_rewrite_loop = False
+    out = pipe.handle_user_interaction("q")
+    assert out["reply"] == "ok"  # reply survives
+
+
+# -- local chat backend ------------------------------------------------------------
+
+def test_llama3_template():
+    t = llama3_template([{"role": "system", "content": "sys"},
+                         {"role": "user", "content": "hi"}])
+    assert t.startswith("<|begin_of_text|>")
+    assert t.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    assert "sys" in t and "hi" in t
+
+
+def test_local_chat_backend_generates():
+    cfg = LlamaConfig.tiny()
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    backend = LocalChatBackend(llm)
+    reply = backend.chat([{"role": "user", "content": "hello"}],
+                         max_new_tokens=4, temperature=0.0)
+    assert isinstance(reply, str)
+
+
+# -- RagSystem end-to-end ------------------------------------------------------------
+
+@pytest.fixture
+def system_dirs(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    for name, text in CORPUS:
+        (data / name).write_text(text * 3)
+    idx = tmp_path / "index"
+    return str(data), str(idx)
+
+
+def _tiny_system(data_dir, idx_dir, backend=None):
+    cfg = RagConfig()
+    cfg.data.data_directory = data_dir
+    cfg.data.index_directory = idx_dir
+    cfg.data.chunk_size = 128
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.dense_dtype = "float32"
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+
+    class _Enc:
+        def encode(self, texts):
+            return _hash_embed(texts)
+    return RagSystem(cfg, encoder=_Enc(),
+                     backend=backend or StaticChatBackend(default="answer"),
+                     eager_load=True)
+
+
+def test_system_build_chat_and_reload(system_dirs):
+    data_dir, idx_dir = system_dirs
+    sys1 = _tiny_system(data_dir, idx_dir)
+    assert len(sys1.store) > 0
+    out = sys1.chat("what does the fox do?")
+    assert out["reply"] == "answer"
+    assert out["documents"]
+    # artifact persisted → second boot loads without re-embedding
+    sys2 = _tiny_system(data_dir, idx_dir)
+    assert len(sys2.store) == len(sys1.store)
+    out2 = sys2.chat("what does the fox do?")
+    assert [d["s"] for d in out2["documents"]] == [d["s"] for d in out["documents"]]
+
+
+def test_system_add_and_delete_document(system_dirs, tmp_path):
+    data_dir, idx_dir = system_dirs
+    sys1 = _tiny_system(data_dir, idx_dir)
+    new_file = tmp_path / "quantum.txt"
+    new_file.write_text("Quantum qubits enable superposition computing at scale.")
+    n = sys1.add_document(str(new_file))
+    assert n > 0
+    out = sys1.chat("quantum qubits superposition")
+    assert any(d["s"] == str(new_file) for d in out["documents"])
+    deleted = sys1.delete_document(str(new_file))
+    assert deleted == n
+    out2 = sys1.chat("quantum qubits superposition")
+    assert all(d["s"] != str(new_file) for d in out2["documents"])
+
+
+def test_system_compact(system_dirs):
+    data_dir, idx_dir = system_dirs
+    sys1 = _tiny_system(data_dir, idx_dir)
+    src = sys1.store.live_chunks()[0].source
+    sys1.delete_document(src)
+    before = len(sys1.store)
+    sys1.compact()
+    assert len(sys1.store) == before
+    assert sys1.store.num_rows == before  # tombstones gone
+    out = sys1.chat("fox dog markets MXU")
+    assert all(d["s"] != src for d in out["documents"])
+
+
+def test_system_list_documents(system_dirs):
+    data_dir, idx_dir = system_dirs
+    sys1 = _tiny_system(data_dir, idx_dir)
+    docs = sys1.list_documents()
+    assert any(d.endswith("fox.txt") for d in docs)

@@ -1,0 +1,205 @@
+"""HTTP server endpoint tests (werkzeug test client) + eval harness tests."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from werkzeug.test import Client
+
+from ragmeup_tpu.config import RagConfig
+from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+from ragmeup_tpu.pipeline.system import RagSystem
+from ragmeup_tpu.retrieval.sparse import analyze
+from ragmeup_tpu.server.app import RagServer
+from ragmeup_tpu.eval import metrics as M
+from ragmeup_tpu.eval.generative import generate_qa_pairs, evaluate_pairs
+
+CORPUS = [
+    ("fox.txt", "The quick brown fox jumps over the lazy dog."),
+    ("tpu.txt", "TPU chips use a systolic array called the MXU for matmuls."),
+    ("fin.txt", "Stock markets rallied on strong tech earnings."),
+]
+
+
+def _hash_embed(texts, d=64):
+    out = np.zeros((len(texts), d), np.float32)
+    for i, t in enumerate(texts):
+        for tok in analyze(t):
+            out[i, hash(tok) % d] += 1.0
+    return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+
+class _Enc:
+    def encode(self, texts):
+        return _hash_embed(texts)
+
+
+@pytest.fixture
+def client(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    for name, text in CORPUS:
+        (data / name).write_text(text)
+    cfg = RagConfig()
+    cfg.data.data_directory = str(data)
+    cfg.data.index_directory = str(tmp_path / "index")
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.dense_dtype = "float32"
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+    backend = StaticChatBackend(
+        rules=[("Generate a question", "What does the fox do?"),
+               ("Answer the following question", "The fox jumps over the dog.")],
+        default="The fox jumps over the lazy dog.")
+    system = RagSystem(cfg, encoder=_Enc(), backend=backend)
+    server = RagServer(system)
+    return Client(server), system
+
+
+def test_health_and_stats(client):
+    c, _ = client
+    r = c.get("/health")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "ok" and body["chunks"] == 3
+    r = c.get("/stats")
+    assert r.get_json()["requests"] >= 1
+
+
+def test_chat_endpoint_contract(client):
+    c, _ = client
+    r = c.post("/chat", json={"prompt": "what does the fox do?"})
+    assert r.status_code == 200
+    body = r.get_json()
+    for key in ("reply", "history", "documents", "rewritten", "question",
+                "fetched_new_documents"):
+        assert key in body
+    assert body["fetched_new_documents"] is True
+    assert body["documents"][0]["s"].endswith(".txt")
+    assert body["history"][-1]["role"] == "assistant"
+
+
+def test_chat_docs_passthrough_on_followup(client):
+    c, _ = client
+    client_docs = [{"s": "held.txt", "c": "client-held"}]
+    backend_history = [{"role": "user", "content": "q"},
+                       {"role": "assistant", "content": "a"}]
+    # follow-up decision: default backend reply isn't 'yes' → no fetch
+    r = c.post("/chat", json={"prompt": "more", "history": backend_history,
+                              "docs": client_docs})
+    body = r.get_json()
+    assert body["fetched_new_documents"] is False
+    assert body["documents"] == client_docs
+
+
+def test_chat_missing_prompt(client):
+    c, _ = client
+    assert c.post("/chat", json={}).status_code == 400
+
+
+def test_get_documents(client):
+    c, _ = client
+    r = c.get("/get_documents")
+    assert sorted(r.get_json()) == ["fin.txt", "fox.txt", "tpu.txt"]
+
+
+def test_get_document_download_and_404(client):
+    c, _ = client
+    r = c.post("/get_document", json={"filename": "fox.txt"})
+    assert r.status_code == 200
+    assert b"quick brown fox" in r.data
+    assert c.post("/get_document", json={"filename": "nope.txt"}).status_code == 404
+
+
+def test_add_then_delete_document(client):
+    c, system = client
+    data = {"file": (io.BytesIO("Quantum qubits enable superposition.".encode()),
+                     "quantum.txt")}
+    r = c.post("/add_document", data=data)
+    assert r.status_code == 200
+    assert r.get_json()["filename"] == "quantum.txt"
+    assert r.get_json()["chunks"] > 0
+    r = c.get("/get_documents")
+    assert "quantum.txt" in r.get_json()
+    # retrievable
+    r = c.post("/chat", json={"prompt": "quantum qubits superposition"})
+    assert any(d["s"].endswith("quantum.txt") for d in r.get_json()["documents"])
+    # delete
+    r = c.post("/delete", json={"filename": "quantum.txt"})
+    assert r.status_code == 200
+    assert r.get_json()["count"] > 0
+    assert "quantum.txt" not in c.get("/get_documents").get_json()
+    r = c.post("/chat", json={"prompt": "quantum qubits superposition"})
+    assert all(not d["s"].endswith("quantum.txt") for d in r.get_json()["documents"])
+
+
+def test_delete_missing_file(client):
+    c, _ = client
+    assert c.post("/delete", json={"filename": "ghost.txt"}).status_code == 404
+
+
+def test_unknown_route(client):
+    c, _ = client
+    assert c.get("/nope").status_code == 404
+
+
+def test_deepeval_endpoint(client):
+    c, _ = client
+    r = c.post("/deepeval_evaluate", json={"sample_size": 3, "qa_pairs": 2})
+    assert r.status_code == 200
+    body = r.get_json()["evaluation_results"]
+    assert len(body["pairs"]) == 2
+    assert "answer_relevancy" in body["summary"]
+
+
+# -- metrics ----------------------------------------------------------------------
+
+def test_metrics_ranges():
+    enc = _Enc()
+    q = "what does the fox do"
+    good = "the fox jumps over the lazy dog"
+    bad = "stock markets rallied strongly on earnings"
+    ctx = ["The quick brown fox jumps over the lazy dog."]
+    assert M.answer_relevancy(enc, q, good) > M.answer_relevancy(enc, q, bad)
+    assert M.faithfulness(enc, good, ctx) > M.faithfulness(enc, bad, ctx)
+    assert 0 <= M.contextual_precision(enc, q, ctx) <= 1
+    assert M.contextual_recall(enc, good, ctx) > M.contextual_recall(enc, bad, ctx)
+    h = M.hallucination_score(enc, good, ctx)
+    assert h == pytest.approx(1.0 - M.faithfulness(enc, good, ctx))
+    assert M.faithfulness(enc, good, []) == 0.0
+
+
+def test_contextual_precision_rank_weighting():
+    enc = _Enc()
+    q = "fox jumping"
+    rel = "the fox jumps and jumps fox fox"
+    irr = "completely unrelated quantum finance text"
+    early = M.contextual_precision(enc, q, [rel, irr], relevance_threshold=0.55)
+    late = M.contextual_precision(enc, q, [irr, rel], relevance_threshold=0.55)
+    assert early >= late
+
+
+def test_llm_judge_score():
+    assert M.llm_judge_score(lambda s: "Score: 7", "p") == 0.7
+    assert M.llm_judge_score(lambda s: "no numbers here", "p") == 0.0
+    assert M.llm_judge_score(lambda s: "100", "p") == 1.0  # clamped
+
+
+def test_retrieval_recall_at_k():
+    got = [[1, 2, 3], [4, 5]]
+    want = [[1, 2, 9], [4, 5]]
+    assert M.retrieval_recall_at_k(got, want, k=3) == pytest.approx((2 / 3 + 1.0) / 2)
+
+
+def test_generate_qa_pairs_shape(client):
+    _, system = client
+    pairs = generate_qa_pairs(system, sample_size=3, qa_count=2, seed=1)
+    assert len(pairs) == 2
+    for p in pairs:
+        assert p["question"] and p["ground_truth"] and p["context"]
+    res = evaluate_pairs(system, pairs)
+    assert set(res["summary"]) >= {"answer_relevancy", "faithfulness"}
+    # rewrite loop flag restored
+    assert system.cfg.pipeline.use_rewrite_loop is False
