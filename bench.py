@@ -1,0 +1,178 @@
+"""Benchmark: hybrid retrieval QPS per chip (the BASELINE.md headline).
+
+Measures the framework's hybrid query path — BM25 (CSR postings, device
+scoring) + dense cosine (HBM-resident bf16 corpus, fused matmul+top-k
+Pallas kernel) + weighted-RRF fusion, top-10 — on the real TPU, against a
+CPU baseline implementing the same *exact* retrieval with the vectorized
+engines the reference delegates to (NumPy BLAS dense scoring; SciPy-sparse
+precomputed-contribution BM25, the Tantivy trick): BASELINE.json configs
+1-3 at equal (exact) recall. The reference publishes no numbers
+(BASELINE.md), so the comparison point is this CPU engine stand-in on the
+same corpus, per BASELINE.json's "≥10x hybrid QPS/chip over the CPU
+reference" target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(n_docs: int, vocab: int, doc_len: int, rng):
+    """Synthetic Zipf-ish text corpus + random unit embeddings."""
+    words = np.array([f"w{i}" for i in range(vocab)])
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.1
+    probs /= probs.sum()
+    docs = []
+    for i in range(n_docs):
+        idx = rng.choice(vocab, size=doc_len, p=probs)
+        docs.append(" ".join(words[idx]))
+    return docs
+
+
+def cpu_baseline(dense_q, corpus_vecs, bm25_index, queries, k, rrf_c, weights):
+    """Exact CPU hybrid: BLAS dense top-k + SciPy-sparse BM25 + RRF."""
+    import scipy.sparse as sp
+    from ragmeup_tpu.ops.fusion import rrf_fuse
+    from ragmeup_tpu.retrieval.sparse import analyze
+
+    dev = bm25_index._flush()
+    n = bm25_index.n
+    # precomputed per-(term,doc) Okapi contributions (what Tantivy stores)
+    k1, b = bm25_index.k1, bm25_index.b
+    dl = np.asarray(bm25_index._doc_len, np.float64)
+    avgdl = dl.mean()
+    offsets, pdoc, ptf = dev["offsets"], dev["pdoc"], dev["ptf"]
+    idf = dev["idf"]
+    rows, cols, vals = [], [], []
+    for tid in range(len(offsets) - 1):
+        lo, hi = offsets[tid], offsets[tid + 1]
+        d_ids = pdoc[lo:hi]
+        tf = ptf[lo:hi]
+        denom = tf + k1 * (1 - b + b * dl[d_ids] / avgdl)
+        contrib = idf[tid] * tf * (k1 + 1) / denom
+        rows.append(np.full(hi - lo, tid, np.int32))
+        cols.append(d_ids)
+        vals.append(contrib)
+    contrib_csr = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(len(offsets) - 1, n))
+
+    t0 = time.perf_counter()
+    # dense: exact brute force via BLAS
+    scores = dense_q @ corpus_vecs.T  # (bq, n)
+    dense_top = np.argpartition(-scores, k, axis=1)[:, :k]
+    dense_sorted = [dense_top[r][np.argsort(-scores[r][dense_top[r]],
+                                            kind="stable")]
+                    for r in range(len(queries))]
+    # sparse: sum contribution rows of the query's terms
+    results = []
+    for qi, qtext in enumerate(queries):
+        tids = [bm25_index.vocab[t] for t in set(analyze(qtext))
+                if t in bm25_index.vocab]
+        if tids:
+            s = np.asarray(contrib_csr[tids].sum(axis=0)).ravel()
+            stop = np.argpartition(-s, k)[:k]
+            stop = stop[np.argsort(-s[stop], kind="stable")]
+            sparse_ids = [int(x) for x in stop if s[x] > 0]
+        else:
+            sparse_ids = []
+        fused = rrf_fuse([sparse_ids, [int(x) for x in dense_sorted[qi]]],
+                         weights=weights, c=rrf_c, k=k)
+        results.append([r for r, _ in fused])
+    dt = time.perf_counter() - t0
+    return results, dt
+
+
+def main():
+    from ragmeup_tpu.utils.platform import ensure_platform
+    backend = ensure_platform()
+    log(f"backend: {backend}")
+    import jax
+
+    from ragmeup_tpu.ops.fusion import rrf_fuse
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    from ragmeup_tpu.retrieval.sparse import BM25Index
+
+    rng = np.random.default_rng(0)
+    N_DOCS, VOCAB, DOC_LEN, DIM = 65536, 4096, 48, 384
+    K, BQ = 10, 256
+    RRF_C, WEIGHTS = 60, (0.5, 0.5)
+
+    log("building synthetic corpus...")
+    t0 = time.perf_counter()
+    texts = make_corpus(N_DOCS, VOCAB, DOC_LEN, rng)
+    vecs = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    queries = make_corpus(BQ, VOCAB, 8, rng)
+    qvecs = rng.standard_normal((BQ, DIM)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    log(f"corpus built in {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    sparse = BM25Index()
+    sparse.add(texts)
+    sparse._flush()
+    log(f"BM25 index built in {time.perf_counter()-t0:.1f}s "
+        f"(vocab={len(sparse.vocab)})")
+
+    t0 = time.perf_counter()
+    dense = DenseIndex(DIM, dtype="bfloat16", tile_n=2048)
+    dense.add(vecs)
+    log(f"dense index built in {time.perf_counter()-t0:.1f}s")
+
+    def tpu_hybrid():
+        s_hits = sparse.search(queries, K)
+        d_hits = dense.search(qvecs, K, search_type="similarity")
+        return [
+            [r for r, _ in rrf_fuse([[r for r, _ in s_hits[i]],
+                                     [r for r, _ in d_hits[i]]],
+                                    weights=WEIGHTS, c=RRF_C, k=K)]
+            for i in range(BQ)
+        ]
+
+    log("warmup/compile...")
+    t0 = time.perf_counter()
+    tpu_results = tpu_hybrid()
+    log(f"first hybrid batch (incl compile): {time.perf_counter()-t0:.1f}s")
+
+    REPS = 5
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        tpu_results = tpu_hybrid()
+    dt = (time.perf_counter() - t0) / REPS
+    tpu_qps = BQ / dt
+    log(f"TPU hybrid: {dt*1e3:.1f} ms / {BQ} queries -> {tpu_qps:.0f} QPS/chip")
+
+    log("CPU baseline (BLAS dense + sparse-contrib BM25 + RRF)...")
+    cpu_results, cpu_dt = cpu_baseline(qvecs, vecs, sparse, queries, K,
+                                       RRF_C, WEIGHTS)
+    cpu_qps = BQ / cpu_dt
+    log(f"CPU hybrid: {cpu_dt*1e3:.1f} ms / {BQ} queries -> {cpu_qps:.0f} QPS")
+
+    # agreement check (bf16 dense introduces tiny divergence)
+    agree = np.mean([
+        len(set(a[:K]) & set(b[:K])) / max(len(b[:K]), 1)
+        for a, b in zip(tpu_results, cpu_results)])
+    log(f"TPU vs CPU hybrid top-{K} agreement: {agree:.3f}")
+
+    print(json.dumps({
+        "metric": "hybrid_qps_per_chip",
+        "value": round(tpu_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded top-k
+exactness vs single-device (SURVEY.md §7 hard part #7), sharded index CRUD,
+TP param sharding, and dp/tp/sp train steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ragmeup_tpu.ops.topk import topk_oracle
+from ragmeup_tpu.parallel.mesh import make_mesh, mesh_shape_for, LOGICAL_RULES
+from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex, sharded_topk
+
+
+def _corpus(rng, n, d):
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def test_mesh_shape_factoring():
+    assert mesh_shape_for(8) == (1, 8, 1)
+    assert mesh_shape_for(8, model_parallel=2) == (1, 4, 2)
+    assert mesh_shape_for(8, model_parallel=2, corpus_parallel=2) == (2, 2, 2)
+    assert mesh_shape_for(6) == (3, 2, 1)
+
+
+def test_make_mesh_8_devices():
+    mesh = make_mesh((1, 8, 1))
+    assert mesh.shape == {"data": 1, "corpus": 8, "model": 1}
+
+
+def test_sharded_topk_exact_vs_oracle(rng):
+    mesh = make_mesh((1, 8, 1))
+    n, d, b, k = 4096, 64, 5, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, b, d)
+    s, i = sharded_topk(mesh, jnp.asarray(q), jnp.asarray(corpus.T), k)
+    os_, oi = topk_oracle(q, corpus, k)
+    assert np.array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_topk_tie_break_across_shards():
+    """Duplicate vectors in different shards: lowest global id must win."""
+    mesh = make_mesh((1, 8, 1))
+    d = 64
+    v = np.ones((1, d), np.float32) / np.sqrt(d)
+    n = 4096
+    rng = np.random.default_rng(3)
+    corpus = _corpus(rng, n, d) * 0.5
+    # plant identical best vectors in shard 0, 3, 7 (shard size 512)
+    for row in (100, 3 * 512 + 7, 7 * 512 + 400):
+        corpus[row] = v[0]
+    s, i = sharded_topk(mesh, v, jnp.asarray(corpus.T), 3)
+    assert np.asarray(i)[0].tolist() == [100, 3 * 512 + 7, 7 * 512 + 400]
+
+
+def test_sharded_topk_mask(rng):
+    mesh = make_mesh((1, 8, 1))
+    n, d, k = 2048, 64, 5
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, 2, d)
+    _, oi = topk_oracle(q, corpus, k)
+    dead = {int(oi[0, 0])}
+    mask = np.zeros((1, n), np.float32)
+    mask[0, list(dead)] = -1e30
+    s, i = sharded_topk(mesh, jnp.asarray(q), jnp.asarray(corpus.T), k,
+                        mask=jnp.asarray(mask))
+    os2, oi2 = topk_oracle(q, corpus, k, dead_rows=dead)
+    assert np.array_equal(np.asarray(i), oi2)
+
+
+def test_sharded_index_crud(rng):
+    mesh = make_mesh((1, 8, 1))
+    d = 64
+    idx = ShardedDenseIndex(mesh, d, tile_n=64, dtype="float32")
+    corpus = _corpus(rng, 300, d)
+    rows = idx.add(corpus)
+    assert rows == list(range(300))
+    q = corpus[123:124]
+    res = idx.search(q, k=3)[0]
+    assert res[0][0] == 123
+    idx.delete_rows([123])
+    assert idx.search(q, k=3)[0][0][0] != 123
+    # incremental add lands in later shard positions but stays exact
+    more = _corpus(rng, 100, d)
+    rows2 = idx.add(more)
+    assert rows2[0] == 300
+    res2 = idx.search(more[7:8], k=1)[0]
+    assert res2[0][0] == 307
+
+
+def test_sharded_matches_single_device(rng):
+    """The sharded index must agree with the single-chip DenseIndex."""
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    mesh = make_mesh((1, 8, 1))
+    d, n, k = 64, 1024, 10
+    corpus = _corpus(rng, n, d)
+    q = _corpus(rng, 4, d)
+    sharded = ShardedDenseIndex(mesh, d, tile_n=64, dtype="float32")
+    sharded.add(corpus)
+    single = DenseIndex(d, dtype="float32", tile_n=512)
+    single.add(corpus)
+    r1 = sharded.search(q, k)
+    r2 = single.search(q, k, search_type="similarity")
+    for a, b in zip(r1, r2):
+        assert [x[0] for x in a] == [x[0] for x in b]
+        np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b],
+                                   rtol=1e-4)
+
+
+# -- training ---------------------------------------------------------------------
+
+def test_decoder_train_step_dp_tp_sp():
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaModel
+    from ragmeup_tpu.train.train import make_decoder_train_step
+    mesh = make_mesh((2, 2, 2))
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2)
+    model = LlamaModel(cfg)
+    batch = {"ids": np.random.default_rng(0).integers(0, cfg.vocab_size,
+                                                      (4, 16)).astype(np.int32),
+             "mask": np.ones((4, 16), np.int32)}
+    state, step = make_decoder_train_step(model, mesh, example_batch=batch,
+                                          learning_rate=1e-3)
+    # TP actually sharded: a qkv kernel must be split over 'model'
+    qk = state.params["layer_0"]["attention"]["q_proj"]["kernel"]
+    specs = {s for shard in qk.sharding.device_set for s in ()}  # touch
+    assert "model" in str(qk.sharding.spec)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert state.step == 3
+    assert losses[2] < losses[0]  # it learns
+    assert np.isfinite(losses).all()
+
+
+def test_encoder_train_step_contrastive():
+    from ragmeup_tpu.models.encoder import BertConfig, BertEncoder
+    from ragmeup_tpu.train.train import make_encoder_train_step
+    mesh = make_mesh((2, 2, 2))
+    cfg = BertConfig.tiny()
+    model = BertEncoder(cfg)
+    rng = np.random.default_rng(0)
+    batch = {"q_ids": rng.integers(5, cfg.vocab_size, (4, 12)).astype(np.int32),
+             "q_mask": np.ones((4, 12), np.int32),
+             "d_ids": rng.integers(5, cfg.vocab_size, (4, 12)).astype(np.int32),
+             "d_mask": np.ones((4, 12), np.int32)}
+    state, step = make_encoder_train_step(model, mesh, example_batch=batch,
+                                          learning_rate=1e-3)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[2] < losses[0]
+
+
+def test_contrastive_loss_prefers_matching():
+    from ragmeup_tpu.train.train import contrastive_loss
+    q = jnp.eye(4, 8)
+    good = contrastive_loss(q, q)
+    perm = jnp.roll(q, 1, axis=0)
+    bad = contrastive_loss(q, perm)
+    assert float(good) < float(bad)
+
+
+def test_decoder_loss_masking():
+    from ragmeup_tpu.train.train import decoder_loss
+    logits = jnp.zeros((1, 4, 8))
+    ids = jnp.asarray([[1, 2, 3, 4]])
+    full = decoder_loss(logits, ids, jnp.ones((1, 4), jnp.int32))
+    # uniform logits → loss = log(8) regardless of mask
+    np.testing.assert_allclose(float(full), np.log(8), rtol=1e-5)
