@@ -48,25 +48,11 @@ def cpu_baseline(dense_q, corpus_vecs, bm25_index, queries, k, rrf_c, weights):
 
     dev = bm25_index._flush()
     n = bm25_index.n
-    # precomputed per-(term,doc) Okapi contributions (what Tantivy stores)
-    k1, b = bm25_index.k1, bm25_index.b
-    dl = np.asarray(bm25_index._doc_len, np.float64)
-    avgdl = dl.mean()
-    offsets, pdoc, ptf = dev["offsets"], dev["pdoc"], dev["ptf"]
-    idf = dev["idf"]
-    rows, cols, vals = [], [], []
-    for tid in range(len(offsets) - 1):
-        lo, hi = offsets[tid], offsets[tid + 1]
-        d_ids = pdoc[lo:hi]
-        tf = ptf[lo:hi]
-        denom = tf + k1 * (1 - b + b * dl[d_ids] / avgdl)
-        contrib = idf[tid] * tf * (k1 + 1) / denom
-        rows.append(np.full(hi - lo, tid, np.int32))
-        cols.append(d_ids)
-        vals.append(contrib)
+    # the same precomputed per-(term,doc) Okapi contributions the device
+    # index uses (the Tantivy impact-index trick)
     contrib_csr = sp.csr_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(len(offsets) - 1, n))
+        (dev["pcontrib"], dev["pdoc"], dev["offsets"]),
+        shape=(len(dev["offsets"]) - 1, max(n, 1)))
 
     t0 = time.perf_counter()
     # dense: exact brute force via BLAS

@@ -1,27 +1,34 @@
-"""BM25 sparse index with device scoring.
+"""BM25 sparse index with TPU-native scoring.
 
 The TPU-native replacement for both of the reference's sparse paths
 (SURVEY.md §2.3): the in-memory Okapi BM25 used on the Milvus path
 (``RAGHelper.py:436-443``) and ParadeDB pg_search / Tantivy behind
 ``PostgresBM25Retriever`` (``PostgresBM25Retriever.py:84-107``). One
-implementation serves both reference modes.
+implementation serves both reference modes; scoring is exact Okapi BM25
+(``rank_bm25`` semantics, +1-inside-log idf), verified against
+``bm25_oracle``.
 
-Design (SURVEY.md §7 hard part #3 — BM25 on a dense-matrix machine):
+Design (SURVEY.md §7 hard part #3 — BM25 on a dense-matrix machine, without
+"wasting FLOPs on rare terms"):
 
-- **Host**: analyzer (lowercase alphanumeric tokens, Tantivy-style) builds
-  CSR postings — per-term arrays of (doc row, tf). Incremental adds append
-  to per-term buffers; a lazy *flush* materializes the flat device arrays
-  (better than the reference, which rebuilds the whole in-memory BM25 on
-  every upload — ``RAGHelper.py:530-531``).
-- **Device** (one jit, shapes bucketed): the query's terms' postings are
-  concatenated and padded to a power-of-two bucket; per-posting Okapi
-  contributions are computed with a gather of the per-doc length norm,
-  scatter-added into a (num_queries, capacity) score plane, masked
-  (tombstones ride the same additive mask as the dense index), and
-  top-k'd. Capacity is padded so CRUD never recompiles.
+- **Flush** (vectorized NumPy): per-posting Okapi *contributions* are
+  precomputed — ``contrib = idf_t · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`` —
+  the impact-ordered-index trick Tantivy/Lucene use, so query time never
+  touches tf/doc-length again.
+- **Dense head**: high-df terms (the Zipf head, where ~all the posting mass
+  lives) become rows of a device-resident contribution matrix ``(H, cap)``;
+  a query batch scores them with ONE MXU matmul ``qsel (b, H) @ head``.
+- **Sparse tail**: low-df terms keep CSR postings; only the query terms'
+  (tiny) tail slices stream to the device and scatter-add into the score
+  plane. Worst-case stream per query ≈ T_max · df_threshold entries.
+- Fused ``+ mask → top_k`` epilogue; the additive tombstone mask is shared
+  with the dense index. Shapes bucket to powers of two so CRUD never
+  recompiles.
 
-Scoring is exact Okapi BM25 (``rank_bm25`` semantics, including its
-+1-inside-log idf variant): verified against ``bm25_oracle`` in tests.
+Mutation model: adds append batch triplets (term, row, tf) and invalidate
+the flush lazily (better than the reference, which rebuilds the whole
+in-memory BM25 per upload — ``RAGHelper.py:530-531``); deletes change idf /
+avgdl globally, so they also invalidate (exactness over laziness).
 """
 
 from __future__ import annotations
@@ -30,7 +37,6 @@ import functools
 import json
 import os
 import re
-from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -44,15 +50,15 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def analyze(text: str) -> List[str]:
     """Default analyzer: lowercase, split on non-alphanumeric (Tantivy's
-    default 'simple' tokenizer behavior)."""
+    'simple' tokenizer behavior)."""
     return _TOKEN_RE.findall(text.lower())
 
 
 def sanitize_query(query: str, re2_prompt: Optional[str] = None) -> str:
     """Query cleanup parity with PostgresBM25Retriever._get_relevant_documents
-    (PostgresBM25Retriever.py:84-102): drop the Re2 suffix ("Read the
-    question again: <query>") if present, and strip ():' characters —
-    but without the injection-prone f-string SQL (quirk not reproduced)."""
+    (PostgresBM25Retriever.py:84-102): drop the Re2 suffix if present and
+    strip ():' characters — without the injection-prone f-string SQL (quirk
+    not reproduced)."""
     if re2_prompt:
         pos = query.find(re2_prompt)
         if pos >= 0:
@@ -67,56 +73,76 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "k1", "b", "nq", "cap"))
-def _bm25_score_topk(docs_cat, tf_cat, idf_cat, qid_cat, doc_len, mask,
-                     avgdl, k: int, k1: float, b: float, nq: int, cap: int):
-    """docs_cat/tf_cat/idf_cat/qid_cat: (L,) padded posting stream
-    (padding rows point at slot `cap` with idf 0). doc_len (cap,),
-    mask (cap,) additive. Returns (scores (nq,k), rows (nq,k))."""
-    norm = k1 * (1.0 - b + b * doc_len / jnp.maximum(avgdl, 1e-9))  # (cap,)
-    padded_norm = jnp.concatenate([norm, jnp.ones((1,), norm.dtype)])
-    nrm = padded_norm[docs_cat]  # gather
-    contrib = idf_cat * tf_cat * (k1 + 1.0) / (tf_cat + nrm)
-    flat = jnp.zeros((nq * (cap + 1),), jnp.float32)
-    flat = flat.at[qid_cat * (cap + 1) + docs_cat].add(contrib)
-    scores = flat.reshape(nq, cap + 1)[:, :cap] + mask[None, :]
-    return jax.lax.top_k(scores, k)
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nq", "cap", "has_head", "has_tail"))
+def _bm25_score_topk(qsel, head, docs_cat, contrib_cat, qid_cat, mask,
+                     k: int, nq: int, cap: int, has_head: bool,
+                     has_tail: bool):
+    """qsel (nq, H) one-hot over head terms; head (H, cap) contribution
+    matrix; tail stream (L,) padded (padding rows target slot `cap` with
+    contribution 0); mask (cap,) additive. → (scores, rows) top-k."""
+    scores = jnp.zeros((nq, cap + 1), jnp.float32)
+    if has_head:
+        scores = scores.at[:, :cap].add(
+            jnp.dot(qsel, head, preferred_element_type=jnp.float32))
+    if has_tail:
+        flat = scores.reshape(-1)
+        flat = flat.at[qid_cat * (cap + 1) + docs_cat].add(contrib_cat)
+        scores = flat.reshape(nq, cap + 1)
+    out = scores[:, :cap] + mask[None, :]
+    return jax.lax.top_k(out, k)
 
 
 class BM25Index:
-    """Okapi BM25 index: host CSR postings, device scoring."""
+    """Okapi BM25: dense-head + sparse-tail device scoring."""
 
-    def __init__(self, k1: float = 1.5, b: float = 0.75, tile_n: int = 1024):
+    def __init__(self, k1: float = 1.5, b: float = 0.75, tile_n: int = 1024,
+                 dense_df_ratio: float = 1.0 / 64.0,
+                 dense_min_df: int = 1024):
         self.k1 = k1
         self.b = b
         self.tile_n = tile_n
+        # a term goes in the dense head when df >= max(dense_min_df,
+        # cap * dense_df_ratio) — i.e. only when its postings are a
+        # meaningful fraction of the corpus
+        self.dense_df_ratio = dense_df_ratio
+        self.dense_min_df = dense_min_df
         self.vocab: Dict[str, int] = {}
-        # per-term postings buffers: lists of (row, tf)
-        self._postings: List[List[Tuple[int, int]]] = []
+        self._tri: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._doc_len: List[int] = []
         self.dead: set = set()
         self.n = 0
-        self._device: Optional[dict] = None  # flushed device state
+        self._device: Optional[dict] = None
 
     # -- build -----------------------------------------------------------------
 
     def add(self, texts: Sequence[str]) -> List[int]:
         """Tokenize and append documents; returns their row ids."""
-        rows = []
+        rows: List[int] = []
+        tids: List[int] = []
+        rids: List[int] = []
+        tfs: List[int] = []
         for text in texts:
             row = self.n
             toks = analyze(text)
             self._doc_len.append(len(toks))
-            for term, tf in Counter(toks).items():
+            counts: Dict[int, int] = {}
+            for term in toks:
                 tid = self.vocab.get(term)
                 if tid is None:
                     tid = len(self.vocab)
                     self.vocab[term] = tid
-                    self._postings.append([])
-                self._postings[tid].append((row, tf))
+                counts[tid] = counts.get(tid, 0) + 1
+            tids.extend(counts.keys())
+            rids.extend([row] * len(counts))
+            tfs.extend(counts.values())
             self.n += 1
             rows.append(row)
-        self._device = None  # lazy re-flush
+        if tids:
+            self._tri.append((np.asarray(tids, np.int32),
+                              np.asarray(rids, np.int32),
+                              np.asarray(tfs, np.float32)))
+        self._device = None
         return rows
 
     def delete_rows(self, rows: Sequence[int]) -> None:
@@ -126,9 +152,8 @@ class BM25Index:
             if 0 <= r < self.n and r not in self.dead:
                 self.dead.add(r)
                 changed = True
-        if changed and self._device is not None:
-            # tombstones only touch the mask + idf; cheap partial re-flush
-            self._refresh_stats()
+        if changed:
+            self._device = None  # idf/avgdl change globally
 
     @property
     def live_count(self) -> int:
@@ -142,112 +167,146 @@ class BM25Index:
             cap *= 2
         return cap
 
-    def _refresh_stats(self) -> None:
-        """Recompute idf (depends on live df) and the tombstone mask."""
-        dev = self._device
-        if dev is None:
-            return
-        cap = dev["cap"]
-        n_live = max(self.live_count, 1)
-        df = np.zeros(len(self.vocab), np.float64)
-        for tid, plist in enumerate(self._postings):
-            df[tid] = sum(1 for (r, _) in plist if r not in self.dead)
-        # rank_bm25 Okapi idf: ln((N - df + 0.5)/(df + 0.5) + 1)
-        idf = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
-        dev["idf"] = idf.astype(np.float32)
-        mask = np.full(cap, NEG_INF, np.float32)
-        live = [r for r in range(self.n) if r not in self.dead]
-        mask[live] = 0.0
-        dev["mask"] = jnp.asarray(mask)
-        dl = np.asarray(self._doc_len, np.float32)
-        live_dl = dl[live] if live else np.zeros(1, np.float32)
-        dev["avgdl"] = float(live_dl.mean()) if len(live_dl) else 1.0
-
     def _flush(self) -> dict:
         if self._device is not None:
             return self._device
         cap = self._capacity()
-        offsets = np.zeros(len(self.vocab) + 1, np.int64)
-        for tid, plist in enumerate(self._postings):
-            offsets[tid + 1] = offsets[tid] + len(plist)
-        total = int(offsets[-1])
-        pdoc = np.zeros(total, np.int32)
-        ptf = np.zeros(total, np.float32)
-        for tid, plist in enumerate(self._postings):
-            o = offsets[tid]
-            for j, (r, tf) in enumerate(plist):
-                pdoc[o + j] = r
-                ptf[o + j] = tf
-        doc_len = np.zeros(cap, np.float32)
-        doc_len[:self.n] = self._doc_len
+        V = len(self.vocab)
+        if self._tri:
+            t_all = np.concatenate([t for t, _, _ in self._tri])
+            r_all = np.concatenate([r for _, r, _ in self._tri])
+            f_all = np.concatenate([f for _, _, f in self._tri])
+        else:
+            t_all = np.zeros(0, np.int32)
+            r_all = np.zeros(0, np.int32)
+            f_all = np.zeros(0, np.float32)
+        live_mask_rows = np.ones(max(self.n, 1), bool)
+        if self.dead:
+            live_mask_rows[list(self.dead)] = False
+        live_post = live_mask_rows[r_all] if len(r_all) else np.zeros(0, bool)
+        n_live = max(self.live_count, 1)
+        dl = np.asarray(self._doc_len, np.float64) if self.n else np.zeros(0)
+        avgdl = float(dl[live_mask_rows[:self.n]].mean()) if n_live and self.n else 1.0
+        # live df per term, rank_bm25 idf
+        df = np.bincount(t_all[live_post], minlength=V).astype(np.float64)
+        idf = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
+        # per-posting contribution (only live postings matter; dead rows are
+        # masked at query time, but their contribs must not pollute idf —
+        # they are excluded above; contribs for dead rows are still computed,
+        # the mask kills those docs' totals)
+        denom = f_all + self.k1 * (1 - self.b + self.b *
+                                   (dl[r_all] if len(r_all) else 0) / avgdl)
+        contrib = (idf[t_all] * f_all * (self.k1 + 1) / np.maximum(denom, 1e-9)
+                   ).astype(np.float32)
+        # sort postings by term → CSR offsets
+        order = np.argsort(t_all, kind="stable")
+        t_s, r_s, c_s = t_all[order], r_all[order], contrib[order]
+        counts = np.bincount(t_s, minlength=V)
+        offsets = np.zeros(V + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        # dense head / sparse tail split
+        thresh = max(self.dense_min_df, int(cap * self.dense_df_ratio))
+        head_terms = np.nonzero(df >= thresh)[0].astype(np.int32)
+        head_row_of = np.full(V, -1, np.int32)
+        head_row_of[head_terms] = np.arange(len(head_terms), dtype=np.int32)
+        if len(head_terms):
+            H = np.zeros((len(head_terms), cap), np.float32)
+            for hrow, tid in enumerate(head_terms):
+                lo, hi = offsets[tid], offsets[tid + 1]
+                H[hrow, r_s[lo:hi]] = c_s[lo:hi]
+            head_dev = jnp.asarray(H)
+        else:
+            head_dev = jnp.zeros((0, cap), jnp.float32)
+        mask = np.full(cap, NEG_INF, np.float32)
+        live_rows = np.nonzero(live_mask_rows[:self.n])[0]
+        mask[live_rows] = 0.0
         self._device = {
             "cap": cap,
             "offsets": offsets,
-            "pdoc": pdoc,
-            "ptf": ptf,
-            "doc_len": jnp.asarray(doc_len),
+            "pdoc": r_s,
+            "pcontrib": c_s,
+            "idf": idf.astype(np.float32),
+            "df": df,
+            "head_terms": head_terms,
+            "head_row_of": head_row_of,
+            "head": head_dev,
+            "mask": jnp.asarray(mask),
+            "avgdl": avgdl,
         }
-        self._refresh_stats()
         return self._device
 
     # -- query --------------------------------------------------------------------
 
     def search(self, queries: Sequence[str], k: int,
                re2_prompt: Optional[str] = None) -> List[List[Tuple[int, float]]]:
-        """BM25 top-k for each query string. Returns per-query lists of
-        (row, score) with score > 0, desc."""
+        """BM25 top-k per query string: one head matmul + tail scatter.
+        Returns per-query lists of (row, score>0), desc."""
         if self.n == 0 or self.live_count == 0:
             return [[] for _ in queries]
         dev = self._flush()
         cap = dev["cap"]
         nq = len(queries)
         k = min(k, self.live_count)
-        # build the concatenated posting stream on host (tiny: query terms only)
-        doc_l, tf_l, idf_l, qid_l = [], [], [], []
+        n_head = len(dev["head_terms"])
+        qsel = np.zeros((nq, max(n_head, 1)), np.float32)
+        doc_l, con_l, qid_l = [], [], []
+        any_head = False
         for qi, qtext in enumerate(queries):
-            terms = analyze(sanitize_query(qtext, re2_prompt))
-            for term in set(terms):
+            for term in set(analyze(sanitize_query(qtext, re2_prompt))):
                 tid = self.vocab.get(term)
                 if tid is None:
                     continue
-                lo, hi = dev["offsets"][tid], dev["offsets"][tid + 1]
-                doc_l.append(dev["pdoc"][lo:hi])
-                tf_l.append(dev["ptf"][lo:hi])
-                idf_l.append(np.full(hi - lo, dev["idf"][tid], np.float32))
-                qid_l.append(np.full(hi - lo, qi, np.int32))
-        if not doc_l:
+                hrow = dev["head_row_of"][tid]
+                if hrow >= 0:
+                    qsel[qi, hrow] = 1.0
+                    any_head = True
+                else:
+                    lo, hi = dev["offsets"][tid], dev["offsets"][tid + 1]
+                    doc_l.append(dev["pdoc"][lo:hi])
+                    con_l.append(dev["pcontrib"][lo:hi])
+                    qid_l.append(np.full(hi - lo, qi, np.int32))
+        has_tail = bool(doc_l)
+        if not has_tail and not any_head:
             return [[] for _ in queries]
-        docs_cat = np.concatenate(doc_l)
-        L = _next_pow2(max(len(docs_cat), 1))
-        pad = L - len(docs_cat)
-        docs_cat = np.concatenate([docs_cat, np.full(pad, cap, np.int32)])
-        tf_cat = np.concatenate(tf_l + [np.zeros(pad, np.float32)])
-        idf_cat = np.concatenate(idf_l + [np.zeros(pad, np.float32)])
-        qid_cat = np.concatenate(qid_l + [np.zeros(pad, np.int32)])
+        if has_tail:
+            docs_cat = np.concatenate(doc_l)
+            L = _next_pow2(max(len(docs_cat), 1))
+            pad = L - len(docs_cat)
+            docs_cat = np.concatenate([docs_cat, np.full(pad, cap, np.int32)])
+            con_cat = np.concatenate(con_l + [np.zeros(pad, np.float32)])
+            qid_cat = np.concatenate(qid_l + [np.zeros(pad, np.int32)])
+        else:
+            docs_cat = np.full(1, cap, np.int32)
+            con_cat = np.zeros(1, np.float32)
+            qid_cat = np.zeros(1, np.int32)
         s, idx = _bm25_score_topk(
-            jnp.asarray(docs_cat), jnp.asarray(tf_cat), jnp.asarray(idf_cat),
-            jnp.asarray(qid_cat), dev["doc_len"], dev["mask"],
-            jnp.float32(dev["avgdl"]), k=k, k1=self.k1, b=self.b,
-            nq=nq, cap=cap)
+            jnp.asarray(qsel), dev["head"], jnp.asarray(docs_cat),
+            jnp.asarray(con_cat), jnp.asarray(qid_cat), dev["mask"],
+            k=k, nq=nq, cap=cap, has_head=n_head > 0, has_tail=has_tail)
         s = np.asarray(s)
         idx = np.asarray(idx)
-        out: List[List[Tuple[int, float]]] = []
-        for r in range(nq):
-            out.append([(int(i), float(v)) for i, v in zip(idx[r], s[r])
-                        if v > 0.0])
-        return out
+        return [[(int(i), float(v)) for i, v in zip(idx[r], s[r]) if v > 0.0]
+                for r in range(nq)]
 
     # -- persistence ------------------------------------------------------------------
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        dev = self._flush()
+        if self._tri:
+            t_all = np.concatenate([t for t, _, _ in self._tri])
+            r_all = np.concatenate([r for _, r, _ in self._tri])
+            f_all = np.concatenate([f for _, _, f in self._tri])
+        else:
+            t_all = np.zeros(0, np.int32)
+            r_all = np.zeros(0, np.int32)
+            f_all = np.zeros(0, np.float32)
         np.savez(os.path.join(directory, "bm25_postings.npz"),
-                 offsets=dev["offsets"], pdoc=dev["pdoc"], ptf=dev["ptf"],
+                 tids=t_all, rows=r_all, tfs=f_all,
                  doc_len=np.asarray(self._doc_len, np.int32))
-        meta = {"k1": self.k1, "b": self.b, "tile_n": self.tile_n, "n": self.n,
-                "dead": sorted(self.dead),
-                "vocab": list(self.vocab.keys())}
+        meta = {"k1": self.k1, "b": self.b, "tile_n": self.tile_n,
+                "dense_df_ratio": self.dense_df_ratio,
+                "dense_min_df": self.dense_min_df, "n": self.n,
+                "dead": sorted(self.dead), "vocab": list(self.vocab.keys())}
         with open(os.path.join(directory, "bm25_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -255,15 +314,13 @@ class BM25Index:
     def load(cls, directory: str) -> "BM25Index":
         with open(os.path.join(directory, "bm25_meta.json")) as f:
             meta = json.load(f)
-        idx = cls(meta["k1"], meta["b"], meta["tile_n"])
+        idx = cls(meta["k1"], meta["b"], meta["tile_n"],
+                  meta.get("dense_df_ratio", 1 / 64),
+                  meta.get("dense_min_df", 1024))
         data = np.load(os.path.join(directory, "bm25_postings.npz"))
         idx.vocab = {t: i for i, t in enumerate(meta["vocab"])}
-        offsets = data["offsets"]
-        idx._postings = [
-            [(int(r), int(tf)) for r, tf in zip(data["pdoc"][offsets[t]:offsets[t + 1]],
-                                                data["ptf"][offsets[t]:offsets[t + 1]])]
-            for t in range(len(idx.vocab))
-        ]
+        if len(data["tids"]):
+            idx._tri = [(data["tids"], data["rows"], data["tfs"])]
         idx._doc_len = data["doc_len"].astype(int).tolist()
         idx.n = meta["n"]
         idx.dead = set(meta.get("dead", []))

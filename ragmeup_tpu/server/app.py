@@ -46,8 +46,11 @@ def _json(data, status: int = 200) -> Response:
 
 
 class RagServer:
-    def __init__(self, system: RagSystem):
+    def __init__(self, system: RagSystem, ui_db: Optional[str] = None):
         self.system = system
+        from ragmeup_tpu.server.ui import FeedbackStore
+        self.feedback = FeedbackStore(
+            ui_db or os.path.join(system.cfg.data.index_directory, "ui.db"))
         self.stats = {"requests": 0, "chat_requests": 0, "errors": 0,
                       "chat_latency_ms_sum": 0.0, "started_at": time.time()}
         self.url_map = Map([
@@ -60,6 +63,11 @@ class RagServer:
                  methods=["POST"]),
             Rule("/health", endpoint="health", methods=["GET"]),
             Rule("/stats", endpoint="stats", methods=["GET"]),
+            # UI surface (Scala Play UI parity, SURVEY.md §2.2)
+            Rule("/", endpoint="index", methods=["GET"]),
+            Rule("/add", endpoint="add_page", methods=["GET"]),
+            Rule("/search", endpoint="search", methods=["POST"]),
+            Rule("/feedback", endpoint="feedback", methods=["POST", "GET"]),
         ])
 
     # -- endpoints ---------------------------------------------------------------
@@ -144,6 +152,59 @@ class RagServer:
                                   seed=int(data.get("seed", 0)))
         results = evaluate_pairs(self.system, pairs)
         return _json({"evaluation_results": results})
+
+    # -- UI endpoints -------------------------------------------------------------
+
+    def ep_index(self, request: Request) -> Response:
+        from ragmeup_tpu.server.ui import chat_page
+        return Response(chat_page(), content_type="text/html; charset=utf-8")
+
+    def ep_add_page(self, request: Request) -> Response:
+        from ragmeup_tpu.server.ui import add_page
+        return Response(add_page(), content_type="text/html; charset=utf-8")
+
+    def ep_search(self, request: Request) -> Response:
+        """UI-style chat: {query, history, docs, session_id} → same contract
+        as /chat (HomeController.search forwards query→prompt,
+        HomeController.scala:41-58), with chat logging."""
+        data = request.get_json(force=True, silent=True) or {}
+        query = data.get("query") or data.get("prompt")
+        if not query:
+            return _json({"error": "query is required"}, 400)
+        history = data.get("history", []) or []
+        original_docs = data.get("docs", []) or []
+        out = self.system.chat(query, history)
+        documents = out["documents"] if out["fetched_new_documents"] else original_docs
+        session_id = data.get("session_id", "")
+        if session_id:
+            try:
+                self.feedback.log_chat(
+                    session_id, len(out["history"]) - 1, query, "user",
+                    out["reply"], documents, out["rewritten"],
+                    out["question"], out["fetched_new_documents"])
+            except Exception:
+                logger.exception("chat log failed")
+        return _json({
+            "reply": out["reply"], "history": out["history"],
+            "documents": documents, "rewritten": out["rewritten"],
+            "question": out["question"],
+            "fetched_new_documents": out["fetched_new_documents"],
+        })
+
+    def ep_feedback(self, request: Request) -> Response:
+        """Persist thumbs feedback (the reference stubs this:
+        HomeController.scala:155-157 returns {})."""
+        if request.method == "GET":
+            return _json(self.feedback.get_feedback(
+                request.args.get("chat_id")))
+        data = request.get_json(force=True, silent=True) or {}
+        chat_id = data.get("chat_id")
+        if not chat_id:
+            return _json({})  # reference-compatible empty reply
+        self.feedback.add_feedback(chat_id,
+                                   int(data.get("message_offset", 0)),
+                                   int(data.get("feedback", 0)))
+        return _json({"status": "ok"})
 
     def ep_health(self, request: Request) -> Response:
         return _json({"status": "ok", "chunks": len(self.system.store),

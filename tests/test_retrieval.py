@@ -372,3 +372,34 @@ def test_hybrid_rows_are_fused(tmp_path):
     rows = retriever.retrieve_rows("tech earnings rally")
     ids = [r for r, _ in rows]
     assert 2 in ids and 5 in ids
+
+
+def test_bm25_dense_head_matches_oracle():
+    """Force the Zipf-head/densification path (dense_min_df tiny) and check
+    exact parity with the oracle — head matmul + tail scatter must agree."""
+    corpus = CORPUS * 3  # 18 docs; 'the' etc. become head terms
+    idx = BM25Index(dense_min_df=2, dense_df_ratio=0.0)
+    idx.add(corpus)
+    dev = idx._flush()
+    assert len(dev["head_terms"]) > 0  # head path actually engaged
+    for query in ["the fox dog", "tech earnings rally", "quantum bits"]:
+        hits = idx.search([query], k=len(corpus))[0]
+        oracle = bm25_oracle(corpus, query)
+        got = {r: s for r, s in hits}
+        want = {i: s for i, s in enumerate(oracle) if s > 1e-9}
+        assert set(got) == set(want), query
+        for r in got:
+            assert got[r] == pytest.approx(want[r], rel=1e-4), (query, r)
+
+
+def test_bm25_dense_head_with_delete():
+    corpus = CORPUS * 3
+    idx = BM25Index(dense_min_df=2, dense_df_ratio=0.0)
+    idx.add(corpus)
+    idx.delete_rows([0, 7])
+    hits = idx.search(["fox dog"], k=18)[0]
+    oracle = bm25_oracle(corpus, "fox dog", dead_rows={0, 7})
+    got = {r: s for r, s in hits}
+    assert 0 not in got and 7 not in got
+    for r in got:
+        assert got[r] == pytest.approx(oracle[r], rel=1e-4)

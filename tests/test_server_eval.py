@@ -203,3 +203,38 @@ def test_generate_qa_pairs_shape(client):
     assert set(res["summary"]) >= {"answer_relevancy", "faithfulness"}
     # rewrite loop flag restored
     assert system.cfg.pipeline.use_rewrite_loop is False
+
+
+# -- UI surface -------------------------------------------------------------------
+
+def test_ui_pages_render(client):
+    c, _ = client
+    r = c.get("/")
+    assert r.status_code == 200 and b"ragmeup-tpu" in r.data
+    assert b"chathistory" in r.data  # client-held state (UI contract)
+    r = c.get("/add")
+    assert r.status_code == 200 and b"Upload" in r.data
+
+
+def test_ui_search_and_feedback_roundtrip(client):
+    c, _ = client
+    r = c.post("/search", json={"query": "what does the fox do?",
+                                "history": [], "docs": [],
+                                "session_id": "sess-1"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["reply"] and body["documents"]
+    # feedback persists (unlike the reference's stub)
+    r = c.post("/feedback", json={"chat_id": "sess-1", "message_offset": 1,
+                                  "feedback": 1})
+    assert r.get_json()["status"] == "ok"
+    r = c.get("/feedback?chat_id=sess-1")
+    fb = r.get_json()
+    assert fb == [{"chat_id": "sess-1", "message_offset": 1, "feedback": 1}]
+    # reference-compatible empty reply without chat_id
+    assert c.post("/feedback", json={}).get_json() == {}
+
+
+def test_ui_search_requires_query(client):
+    c, _ = client
+    assert c.post("/search", json={}).status_code == 400
