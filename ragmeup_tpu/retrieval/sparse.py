@@ -98,7 +98,7 @@ class BM25Index:
 
     def __init__(self, k1: float = 1.5, b: float = 0.75, tile_n: int = 1024,
                  dense_df_ratio: float = 1.0 / 64.0,
-                 dense_min_df: int = 1024):
+                 dense_min_df: int = 1024, use_native: str = "auto"):
         self.k1 = k1
         self.b = b
         self.tile_n = tile_n
@@ -113,11 +113,46 @@ class BM25Index:
         self.dead: set = set()
         self.n = 0
         self._device: Optional[dict] = None
+        # native C++ analyzer/postings builder (ragmeup_tpu/native); 'auto'
+        # uses it when the toolchain-built library is available
+        self.use_native = use_native
+        self._native = None
+
+    def _native_analyzer(self):
+        if self.use_native == "off":
+            return None
+        if self._native is None:
+            try:
+                from ragmeup_tpu import native
+                if native.available():
+                    self._native = native.NativeAnalyzer(
+                        vocab=list(self.vocab))
+                elif self.use_native == "on":
+                    raise RuntimeError("native analyzer requested but unavailable")
+                else:
+                    self.use_native = "off"
+            except ImportError:
+                self.use_native = "off"
+        return self._native
 
     # -- build -----------------------------------------------------------------
 
     def add(self, texts: Sequence[str]) -> List[int]:
         """Tokenize and append documents; returns their row ids."""
+        native = self._native_analyzer()
+        if native is not None and texts:
+            t, r, f, dl = native.add_batch(list(texts), row_start=self.n)
+            self._doc_len.extend(int(x) for x in dl)
+            if len(t):
+                self._tri.append((t, r, f))
+            # mirror interned vocab (same first-seen order as Python path)
+            terms = native.vocab()
+            for i in range(len(self.vocab), len(terms)):
+                self.vocab[terms[i]] = i
+            out = list(range(self.n, self.n + len(texts)))
+            self.n += len(texts)
+            self._device = None
+            return out
         rows: List[int] = []
         tids: List[int] = []
         rids: List[int] = []

@@ -403,3 +403,39 @@ def test_bm25_dense_head_with_delete():
     assert 0 not in got and 7 not in got
     for r in got:
         assert got[r] == pytest.approx(oracle[r], rel=1e-4)
+
+
+# -- native analyzer --------------------------------------------------------------
+
+def test_native_analyzer_parity():
+    from ragmeup_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    corpus = CORPUS + ["Mixed CASE text, with punctuation! And 123 numbers.",
+                       "日本語テキスト with ascii words"]
+    py_idx = BM25Index(use_native="off")
+    py_idx.add(corpus[:4])
+    py_idx.add(corpus[4:])
+    nat_idx = BM25Index(use_native="on")
+    nat_idx.add(corpus[:4])
+    nat_idx.add(corpus[4:])
+    assert nat_idx.vocab == py_idx.vocab
+    assert nat_idx._doc_len == py_idx._doc_len
+    for q in ["fox dog", "mixed case 123", "tech earnings"]:
+        assert nat_idx.search([q], k=8) == py_idx.search([q], k=8), q
+
+
+def test_native_analyzer_vocab_stable_after_load(tmp_path):
+    from ragmeup_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    idx = BM25Index(use_native="on")
+    idx.add(CORPUS[:3])
+    idx.save(str(tmp_path))
+    idx2 = BM25Index.load(str(tmp_path))
+    idx2.use_native = "on"
+    idx2.add(CORPUS[3:])
+    ref = BM25Index(use_native="off")
+    ref.add(CORPUS)
+    for q in ["fox dog", "quantum bits"]:
+        assert idx2.search([q], k=6) == ref.search([q], k=6), q
