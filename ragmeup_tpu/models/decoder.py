@@ -48,6 +48,9 @@ class LlamaConfig:
     dtype: str = "bfloat16"
     quantization: str = "none"  # none | int8
     tie_embeddings: bool = True  # Llama-3.1-8B+ uses an untied lm_head
+    # Pallas flash-attention for prefill (causal; scores never hit HBM).
+    use_flash: bool = False
+    flash_block: int = 128
 
     @property
     def head_dim(self) -> int:
@@ -138,17 +141,39 @@ class LlamaAttention(nn.Module):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
         scale = 1.0 / np.sqrt(hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(c.jdtype), v,
-                         preferred_element_type=c.jdtype)
+        kv_len = k.shape[1]
+        use_flash = (c.use_flash and capture_weights in (False, None, "qk")
+                     and s > 1 and s % c.flash_block == 0
+                     and kv_len % c.flash_block == 0)
+        if use_flash:
+            # prefill fast path: causal flash kernel; any padded keys sit at
+            # positions > every real query row, so the causal mask subsumes
+            # the padding mask for the rows that are read
+            from ragmeup_tpu.ops.attention import flash_attention
+            qf = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+            of = flash_attention(qf, kf, vf, causal=True, sm_scale=scale,
+                                 block_q=c.flash_block, block_k=c.flash_block)
+            out = of.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
+            weights = None
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(c.jdtype), v,
+                             preferred_element_type=c.jdtype)
         out = out.reshape(b, s, nh * hd)
         out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
                          name="o_proj")(out)
-        return out, new_cache, (weights if capture_weights else None)
+        aux = None
+        if capture_weights == "qk":
+            aux = (q, k)
+        elif capture_weights:
+            aux = weights
+        return out, new_cache, aux
 
 
 class LlamaMlp(nn.Module):
@@ -194,7 +219,7 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, input_ids, *, positions, attn_bias=None,
                  caches: Optional[list] = None, cache_pos=None,
-                 capture_weights: bool = False):
+                 capture_weights: bool = False, capture_qk_last: bool = False):
         c = self.cfg
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
@@ -203,12 +228,18 @@ class LlamaModel(nn.Module):
         cos = jnp.asarray(cos_t)[positions]
         sin = jnp.asarray(sin_t)[positions]
         new_caches, all_w = [], []
+        qk_last = None
         for i in range(c.num_layers):
             cache = caches[i] if caches is not None else None
+            cap = capture_weights
+            if capture_qk_last and i == c.num_layers - 1:
+                cap = "qk"
             x, nc, w = LlamaBlock(c, name=f"layer_{i}")(
-                x, cos, sin, attn_bias, cache, cache_pos, capture_weights)
+                x, cos, sin, attn_bias, cache, cache_pos, cap)
             new_caches.append(nc)
-            if capture_weights:
+            if cap == "qk":
+                qk_last = w
+            elif capture_weights:
                 all_w.append(w)
         x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
         if c.tie_embeddings:
@@ -223,6 +254,8 @@ class LlamaModel(nn.Module):
             out["caches"] = new_caches
         if capture_weights:
             out["attn_weights"] = all_w
+        if capture_qk_last:
+            out["qk_last"] = qk_last
         return out
 
 
@@ -314,6 +347,18 @@ class LocalLLM:
                                positions=jnp.arange(L), attn_bias=bias,
                                capture_weights=True)
         return [np.asarray(w, np.float32) for w in out["attn_weights"]]
+
+    def qk_forward(self, ids: Sequence[int]):
+        """Last-layer post-RoPE (q, k), each (1, L, heads, hd) — the inputs
+        to blockwise attention-provenance (no L×L matrix materialized)."""
+        L = len(ids)
+        arr = jnp.asarray(np.asarray(ids, np.int32)[None])
+        bias = causal_bias(L, L)
+        out = self.model.apply({"params": self.params}, arr,
+                               positions=jnp.arange(L), attn_bias=bias,
+                               capture_qk_last=True)
+        q, k = out["qk_last"]
+        return np.asarray(q, np.float32), np.asarray(k, np.float32)
 
     def generate(self, prompt_ids: Sequence[int], max_new_tokens: int = 100,
                  temperature: float = 0.2, repetition_penalty: float = 1.1,

@@ -87,7 +87,8 @@ def _find_span(hay: Sequence[int], needle: Sequence[int]) -> Optional[tuple]:
 def compute_attention_provenance(llm, query: str, answer: str,
                                  chunks: List[Chunk],
                                  include_query: bool = False,
-                                 thread_builder: Optional[Callable] = None
+                                 blockwise: Optional[bool] = None,
+                                 blockwise_threshold: int = 2048
                                  ) -> List[float]:
     """Mean last-layer attention between the answer (and optionally query)
     span and each document span, normalized across documents.
@@ -109,10 +110,6 @@ def compute_attention_provenance(llm, query: str, answer: str,
     max_len = llm.cfg.max_seq_len
     ids = ids[:max_len]
 
-    weights = llm.attention_forward(ids)
-    last = weights[-1][0]  # (heads, L, L)
-    att = last.mean(axis=0)  # (L, L) mean over heads
-
     spans = []
     pos = 0
     for d in doc_ids:
@@ -121,6 +118,40 @@ def compute_attention_provenance(llm, query: str, answer: str,
     q_span = (pos, min(pos + len(query_ids), len(ids)))
     pos += len(query_ids) + len(sep)
     a_span = (pos, min(pos + len(answer_ids), len(ids)))
+
+    if blockwise is None:
+        blockwise = len(ids) > blockwise_threshold
+    if blockwise and a_span[1] > a_span[0]:
+        # long-context path: blockwise span mass over last-layer (q, k) —
+        # never materializes the L×L matrix (ops/attention.py)
+        from ragmeup_tpu.ops.attention import span_attention_mass
+        q_all, k_all = llm.qk_forward(ids)  # (1, L, h, hd)
+        n_heads = q_all.shape[2]
+        all_spans = [s for s in spans if s[1] > s[0]]
+        masses = np.zeros(len(all_spans))
+        import jax.numpy as jnp
+        for h in range(n_heads):
+            masses += span_attention_mass(
+                jnp.asarray(q_all[0, a_span[0]:a_span[1], h]),
+                jnp.asarray(k_all[0, :, h]), all_spans,
+                q_offset=a_span[0])
+            if include_query and q_span[1] > q_span[0]:
+                masses += span_attention_mass(
+                    jnp.asarray(q_all[0, q_span[0]:q_span[1], h]),
+                    jnp.asarray(k_all[0, :, h]), all_spans,
+                    q_offset=q_span[0])
+        raw = []
+        mi = 0
+        for s in spans:
+            raw.append(float(masses[mi]) if s[1] > s[0] else 0.0)
+            if s[1] > s[0]:
+                mi += 1
+        total = sum(raw)
+        return [r / total for r in raw] if total > 0 else raw
+
+    weights = llm.attention_forward(ids)
+    last = weights[-1][0]  # (heads, L, L)
+    att = last.mean(axis=0)  # (L, L) mean over heads
 
     def mass(src, dst) -> float:
         s0, s1 = src
