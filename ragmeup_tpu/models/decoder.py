@@ -259,6 +259,13 @@ class LlamaModel(nn.Module):
         return out
 
 
+def _next_pow2_int(x: int) -> int:
+    n = 1
+    while n < x:
+        n *= 2
+    return n
+
+
 def causal_bias(q_len: int, kv_len: int, q_offset: int = 0) -> jnp.ndarray:
     """(1, 1, q, kv) additive causal mask; query i at absolute pos q_offset+i
     may attend kv positions <= that."""
@@ -297,9 +304,11 @@ class LocalLLM:
         c = self.cfg
         L = ids.shape[1]
         positions = jnp.arange(L)
-        bias = causal_bias(L, L)
-        # mask out padding keys beyond `length`
-        kmask = jnp.where(jnp.arange(L) < length, 0.0, -1e30)[None, None, None, :]
+        # K/V length after the cache update is cache_len (>= L); causal
+        # masking over (L, cache_len) plus a padding mask beyond `length`
+        bias = causal_bias(L, cache_len)
+        kmask = jnp.where(jnp.arange(cache_len) < length,
+                          0.0, -1e30)[None, None, None, :]
         caches = [(jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype),
                    jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype))
                   for _ in range(c.num_layers)]
@@ -360,10 +369,59 @@ class LocalLLM:
         q, k = out["qk_last"]
         return np.asarray(q, np.float32), np.asarray(k, np.float32)
 
+    # -- fused generation loop ---------------------------------------------------
+    # One jit for the whole decode: a lax.while_loop steps the model against
+    # the KV cache, applies repetition penalty + temperature sampling on
+    # device, and stops on EOS — a single dispatch instead of one per token
+    # (the reference's HF pipeline steps host-side; so did our v0 loop).
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_steps"))
+    def _generate_fused(self, params, logits0, caches, pos0, seen0, key,
+                        temperature, rep_penalty, eos_arr, max_steps: int):
+        cache_len = caches[0][0].shape[1]
+        vocab = logits0.shape[-1]
+        out0 = jnp.full((max_steps,), -1, jnp.int32)
+
+        def cond(c):
+            return (~c["done"]) & (c["count"] < max_steps)
+
+        def body(c):
+            lg = c["logits"]
+            penal = jnp.where(lg > 0, lg / rep_penalty, lg * rep_penalty)
+            lg = jnp.where(c["seen"] & (rep_penalty != 1.0), penal, lg)
+            key, sub = jax.random.split(c["key"])
+            sampled = jax.random.categorical(
+                sub, lg / jnp.maximum(temperature, 1e-6))
+            greedy = jnp.argmax(lg)
+            tok = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+            is_eos = jnp.any(tok == eos_arr)
+            out = jnp.where(is_eos, c["out"], c["out"].at[c["count"]].set(tok))
+            count = jnp.where(is_eos, c["count"], c["count"] + 1)
+            seen = c["seen"].at[tok].set(True)
+            logits, caches = self._decode_impl(params, tok[None, None],
+                                               c["pos"], c["caches"])
+            pos = c["pos"] + 1
+            done = is_eos | (pos >= cache_len)
+            return {"logits": logits, "caches": caches, "pos": pos,
+                    "seen": seen, "key": key, "out": out, "count": count,
+                    "done": done}
+
+        init = {"logits": logits0, "caches": caches, "pos": pos0,
+                "seen": seen0, "key": key, "out": out0,
+                "count": jnp.int32(0), "done": jnp.bool_(False)}
+        final = jax.lax.while_loop(cond, body, init)
+        return final["out"], final["count"]
+
     def generate(self, prompt_ids: Sequence[int], max_new_tokens: int = 100,
                  temperature: float = 0.2, repetition_penalty: float = 1.1,
-                 seed: int = 0) -> List[int]:
+                 seed: int = 0, fused: bool = True) -> List[int]:
         """Sample continuation token ids (prompt not included)."""
+        # context-window guard: keep the prompt tail, reserving room to
+        # generate (the reference relies on HF truncation here)
+        max_prompt = self.cfg.max_seq_len - min(max_new_tokens,
+                                                self.cfg.max_seq_len // 2)
+        if len(prompt_ids) > max_prompt:
+            prompt_ids = list(prompt_ids)[-max_prompt:]
         n = len(prompt_ids)
         cache_len = self._bucket(n + max_new_tokens)
         L = self._bucket(n)
@@ -372,6 +430,19 @@ class LocalLLM:
         logits, caches = self._prefill(self.params, jnp.asarray(padded),
                                        jnp.int32(n), cache_len=cache_len)
         key = jax.random.PRNGKey(seed)
+        if fused:
+            steps = _next_pow2_int(max_new_tokens)
+            seen0 = jnp.zeros((self.cfg.vocab_size,), bool)
+            if repetition_penalty and repetition_penalty != 1.0 and n:
+                seen0 = seen0.at[jnp.asarray(list(set(map(int, prompt_ids))),
+                                             jnp.int32)].set(True)
+            eos = sorted(self.eos_ids) or [-1]
+            out, count = self._generate_fused(
+                self.params, logits, caches, jnp.int32(n), seen0, key,
+                jnp.float32(temperature), jnp.float32(repetition_penalty),
+                jnp.asarray(eos, jnp.int32), max_steps=steps)
+            count = min(int(count), max_new_tokens)
+            return [int(t) for t in np.asarray(out)[:count]]
         out: List[int] = []
         seen = set(int(t) for t in prompt_ids)
         pos = n

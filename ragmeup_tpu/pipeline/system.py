@@ -64,6 +64,21 @@ class RagSystem:
                     self.llm, assistant_token=cfg.model.llm_assistant_token)
         self.backend = backend
         self.extra_retrievers = list(extra_retrievers)
+        # GraphRAG wiring (cloud helper's graph_retriever hook,
+        # RAGHelper_cloud.py:202-278): native in-process store or a remote
+        # sidecar speaking the reference contract
+        self.graph = None
+        if cfg.graph.enabled:
+            if cfg.graph.backend == "http" and cfg.graph.neo4j_location:
+                from ragmeup_tpu.graph.client import RemoteGraphClient
+                self.graph = RemoteGraphClient(cfg.graph.neo4j_location)
+            else:
+                from ragmeup_tpu.graph.store import PropertyGraph
+                self.graph = PropertyGraph(
+                    os.path.join(cfg.data.index_directory, "graph.json"))
+            from ragmeup_tpu.graph.retriever import GraphRetriever
+            self.extra_retrievers.append(
+                GraphRetriever(self.graph, self.backend, cfg.prompts))
 
         self.store: ChunkStore = ChunkStore(cfg.data.index_directory)
         self.dense: Optional[DenseIndex] = None
@@ -146,6 +161,22 @@ class RagSystem:
         """Ingest one file incrementally; returns number of new chunks."""
         d = self.cfg.data
         raw = load_file(path, d.json_schema, d.json_text_content, d.xml_xpath)
+        # graph upload hooks (RAGHelper.add_document, RAGHelper.py:712-737):
+        # CSVs become graph rows; other docs optionally run LLM extraction
+        if self.graph is not None:
+            try:
+                if path.lower().endswith(".csv"):
+                    from ragmeup_tpu.graph.retriever import csv_to_graph
+                    csv_to_graph(self.graph, path)
+                elif self.cfg.graph.file_upload_using_llm:
+                    from ragmeup_tpu.graph.retriever import text_to_graph_llm
+                    for doc in raw:
+                        text_to_graph_llm(
+                            self.graph, self.backend, self.cfg.prompts,
+                            doc.content,
+                            dynamic_schema=self.cfg.graph.dynamic_schema)
+            except Exception as e:  # graph upload is best-effort
+                logger.warning("graph upload failed for %s: %s", path, e)
         chunks = filter_metadata(self._splitter().split_chunks(raw))
         rows = self.store.add(chunks)
         if rows:

@@ -175,3 +175,19 @@ def test_llama_params_from_hf_and_quant(rng):
 def test_generate_text_roundtrip(llm):
     out = llm.generate_text("hello world", max_new_tokens=3, temperature=0.0)
     assert isinstance(out, str)
+
+
+def test_fused_matches_stepwise(llm):
+    prompt = [5, 17, 101, 42]
+    for temp, rp, seed in [(0.0, 1.0, 0), (0.0, 5.0, 0)]:
+        f = llm.generate(prompt, max_new_tokens=6, temperature=temp,
+                         repetition_penalty=rp, seed=seed, fused=True)
+        s = llm.generate(prompt, max_new_tokens=6, temperature=temp,
+                         repetition_penalty=rp, seed=seed, fused=False)
+        assert f == s, (temp, rp)
+
+
+def test_fused_eos_and_cap(llm):
+    g = llm.generate([5, 6], max_new_tokens=3, temperature=0.0,
+                     repetition_penalty=1.0, fused=True)
+    assert len(g) <= 3

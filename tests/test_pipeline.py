@@ -326,3 +326,39 @@ def test_system_list_documents(system_dirs):
     sys1 = _tiny_system(data_dir, idx_dir)
     docs = sys1.list_documents()
     assert any(d.endswith("fox.txt") for d in docs)
+
+
+def test_system_with_graph_enabled(system_dirs, tmp_path):
+    """GraphRAG wiring: csv upload lands in the graph; graph retriever's
+    Chunk joins the documents, prioritized and capped."""
+    data_dir, idx_dir = system_dirs
+    cfg = RagConfig()
+    cfg.data.data_directory = data_dir
+    cfg.data.index_directory = idx_dir + "_g"
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.dense_dtype = "float32"
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+    cfg.graph.enabled = True
+
+    class _Enc:
+        def encode(self, texts):
+            return _hash_embed(texts)
+    backend = StaticChatBackend(
+        rules=[("Cypher", "MATCH (r:Row) RETURN r.topic"),
+               ("generate a Cypher", "MATCH (r:Row) RETURN r.topic")],
+        default="answer")
+    system = RagSystem(cfg, encoder=_Enc(), backend=backend)
+    assert system.graph is not None
+
+    csv = tmp_path / "topics.csv"
+    csv.write_text("topic,notes\nquantum,stuff\nfoxes,things\n")
+    system.add_document(str(csv))
+    rows = system.graph.run("MATCH (r:Row) RETURN r.topic")
+    assert sorted(r["r.topic"] for r in rows) == ["foxes", "quantum"]
+
+    out = system.chat("what topics are available?")
+    assert any(d["s"] == "graph_db" for d in out["documents"])
+    # graph doc comes first (prioritized, RAGHelper_cloud.py:170-200)
+    assert out["documents"][0]["s"] == "graph_db"
