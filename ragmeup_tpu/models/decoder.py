@@ -85,21 +85,24 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 class QuantDense(nn.Module):
-    """Weight-only int8 linear (per-output-channel scale); falls back to a
-    plain kernel when quantization is off."""
+    """Weight-only int8/int4 linear (per-output-channel scale); falls back
+    to a plain kernel when quantization is off. int4 is the TPU-native
+    counterpart of the reference's 4-bit nf4 (RAGHelper_local.py:76-89)."""
 
     features: int
     names: Tuple[str, str]
     quantize: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    bits: int = 8
 
     @nn.compact
     def __call__(self, x):
         d_in = x.shape[-1]
         if self.quantize:
+            qdtype = jnp.int4 if self.bits == 4 else jnp.int8
             w = self.param("kernel_q", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), self.names),
-                (d_in, self.features), jnp.int8)
+                (d_in, self.features), qdtype)
             s = self.param("scale", nn.with_logical_partitioning(
                 nn.initializers.ones_init(), (self.names[1],)),
                 (self.features,), jnp.float32)
@@ -119,10 +122,11 @@ class LlamaAttention(nn.Module):
         c = self.cfg
         b, s, _ = x.shape
         hd, nh, nkv = c.head_dim, c.num_heads, c.num_kv_heads
-        quant = c.quantization == "int8"
-        q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, name="q_proj")(x)
-        k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, name="k_proj")(x)
-        v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, name="v_proj")(x)
+        quant = c.quantization in ("int8", "int4")
+        bits = 4 if c.quantization == "int4" else 8
+        q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, name="q_proj")(x)
+        k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, name="k_proj")(x)
+        v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, name="v_proj")(x)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
@@ -167,7 +171,7 @@ class LlamaAttention(nn.Module):
                              preferred_element_type=c.jdtype)
         out = out.reshape(b, s, nh * hd)
         out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
-                         name="o_proj")(out)
+                         bits, name="o_proj")(out)
         aux = None
         if capture_weights == "qk":
             aux = (q, k)
@@ -182,13 +186,14 @@ class LlamaMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        quant = c.quantization == "int8"
+        quant = c.quantization in ("int8", "int4")
+        bits = 4 if c.quantization == "int4" else 8
         g = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                       name="gate_proj")(x)
+                       bits, name="gate_proj")(x)
         u = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                       name="up_proj")(x)
+                       bits, name="up_proj")(x)
         return QuantDense(c.hidden_size, ("mlp", "embed"), quant, c.jdtype,
-                          name="down_proj")(nn.silu(g) * u)
+                          bits, name="down_proj")(nn.silu(g) * u)
 
 
 class LlamaBlock(nn.Module):

@@ -226,16 +226,21 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
     return params
 
 
-def quantize_decoder_params(params: dict) -> dict:
-    """Post-load weight-only int8 quantization (per-output-channel scales).
+def quantize_decoder_params(params: dict, bits: int = 8) -> dict:
+    """Post-load weight-only int8/int4 quantization (per-output-channel
+    scales). Transforms every QuantDense 'kernel' into ('kernel_q',
+    'scale') so the tree matches a LlamaConfig with quantization='int8' /
+    'int4'. The TPU-native replacement for bitsandbytes nf4 (reference
+    RAGHelper_local.py:76-89)."""
+    qmax = 7 if bits == 4 else 127
 
-    Transforms every QuantDense 'kernel' into ('kernel_q', 'scale') so the
-    tree matches a LlamaConfig with quantization='int8'. The TPU-native
-    replacement for bitsandbytes nf4 (reference RAGHelper_local.py:76-89)."""
     def quant(w: np.ndarray):
         amax = np.abs(w).max(axis=0, keepdims=True)
-        scale = np.maximum(amax, 1e-8) / 127.0
-        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        scale = np.maximum(amax, 1e-8) / qmax
+        q = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
+        if bits == 4:
+            import jax.numpy as jnp
+            q = jnp.asarray(q, jnp.int4)
         return q, scale[0].astype(np.float32)
 
     def walk(node):
@@ -260,8 +265,9 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
         cfg = llama_config_from_hf(checkpoint_dir, quantization)
         tensors = load_safetensors(checkpoint_dir)
         params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
-        if quantization == "int8":
-            params = quantize_decoder_params(params)
+        if quantization in ("int8", "int4"):
+            params = quantize_decoder_params(
+                params, bits=4 if quantization == "int4" else 8)
         tok = load_tokenizer(checkpoint_dir, cfg.vocab_size)
         eos = []
         gen_cfg = os.path.join(checkpoint_dir, "generation_config.json")

@@ -191,3 +191,17 @@ def test_fused_eos_and_cap(llm):
     g = llm.generate([5, 6], max_new_tokens=3, temperature=0.0,
                      repetition_penalty=1.0, fused=True)
     assert len(g) <= 3
+
+
+def test_int4_quantization(rng):
+    cfg = LlamaConfig.tiny(tie_embeddings=False)
+    tensors = _fake_hf_llama(cfg, rng)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=params)
+    logits = llm.forward_logits([3, 4, 5])
+    q4cfg = LlamaConfig.tiny(tie_embeddings=False, quantization="int4")
+    q4params = quantize_decoder_params(params, bits=4)
+    q4llm = LocalLLM(q4cfg, SimpleTokenizer(q4cfg.vocab_size), params=q4params)
+    q4logits = q4llm.forward_logits([3, 4, 5])
+    corr = np.corrcoef(logits, q4logits)[0, 1]
+    assert corr > 0.95  # int4 looser than int8 but still faithful

@@ -173,3 +173,38 @@ def test_decoder_loss_masking():
     full = decoder_loss(logits, ids, jnp.ones((1, 4), jnp.int32))
     # uniform logits → loss = log(8) regardless of mask
     np.testing.assert_allclose(float(full), np.log(8), rtol=1e-5)
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaModel
+    from ragmeup_tpu.train.train import make_decoder_train_step
+    from ragmeup_tpu.train.checkpoint import (
+        latest_checkpoint, restore_train_state, save_train_state,
+    )
+    mesh = make_mesh((2, 2, 2))
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2)
+    model = LlamaModel(cfg)
+    batch = {"ids": np.random.default_rng(0).integers(
+                 0, cfg.vocab_size, (4, 16)).astype(np.int32),
+             "mask": np.ones((4, 16), np.int32)}
+    state, step = make_decoder_train_step(model, mesh, example_batch=batch,
+                                          learning_rate=1e-3)
+    state, _ = step(state, batch)
+    state, m1 = step(state, batch)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_train_state(ckpt_dir + "/", state)
+    # resume: fresh template, restore, and continue — losses must match a
+    # run that never stopped
+    state2, step2 = make_decoder_train_step(model, mesh, example_batch=batch,
+                                            learning_rate=1e-3)
+    path = latest_checkpoint(ckpt_dir + "/")
+    assert path is not None and path.endswith("step_2")
+    restored = restore_train_state(path, state2)
+    assert int(restored.step) == 2
+    cont, m_cont = step(restored, batch)
+    straight, m_straight = step(state, batch)
+    np.testing.assert_allclose(float(m_cont["loss"]),
+                               float(m_straight["loss"]), rtol=1e-5)
+    # params actually restored onto the mesh shardings
+    qk = restored.params["layer_0"]["attention"]["q_proj"]["kernel"]
+    assert "model" in str(qk.sharding.spec)
