@@ -117,15 +117,13 @@ def main():
     dense.add(vecs)
     log(f"dense index built in {time.perf_counter()-t0:.1f}s")
 
+    from ragmeup_tpu.retrieval.hybrid import hybrid_fused_search
+
     def tpu_hybrid():
-        s_hits = sparse.search(queries, K)
-        d_hits = dense.search(qvecs, K, search_type="similarity")
-        return [
-            [r for r, _ in rrf_fuse([[r for r, _ in s_hits[i]],
-                                     [r for r, _ in d_hits[i]]],
-                                    weights=WEIGHTS, c=RRF_C, k=K)]
-            for i in range(BQ)
-        ]
+        # one fused device program: dense top-k + BM25 + RRF
+        fused = hybrid_fused_search(dense, sparse, queries, qvecs, K,
+                                    weights=WEIGHTS, rrf_c=RRF_C)
+        return [[r for r, _ in row] for row in fused]
 
     log("warmup/compile...")
     t0 = time.perf_counter()

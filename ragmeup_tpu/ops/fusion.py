@@ -84,3 +84,53 @@ def mmr_select(query_vec: np.ndarray, cand_vecs: np.ndarray, k: int,
         mmr = lambda_mult * rel[remaining] - (1.0 - lambda_mult) * max_sim_sel
         selected.append(remaining[int(np.argmax(mmr))])
     return selected
+
+
+# ---------------------------------------------------------------------------
+# Device-side RRF (one jit with the retrieval kernels — no host loop)
+# ---------------------------------------------------------------------------
+
+def rrf_fuse_device(ids_a, ids_b, w_a: float, w_b: float, c: int, k: int):
+    """Weighted RRF of two ranked id lists on device.
+
+    ids_a/ids_b: (b, ka/kb) int32 ranked ids, -1 = empty slot. Returns
+    (fused_scores (b, k), fused_ids (b, k)), ids -1-padded. Tie-break:
+    higher score first, then earlier first-appearance in [a | b] order
+    (matching the host rrf_fuse semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, ka = ids_a.shape
+    kb = ids_b.shape[1]
+    ranks_a = jnp.arange(ka, dtype=jnp.float32)
+    ranks_b = jnp.arange(kb, dtype=jnp.float32)
+    sc_a = jnp.where(ids_a >= 0, w_a / (ranks_a[None, :] + 1 + c), 0.0)
+    sc_b = jnp.where(ids_b >= 0, w_b / (ranks_b[None, :] + 1 + c), 0.0)
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)          # (b, ka+kb)
+    scores = jnp.concatenate([sc_a, sc_b], axis=1)
+    pos = jnp.broadcast_to(jnp.arange(ka + kb, dtype=jnp.int32)[None, :],
+                           ids.shape)
+    # sort by id so duplicates are adjacent (-1 padding sorts first)
+    ids_s, sc_s, pos_s = jax.lax.sort((ids, scores, pos), num_keys=1)
+    # sum scores of adjacent equal ids into the FIRST occurrence, take the
+    # min pos; mark later duplicates dead
+    same_prev = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+    # segment-sum via two-pass: suffix trick — since duplicates come from 2
+    # lists, a run has length <= 2; handle pairwise
+    nxt_same = jnp.concatenate(
+        [ids_s[:, 1:] == ids_s[:, :-1], jnp.zeros((b, 1), bool)], axis=1)
+    sc_merged = jnp.where(nxt_same, sc_s + jnp.roll(sc_s, -1, axis=1), sc_s)
+    pos_merged = jnp.where(nxt_same,
+                           jnp.minimum(pos_s, jnp.roll(pos_s, -1, axis=1)),
+                           pos_s)
+    alive = (~same_prev) & (ids_s >= 0)
+    sc_final = jnp.where(alive, sc_merged, -1.0)
+    pos_final = jnp.where(alive, pos_merged, jnp.int32(2**30))
+    # rank by (-score, first-appearance); one two-key sort carries ids along
+    neg, _, ids_sorted = jax.lax.sort((-sc_final, pos_final, ids_s),
+                                      num_keys=2)
+    sc_sorted = -neg[:, :k]
+    valid = sc_sorted > 0
+    return (jnp.where(valid, sc_sorted, 0.0),
+            jnp.where(valid, ids_sorted[:, :k], -1))

@@ -48,10 +48,19 @@ class HybridRetriever:
 
     def retrieve_rows(self, query: str, k: Optional[int] = None
                       ) -> List[tuple]:
-        """Hybrid top-k as (row, fused_score) pairs."""
+        """Hybrid top-k as (row, fused_score) pairs.
+
+        Similarity mode takes the fused one-dispatch device path (dense
+        top-k + BM25 + RRF in one program); MMR needs the candidate
+        diversity pass and stays on the two-call path."""
         k = k or self.k
-        sparse_hits = self.sparse.search([query], k, re2_prompt=self.re2_prompt)[0]
         qv = np.asarray(self.embed_query_fn([query]))
+        if self.search_type != "mmr" and self.dense.dtype != "int8":
+            return hybrid_fused_search(
+                self.dense, self.sparse, [query], qv, k,
+                weights=self.weights, rrf_c=self.rrf_c,
+                re2_prompt=self.re2_prompt)[0]
+        sparse_hits = self.sparse.search([query], k, re2_prompt=self.re2_prompt)[0]
         dense_hits = self.dense.search(qv, k, search_type=self.search_type,
                                        fetch_k=self.mmr_fetch_k,
                                        mmr_lambda=self.mmr_lambda)[0]
@@ -77,3 +86,82 @@ class HybridRetriever:
         if do_rerank and chunks:
             chunks = self.reranker.rerank(query, chunks, top_n=self.rerank_k)
         return chunks
+
+
+# ---------------------------------------------------------------------------
+# Fused hybrid search: dense top-k + BM25 + RRF in ONE device program
+# (one dispatch per query batch — the serving hot path)
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ragmeup_tpu.ops.topk import NEG_INF, _dense_topk_call, _pad_rows
+from ragmeup_tpu.ops.fusion import rrf_fuse_device
+from ragmeup_tpu.retrieval.sparse import _bm25_score_topk
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "tile_n", "interpret", "nq", "cap", "has_head", "has_tail",
+    "w_sparse", "w_dense", "rrf_c", "k1", "b"))
+def _hybrid_fused(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
+                  qid_cat, smask, k: int, tile_n: int, interpret: bool,
+                  nq: int, cap: int, has_head: bool, has_tail: bool,
+                  w_sparse: float, w_dense: float, rrf_c: int,
+                  k1: float, b: float):
+    ds, di = _dense_topk_call(qv, corpus_t, dmask, k, tile_n, interpret)
+    ds, di = ds[:nq], di[:nq]  # drop row padding
+    di = jnp.where(ds > NEG_INF / 2, di, -1)
+    ss, si = _bm25_score_topk(qsel, head, docs_cat, con_cat, qid_cat, smask,
+                              k=k, nq=nq, cap=cap, has_head=has_head,
+                              has_tail=has_tail)
+    si = jnp.where(ss > 0, si, -1)
+    return rrf_fuse_device(si, di, w_sparse, w_dense, rrf_c, k)
+
+
+def hybrid_fused_search(dense, sparse, queries, qvecs, k,
+                        weights=(0.5, 0.5), rrf_c: int = 60,
+                        re2_prompt=None):
+    """Batched hybrid top-k over both indexes with device-side RRF.
+
+    Returns per-query lists of (row, fused_score). Falls back to the
+    two-call path for int8 dense mode or empty indexes."""
+    nq = len(queries)
+    if dense.n == 0 and sparse.n == 0:
+        return [[] for _ in range(nq)]
+    from ragmeup_tpu.ops.fusion import rrf_fuse as _host_rrf
+    if dense.dtype == "int8" or dense.n == 0 or sparse.live_count == 0:
+        s_hits = sparse.search(queries, k, re2_prompt=re2_prompt)
+        d_hits = dense.search(qvecs, k) if dense.n else [[] for _ in range(nq)]
+        return [
+            _host_rrf([[r for r, _ in s_hits[i]], [r for r, _ in d_hits[i]]],
+                      weights=weights, c=rrf_c, k=k)
+            for i in range(nq)
+        ]
+    q = np.asarray(qvecs, np.float32)
+    if dense.normalize:
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    inputs = sparse.build_query_inputs(queries, re2_prompt)
+    kk = min(k, max(dense.n - len(dense.dead), 1))
+    if inputs is None:
+        d_hits = dense.search(qvecs, k)
+        return [[(r, 1.0 / (rank + 1 + rrf_c) * weights[1])
+                 for rank, (r, _) in enumerate(d_hits[i])]
+                for i in range(nq)]
+    qp, nb = _pad_rows(jnp.asarray(q))
+    interpret = jax.default_backend() != "tpu"
+    fs, fi = _hybrid_fused(
+        qp, dense._corpus_t, dense._mask,
+        jnp.asarray(inputs["qsel"]), inputs["dev"]["head"],
+        jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
+        jnp.asarray(inputs["qid_cat"]), inputs["dev"]["mask"],
+        k=kk, tile_n=dense.tile_n, interpret=interpret, nq=nq,
+        cap=inputs["cap"], has_head=inputs["has_head"],
+        has_tail=inputs["has_tail"], w_sparse=weights[0],
+        w_dense=weights[1], rrf_c=rrf_c, k1=sparse.k1, b=sparse.b)
+    fs = np.asarray(fs)
+    fi = np.asarray(fi)
+    return [[(int(r), float(s)) for r, s in zip(fi[i], fs[i]) if r >= 0]
+            for i in range(nq)]

@@ -272,16 +272,15 @@ class BM25Index:
 
     # -- query --------------------------------------------------------------------
 
-    def search(self, queries: Sequence[str], k: int,
-               re2_prompt: Optional[str] = None) -> List[List[Tuple[int, float]]]:
-        """BM25 top-k per query string: one head matmul + tail scatter.
-        Returns per-query lists of (row, score>0), desc."""
-        if self.n == 0 or self.live_count == 0:
-            return [[] for _ in queries]
+    def build_query_inputs(self, queries: Sequence[str],
+                           re2_prompt: Optional[str] = None):
+        """Host-side query preparation shared by search() and the fused
+        hybrid path: one-hot head-term selector + concatenated tail posting
+        stream (padded to a power of two). Returns None when no query term
+        is in the vocabulary."""
         dev = self._flush()
         cap = dev["cap"]
         nq = len(queries)
-        k = min(k, self.live_count)
         n_head = len(dev["head_terms"])
         qsel = np.zeros((nq, max(n_head, 1)), np.float32)
         doc_l, con_l, qid_l = [], [], []
@@ -302,7 +301,7 @@ class BM25Index:
                     qid_l.append(np.full(hi - lo, qi, np.int32))
         has_tail = bool(doc_l)
         if not has_tail and not any_head:
-            return [[] for _ in queries]
+            return None
         if has_tail:
             docs_cat = np.concatenate(doc_l)
             L = _next_pow2(max(len(docs_cat), 1))
@@ -314,6 +313,28 @@ class BM25Index:
             docs_cat = np.full(1, cap, np.int32)
             con_cat = np.zeros(1, np.float32)
             qid_cat = np.zeros(1, np.int32)
+        return {"dev": dev, "qsel": qsel, "docs_cat": docs_cat,
+                "con_cat": con_cat, "qid_cat": qid_cat,
+                "has_head": n_head > 0, "has_tail": has_tail, "cap": cap}
+
+    def search(self, queries: Sequence[str], k: int,
+               re2_prompt: Optional[str] = None) -> List[List[Tuple[int, float]]]:
+        """BM25 top-k per query string: one head matmul + tail scatter.
+        Returns per-query lists of (row, score>0), desc."""
+        if self.n == 0 or self.live_count == 0:
+            return [[] for _ in queries]
+        inputs = self.build_query_inputs(queries, re2_prompt)
+        if inputs is None:
+            return [[] for _ in queries]
+        dev = inputs["dev"]
+        cap = inputs["cap"]
+        nq = len(queries)
+        k = min(k, self.live_count)
+        qsel, docs_cat, con_cat, qid_cat = (
+            inputs["qsel"], inputs["docs_cat"], inputs["con_cat"],
+            inputs["qid_cat"])
+        has_tail = inputs["has_tail"]
+        n_head = len(dev["head_terms"])
         s, idx = _bm25_score_topk(
             jnp.asarray(qsel), dev["head"], jnp.asarray(docs_cat),
             jnp.asarray(con_cat), jnp.asarray(qid_cat), dev["mask"],
