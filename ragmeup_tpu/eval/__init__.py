@@ -14,3 +14,10 @@ __all__ = [
     "hallucination_score",
     "retrieval_recall_at_k",
 ]
+
+from ragmeup_tpu.eval.metrics import (  # noqa: E402
+    counterfactual_error_handling, long_distance_information_extraction,
+)
+
+__all__ += ["counterfactual_error_handling",
+            "long_distance_information_extraction"]

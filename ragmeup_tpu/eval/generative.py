@@ -76,6 +76,12 @@ def evaluate_pairs(system, pairs: List[Dict],
                 "contextual_recall": M.contextual_recall(enc, pair["ground_truth"], contexts),
                 "contextual_relevancy": M.contextual_relevancy(enc, pair["question"], contexts),
                 "hallucination": M.hallucination_score(enc, out["reply"], contexts),
+                # the reference's two custom metrics (DeepEval_eval.py:58-126)
+                "counterfactual_error_handling": M.counterfactual_error_handling(
+                    enc, pair["question"], out["reply"], contexts),
+                "long_distance_information_extraction":
+                    M.long_distance_information_extraction(
+                        enc, pair["question"], out["reply"], contexts),
             }
             passed = {
                 "answer_relevancy": scores["answer_relevancy"] >= th.answer_relevancy_threshold,
@@ -84,6 +90,10 @@ def evaluate_pairs(system, pairs: List[Dict],
                 "contextual_recall": scores["contextual_recall"] >= th.contextual_recall_threshold,
                 "contextual_relevancy": scores["contextual_relevancy"] >= th.contextual_relevancy_threshold,
                 "hallucination": scores["hallucination"] <= th.hallucination_threshold,
+                "counterfactual_error_handling":
+                    scores["counterfactual_error_handling"] >= th.correctness_threshold,
+                "long_distance_information_extraction":
+                    scores["long_distance_information_extraction"] >= th.correctness_threshold,
             }
             results.append({"question": pair["question"],
                             "answer": out["reply"],

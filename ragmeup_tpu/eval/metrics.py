@@ -121,3 +121,89 @@ def retrieval_recall_at_k(retrieved_ids: Sequence[Sequence],
         g = set(list(got)[:k])
         recs.append(len(g & w) / len(w))
     return float(np.mean(recs)) if recs else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Custom metrics (reference DeepEval_eval.py:58-126 defines these two as
+# custom GEval metrics; here: a deterministic embedding variant each, plus
+# the LLM-judge formulation for when a chat backend is supplied)
+# ---------------------------------------------------------------------------
+
+COUNTERFACTUAL_JUDGE_PROMPT = (
+    "You are grading an assistant's answer. The user's question contains a "
+    "false or unanswerable premise given the provided context. A good "
+    "answer refuses, corrects the premise, or states the context does not "
+    "support it; a bad answer plays along and invents details.\n\n"
+    "Question: {question}\nContext:\n{context}\nAnswer: {answer}\n\n"
+    "Score 0-10 (10 = clearly flags/corrects the false premise). Reply "
+    "with only the number.")
+
+LONG_DISTANCE_JUDGE_PROMPT = (
+    "You are grading whether an answer integrates information spread "
+    "across MULTIPLE retrieved documents rather than relying on one.\n\n"
+    "Question: {question}\nDocuments:\n{context}\nAnswer: {answer}\n\n"
+    "Score 0-10 (10 = synthesizes several documents correctly). Reply with "
+    "only the number.")
+
+_REFUSAL_MARKERS = (
+    "cannot", "can't", "not mention", "no information", "not provided",
+    "does not", "doesn't", "unable", "not found", "not contain", "unknown",
+    "not stated", "no mention", "incorrect", "false premise", "not support",
+)
+
+
+def counterfactual_error_handling(encoder, question: str, answer: str,
+                                  contexts: Sequence[str],
+                                  chat_fn=None) -> float:
+    """CounterfactualErrorHandling (DeepEval_eval.py:58-89): did the
+    pipeline avoid hallucinating an answer to a question the contexts
+    cannot support?
+
+    With a chat_fn, uses the LLM-judge formulation. Deterministic variant:
+    high score when the answer either (a) signals refusal/correction or
+    (b) stays faithful to the contexts; low when it confidently asserts
+    unsupported content."""
+    if chat_fn is not None:
+        prompt = (COUNTERFACTUAL_JUDGE_PROMPT
+                  .replace("{question}", question)
+                  .replace("{context}", "\n".join(contexts))
+                  .replace("{answer}", answer))
+        return llm_judge_score(chat_fn, prompt)
+    low = answer.lower()
+    refused = any(m in low for m in _REFUSAL_MARKERS)
+    if refused:
+        return 1.0
+    # no refusal → the answer must at least be grounded in the contexts
+    return faithfulness(encoder, answer, contexts)
+
+
+def long_distance_information_extraction(encoder, question: str, answer: str,
+                                         contexts: Sequence[str],
+                                         support_threshold: float = 0.6,
+                                         chat_fn=None) -> float:
+    """LongDistanceInformationExtraction (DeepEval_eval.py:92-126): does
+    the answer draw on information spread across multiple contexts?
+
+    Deterministic variant: the fraction of *relevant* contexts (relevant to
+    the question) that actually support some sentence of the answer — 1.0
+    when every relevant context contributes, → 0 when the answer leans on
+    a single chunk despite several relevant ones."""
+    if chat_fn is not None:
+        prompt = (LONG_DISTANCE_JUDGE_PROMPT
+                  .replace("{question}", question)
+                  .replace("{context}", "\n".join(contexts))
+                  .replace("{answer}", answer))
+        return llm_judge_score(chat_fn, prompt)
+    if not contexts:
+        return 0.0
+    sents = split_sentences(answer) or [answer]
+    embs = _embed(encoder, [question] + list(sents) + list(contexts))
+    qv = embs[0]
+    s = embs[1:1 + len(sents)]
+    c = embs[1 + len(sents):]
+    relevant = ((c @ qv + 1.0) / 2.0) >= support_threshold
+    if not relevant.any():
+        return 0.0
+    support = ((s @ c.T + 1.0) / 2.0).max(axis=0)  # best answer-sentence per ctx
+    used = (support >= support_threshold) & relevant
+    return float(used.sum() / relevant.sum())

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -80,6 +81,10 @@ class RagSystem:
             self.extra_retrievers.append(
                 GraphRetriever(self.graph, self.backend, cfg.prompts))
 
+        # index mutation is serialized; the query path is purely functional
+        # (SURVEY.md §5.2 — the reference shares a psycopg2 cursor across
+        # Flask threads instead)
+        self._mutation_lock = threading.RLock()
         self.store: ChunkStore = ChunkStore(cfg.data.index_directory)
         self.dense: Optional[DenseIndex] = None
         self.sparse: Optional[BM25Index] = None
@@ -159,6 +164,10 @@ class RagSystem:
 
     def add_document(self, path: str) -> int:
         """Ingest one file incrementally; returns number of new chunks."""
+        with self._mutation_lock:
+            return self._add_document_locked(path)
+
+    def _add_document_locked(self, path: str) -> int:
         d = self.cfg.data
         raw = load_file(path, d.json_schema, d.json_text_content, d.xml_xpath)
         # graph upload hooks (RAGHelper.add_document, RAGHelper.py:712-737):
@@ -190,6 +199,10 @@ class RagSystem:
 
     def delete_document(self, source: str) -> int:
         """Tombstone all chunks of a source everywhere; returns count."""
+        with self._mutation_lock:
+            return self._delete_document_locked(source)
+
+    def _delete_document_locked(self, source: str) -> int:
         rows = self.store.delete_source(source)
         if rows:
             self.dense.delete_rows(rows)
@@ -199,6 +212,10 @@ class RagSystem:
 
     def compact(self) -> None:
         """Rewrite artifacts densely (periodic maintenance)."""
+        with self._mutation_lock:
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         mapping = self.store.compact()
         self.dense.compact(mapping)
         # sparse index rebuild from live texts (postings reference rows)
