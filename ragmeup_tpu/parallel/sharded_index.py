@@ -165,3 +165,54 @@ class ShardedDenseIndex:
         return [[(int(ix), float(sv)) for ix, sv in zip(i[r], s[r])
                  if sv > NEG_INF / 2]
                 for r in range(q.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# Corpus-sharded BM25 scoring (the sparse engine's multi-chip path)
+# ---------------------------------------------------------------------------
+
+def sharded_bm25_topk(mesh: Mesh, qsel, head, docs_cat, con_cat, qid_cat,
+                      mask, k: int, nq: int, cap: int):
+    """BM25 top-k with the contribution head matrix and tombstone mask
+    column-sharded over the 'corpus' axis.
+
+    Inputs match retrieval.sparse._bm25_score_topk: qsel (nq, H) one-hot
+    (replicated), head (H, cap), tail stream docs/con/qid (replicated —
+    tiny), mask (cap,). Each shard scores its column range (head matmul +
+    the tail postings that fall inside it), takes a local top-k with global
+    ids, and one all_gather + two-key merge yields the exact global result
+    (ties to the lowest doc id)."""
+    import jax.numpy as jnp
+
+    n_shards = mesh.shape["corpus"]
+    if cap % n_shards != 0:
+        raise ValueError(f"cap {cap} not divisible by corpus axis {n_shards}")
+    shard_cap = cap // n_shards
+
+    def per_shard(qsel_l, head_l, docs_l, con_l, qid_l, mask_l):
+        idx = jax.lax.axis_index("corpus")
+        lo = idx * shard_cap
+        scores = jnp.zeros((nq, shard_cap + 1), jnp.float32)
+        scores = scores.at[:, :shard_cap].add(
+            jnp.dot(qsel_l, head_l, preferred_element_type=jnp.float32))
+        local = docs_l - lo
+        in_range = (local >= 0) & (local < shard_cap)
+        local = jnp.where(in_range, local, shard_cap)  # spill slot
+        contrib = jnp.where(in_range, con_l, 0.0)
+        flat = scores.reshape(-1)
+        flat = flat.at[qid_l * (shard_cap + 1) + local].add(contrib)
+        scores = flat.reshape(nq, shard_cap + 1)[:, :shard_cap] + mask_l[None, :]
+        kk = min(k, shard_cap)
+        ls, li = jax.lax.top_k(scores, kk)
+        gi = li + lo
+        all_s = jax.lax.all_gather(ls, "corpus", axis=0)
+        all_i = jax.lax.all_gather(gi, "corpus", axis=0)
+        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(nq, -1)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(nq, -1)
+        return _merge_sorted(cat_s, cat_i, k)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(None, "corpus"), P(), P(), P(), P("corpus")),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(qsel, head, docs_cat, con_cat, qid_cat, mask)

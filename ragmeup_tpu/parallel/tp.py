@@ -1,0 +1,48 @@
+"""Tensor-parallel inference: shard a flax model's forward over the mesh.
+
+SURVEY.md §2.4 row "TP for model forwards": Megatron-style sharding of the
+embedder / cross-encoder / LLM over the ``model`` mesh axis for models too
+large for one chip. The modules already carry flax logical partitioning
+names (models/layers.py, models/decoder.py); this helper places a host
+param tree onto the mesh per those rules and returns a jitted apply whose
+collectives XLA inserts from the shardings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+from flax import linen as nn
+
+from ragmeup_tpu.parallel.mesh import LOGICAL_RULES
+
+
+def model_param_shardings(model: nn.Module, mesh, init_args: tuple,
+                          init_kwargs: Optional[dict] = None):
+    """NamedShardings for the model's params from its logical metadata."""
+    init_kwargs = init_kwargs or {}
+    abs_vars = jax.eval_shape(
+        functools.partial(model.init, jax.random.PRNGKey(0), *init_args,
+                          **init_kwargs))
+    specs = nn.get_partition_spec(abs_vars)["params"]
+    return nn.logical_to_mesh_sharding(specs, mesh, LOGICAL_RULES)
+
+
+def tp_shard_model(model: nn.Module, params, mesh, init_args: tuple,
+                   init_kwargs: Optional[dict] = None):
+    """Place `params` (host or single-device tree) onto the mesh per the
+    logical rules and return (sharded_params, jitted_apply).
+
+    jitted_apply(params, *args, **kwargs) == model.apply({'params': ...}).
+    Activations follow from the param shardings (XLA propagates); batch
+    inputs can additionally be sharded P('data', ...) by the caller."""
+    shardings = model_param_shardings(model, mesh, init_args, init_kwargs)
+    sharded = jax.device_put(params, shardings)
+
+    @functools.partial(jax.jit, static_argnames=("method",))
+    def apply_fn(p, *args, method: Optional[str] = None, **kwargs):
+        return model.apply({"params": p}, *args, **kwargs)
+
+    return sharded, apply_fn

@@ -208,3 +208,63 @@ def test_train_checkpoint_roundtrip(tmp_path):
     # params actually restored onto the mesh shardings
     qk = restored.params["layer_0"]["attention"]["q_proj"]["kernel"]
     assert "model" in str(qk.sharding.spec)
+
+
+def test_tp_inference_matches_single_device():
+    from ragmeup_tpu.models.encoder import BertConfig, BertEncoder
+    from ragmeup_tpu.parallel.tp import tp_shard_model
+    import flax.linen as fnn
+    import dataclasses
+    mesh = make_mesh((1, 2, 4))  # 4-way TP
+    cfg = dataclasses.replace(BertConfig.tiny(), dtype="float32")
+    model = BertEncoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 1024, (2, 16)),
+                      jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = fnn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), ids, mask)["params"])
+    ref = model.apply({"params": params}, ids, mask)
+    sharded, apply_fn = tp_shard_model(model, params, mesh,
+                                       (ids, mask))
+    # params genuinely sharded over 'model'
+    qk = sharded["layer_0"]["attention"]["query_kernel"]
+    assert "model" in str(qk.sharding.spec)
+    out = apply_fn(sharded, ids, mask)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-4)
+
+
+def test_sharded_bm25_matches_single_device():
+    from ragmeup_tpu.retrieval.sparse import BM25Index, _bm25_score_topk
+    from ragmeup_tpu.parallel.sharded_index import sharded_bm25_topk
+    mesh = make_mesh((1, 8, 1))
+    corpus = ["the quick brown fox jumps over the lazy dog",
+              "a fast auburn fox leaped over a sleepy canine",
+              "the stock market rallied on tech earnings today",
+              "quantum computing uses qubits instead of classical bits",
+              "the dog sat by the door waiting for the fox",
+              "earnings season lifts markets as tech stocks rally"] * 10
+    idx = BM25Index(tile_n=64, dense_min_df=4, dense_df_ratio=0.0)
+    idx.add(corpus)
+    queries = ["fox dog the", "tech earnings rally", "quantum bits"]
+    inputs = idx.build_query_inputs(queries)
+    dev = inputs["dev"]
+    cap, nq, k = inputs["cap"], len(queries), 8
+    single_s, single_i = _bm25_score_topk(
+        jnp.asarray(inputs["qsel"]), dev["head"],
+        jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
+        jnp.asarray(inputs["qid_cat"]), dev["mask"],
+        k=k, nq=nq, cap=cap, has_head=True, has_tail=inputs["has_tail"])
+    sh_s, sh_i = sharded_bm25_topk(
+        mesh, jnp.asarray(inputs["qsel"]), dev["head"],
+        jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
+        jnp.asarray(inputs["qid_cat"]), dev["mask"], k=k, nq=nq, cap=cap)
+    # same scores; ids may differ only within exact ties — compare pairs
+    np.testing.assert_allclose(np.asarray(sh_s), np.asarray(single_s),
+                               rtol=1e-5)
+    for r in range(nq):
+        a = [(round(float(s), 5), int(i))
+             for s, i in zip(np.asarray(single_s)[r], np.asarray(single_i)[r])]
+        b = [(round(float(s), 5), int(i))
+             for s, i in zip(np.asarray(sh_s)[r], np.asarray(sh_i)[r])]
+        assert a == b
