@@ -439,3 +439,85 @@ def test_native_analyzer_vocab_stable_after_load(tmp_path):
     ref.add(CORPUS)
     for q in ["fox dog", "quantum bits"]:
         assert idx2.search([q], k=6) == ref.search([q], k=6), q
+
+
+# -- device RRF + fused hybrid ---------------------------------------------------
+
+def test_rrf_fuse_device_matches_host(rng):
+    import jax.numpy as jnp
+    from ragmeup_tpu.ops.fusion import rrf_fuse_device
+    for trial in range(30):
+        a = rng.choice(50, size=10, replace=False).astype(np.int32)
+        b = rng.choice(50, size=10, replace=False).astype(np.int32)
+        na, nb = rng.integers(0, 11), rng.integers(0, 11)
+        a[na:] = -1
+        b[nb:] = -1
+        host = rrf_fuse([list(a[:na]), list(b[:nb])], weights=[0.5, 0.5],
+                        c=60, k=10)
+        ds, di = rrf_fuse_device(jnp.asarray(a[None]), jnp.asarray(b[None]),
+                                 0.5, 0.5, 60, 10)
+        got = [(int(i), float(s)) for i, s in
+               zip(np.asarray(di)[0], np.asarray(ds)[0]) if i >= 0]
+        assert [i for i, _ in got] == [i for i, _ in host], trial
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in host], rtol=1e-5)
+
+
+def _fused_fixture(rng):
+    from ragmeup_tpu.retrieval.hybrid import hybrid_fused_search
+
+    def embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    dense = DenseIndex(64, dtype="float32", tile_n=512)
+    dense.add(embed(CORPUS))
+    sparse = BM25Index()
+    sparse.add(CORPUS)
+    return hybrid_fused_search, dense, sparse, embed
+
+
+def test_hybrid_fused_matches_two_call(rng):
+    hybrid_fused_search, dense, sparse, embed = _fused_fixture(rng)
+    queries = ["fox dog", "tech earnings rally", "quantum bits", "zzz unknown"]
+    qv = embed(queries)
+    fused = hybrid_fused_search(dense, sparse, queries, qv, k=4)
+    sh = sparse.search(queries, 4)
+    dh = dense.search(qv, 4, search_type="similarity")
+    for i in range(len(queries)):
+        want = rrf_fuse([[r for r, _ in sh[i]], [r for r, _ in dh[i]]],
+                        [0.5, 0.5], 60, 4)
+        assert [r for r, _ in fused[i]] == [r for r, _ in want], queries[i]
+        np.testing.assert_allclose([s for _, s in fused[i]],
+                                   [s for _, s in want], rtol=1e-5)
+
+
+def test_hybrid_fused_respects_tombstones(rng):
+    hybrid_fused_search, dense, sparse, embed = _fused_fixture(rng)
+    dense.delete_rows([0])
+    sparse.delete_rows([0])
+    fused = hybrid_fused_search(dense, sparse, ["fox dog"],
+                                embed(["fox dog"]), k=4)
+    assert all(r != 0 for r, _ in fused[0])
+
+
+def test_hybrid_fused_int8_fallback(rng):
+    from ragmeup_tpu.retrieval.hybrid import hybrid_fused_search
+
+    def embed(texts, d=384):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    dense = DenseIndex(384, dtype="int8", tile_n=512)
+    dense.add(embed(CORPUS))
+    sparse = BM25Index()
+    sparse.add(CORPUS)
+    fused = hybrid_fused_search(dense, sparse, ["fox dog"],
+                                embed(["fox dog"]), k=4)
+    assert len(fused[0]) > 0  # falls back to the two-call path
