@@ -1,0 +1,271 @@
+"""Paged attention: decode-time attention over a paged KV cache.
+
+Serving many concurrent chat sessions needs KV memory shared across
+requests of different lengths. The reference sidesteps this entirely (one
+Flask request at a time, HF cache per call). Here the KV cache is a pool
+of fixed-size pages in HBM; each sequence owns a page-index list, and the
+decode step attends one new token against its scattered pages:
+
+- ``PagedKVCache``: page pool + per-sequence allocation/append/free.
+- ``paged_attention_ref``: pure-XLA reference (gather pages → masked
+  attention) — correctness baseline, used on CPU.
+- ``paged_attention``: Pallas kernel — per (sequence, kv-head) grid cell,
+  pages DMA into a double-buffered VMEM scratch while the previous block
+  computes (the flash/paged pattern: online softmax across page blocks,
+  one DMA per page since pages are non-contiguous in HBM).
+
+GQA: the q heads of each kv head are processed together (g = nh / nkv
+rows per matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+class PagedKVCache:
+    """Host-managed page pool. Device arrays:
+    k_pages/v_pages (nkv, num_pages, page_size, hd) — heads leading so a
+    (page, head) slice keeps the last-two-dim tiling intact for DMA."""
+
+    def __init__(self, num_pages: int, page_size: int, num_kv_heads: int,
+                 head_dim: int, num_layers: int, dtype=jnp.bfloat16):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.nkv = num_kv_heads
+        self.hd = head_dim
+        self.num_layers = num_layers
+        shape = (num_kv_heads, num_pages, page_size, head_dim)
+        self.k_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
+        self.v_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
+        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self.seq_pages: dict = {}   # seq_id → [page ids]
+        self.seq_len: dict = {}     # seq_id → tokens used
+
+    # -- allocation -------------------------------------------------------------
+
+    def allocate(self, seq_id, num_tokens: int) -> List[int]:
+        """Reserve pages for a new sequence of num_tokens."""
+        need = -(-num_tokens // self.page_size)
+        if len(self._free) < need:
+            raise MemoryError("KV page pool exhausted")
+        pages = [self._free.pop() for _ in range(need)]
+        self.seq_pages[seq_id] = pages
+        self.seq_len[seq_id] = num_tokens
+        return pages
+
+    def extend(self, seq_id, extra_tokens: int = 1) -> None:
+        """Grow a sequence; grabs a new page when the last one fills."""
+        cur = self.seq_len[seq_id]
+        new = cur + extra_tokens
+        have = len(self.seq_pages[seq_id]) * self.page_size
+        while new > have:
+            if not self._free:
+                raise MemoryError("KV page pool exhausted")
+            self.seq_pages[seq_id].append(self._free.pop())
+            have += self.page_size
+        self.seq_len[seq_id] = new
+
+    def free(self, seq_id) -> None:
+        self._free.extend(reversed(self.seq_pages.pop(seq_id, [])))
+        self.seq_len.pop(seq_id, None)
+
+    @property
+    def pages_in_use(self) -> int:
+        return self.num_pages - len(self._free)
+
+    # -- writes -------------------------------------------------------------------
+
+    def write_token(self, layer: int, seq_id, pos: int,
+                    k: jnp.ndarray, v: jnp.ndarray) -> None:
+        """Write one token's K/V (nkv, hd) at absolute position pos."""
+        page = self.seq_pages[seq_id][pos // self.page_size]
+        slot = pos % self.page_size
+        self.k_pages[layer] = self.k_pages[layer].at[:, page, slot].set(
+            k.astype(self.k_pages[layer].dtype))
+        self.v_pages[layer] = self.v_pages[layer].at[:, page, slot].set(
+            v.astype(self.v_pages[layer].dtype))
+
+    def write_prompt(self, layer: int, seq_id, k: jnp.ndarray,
+                     v: jnp.ndarray) -> None:
+        """Write a whole prompt's K/V (L, nkv, hd) into the pages."""
+        L = k.shape[0]
+        ps = self.page_size
+        for pi, page in enumerate(self.seq_pages[seq_id]):
+            lo = pi * ps
+            if lo >= L:
+                break
+            hi = min(lo + ps, L)
+            blk_k = jnp.transpose(k[lo:hi], (1, 0, 2))[:, None]  # (nkv,1,ps,hd)
+            blk_v = jnp.transpose(v[lo:hi], (1, 0, 2))[:, None]
+            self.k_pages[layer] = jax.lax.dynamic_update_slice(
+                self.k_pages[layer],
+                blk_k.astype(self.k_pages[layer].dtype), (0, page, 0, 0))
+            self.v_pages[layer] = jax.lax.dynamic_update_slice(
+                self.v_pages[layer],
+                blk_v.astype(self.v_pages[layer].dtype), (0, page, 0, 0))
+
+    def gather_meta(self, seq_ids: List, max_pages: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(page_indices (b, max_pages), lengths (b,)) for a batch."""
+        b = len(seq_ids)
+        idx = np.zeros((b, max_pages), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, sid in enumerate(seq_ids):
+            pages = self.seq_pages[sid]
+            idx[i, :len(pages)] = pages
+            lens[i] = self.seq_len[sid]
+        return idx, lens
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference
+# ---------------------------------------------------------------------------
+
+def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
+                        sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """q (b, nh, hd); pages (nkv, P, ps, hd); page_indices (b, max_pages);
+    lengths (b,). Returns (b, nh, hd)."""
+    b, nh, hd = q.shape
+    nkv, P, ps, _ = k_pages.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(hd))
+    g = nh // nkv
+    k = k_pages[:, page_indices]  # (nkv, b, mp, ps, hd)
+    v = v_pages[:, page_indices]
+    mp = page_indices.shape[1]
+    k = jnp.transpose(k.reshape(nkv, b, mp * ps, hd), (1, 2, 0, 3))
+    v = jnp.transpose(v.reshape(nkv, b, mp * ps, hd), (1, 2, 0, 3))
+    k = jnp.repeat(k, g, axis=2)  # (b, T, nh, hd)
+    v = jnp.repeat(v, g, axis=2)
+    s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    valid = jnp.arange(mp * ps)[None, :] < lengths[:, None]
+    s = jnp.where(valid[:, None, :], s, MASK_VALUE)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bht,bthd->bhd", w, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _paged_kernel(lengths_ref, page_idx_ref,
+                  q_ref, k_hbm, v_hbm, o_ref,
+                  k_buf, v_buf, sems, m_scr, l_scr, acc_scr,
+                  *, page_size: int, blocks: int, pages_per_block: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    blk = pl.program_id(2)
+    length = lengths_ref[b]
+    blk_tokens = page_size * pages_per_block
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(blk * blk_tokens < length)
+    def _run():
+        # DMA this block's pages (non-contiguous in HBM → one copy per page)
+        for i in range(pages_per_block):
+            pid = page_idx_ref[b, blk * pages_per_block + i]
+            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[i],
+                                  sems.at[0]).start()
+            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[i],
+                                  sems.at[1]).start()
+        for i in range(pages_per_block):
+            pid = page_idx_ref[b, blk * pages_per_block + i]
+            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[i],
+                                  sems.at[0]).wait()
+            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[i],
+                                  sems.at[1]).wait()
+        q = q_ref[0, 0].astype(jnp.float32)  # (g, hd) — this kv head's q group
+        hd = q.shape[-1]
+        k = k_buf[:].reshape(blk_tokens, hd).astype(jnp.float32)
+        v = v_buf[:].reshape(blk_tokens, hd).astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.float32(hd))
+        tok = blk * blk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(tok < length, s, MASK_VALUE)
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = m_next
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(blk == blocks - 1)
+    def _emit():
+        l = l_scr[:]
+        linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[:] * linv).astype(o_ref.dtype)
+
+
+def paged_attention(q, k_pages, v_pages, page_indices, lengths,
+                    pages_per_block: int = 4,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Decode-step paged attention. q (b, nh, hd); pages (P, ps, nkv, hd);
+    page_indices (b, max_pages) int32; lengths (b,) int32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, nh, hd = q.shape
+    nkv, P, ps, _ = k_pages.shape
+    mp = page_indices.shape[1]
+    g = nh // nkv
+    if mp % pages_per_block != 0:
+        pad = pages_per_block - mp % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        mp += pad
+    blocks = mp // pages_per_block
+    # q regrouped per kv head: (b, nkv, g, hd)
+    qg = q.reshape(b, nkv, g, hd)
+    kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
+                             pages_per_block=pages_per_block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nkv, blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k pages stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pages_per_block, ps, hd), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, ps, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, g, hd), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(lengths, jnp.int32),
+      jnp.asarray(page_indices, jnp.int32),
+      qg, k_pages, v_pages)
+    return out.reshape(b, nh, hd)
