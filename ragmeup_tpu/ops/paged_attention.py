@@ -165,13 +165,23 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
 
 def _paged_kernel(lengths_ref, page_idx_ref,
                   q_ref, k_hbm, v_hbm, o_ref,
-                  k_buf, v_buf, sems, m_scr, l_scr, acc_scr,
+                  k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
                   *, page_size: int, blocks: int, pages_per_block: int):
     b = pl.program_id(0)
     h = pl.program_id(1)
     blk = pl.program_id(2)
+    nb = pl.num_programs(0)
+    nh_ = pl.num_programs(1)
     length = lengths_ref[b]
     blk_tokens = page_size * pages_per_block
+
+    def dma(b_, h_, blk_, slot, which):
+        """One async copy per page (pages are non-contiguous in HBM)."""
+        hbm, buf = (k_hbm, k_buf) if which == 0 else (v_hbm, v_buf)
+        return [pltpu.make_async_copy(
+                    hbm.at[h_, page_idx_ref[b_, blk_ * pages_per_block + i]],
+                    buf.at[slot, i], sems.at[slot, which])
+                for i in range(pages_per_block)]
 
     @pl.when(blk == 0)
     def _init():
@@ -179,25 +189,42 @@ def _paged_kernel(lengths_ref, page_idx_ref,
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    # -- double buffering: every grid cell consumes one buffer slot; the
+    # very first cell primes slot 0, every cell prefetches its successor
+    # into the other slot, so DMA overlaps compute (guide §11 pattern)
+    is_first = (b == 0) & (h == 0) & (blk == 0)
+
+    @pl.when(is_first)
+    def _prime():
+        buf_idx[0] = 0
+        for c in dma(b, h, blk, 0, 0) + dma(b, h, blk, 0, 1):
+            c.start()
+
+    cur = buf_idx[0]
+    cell = (b * nh_ + h) * pl.num_programs(2) + blk
+    total = nb * nh_ * pl.num_programs(2)
+    nxt = cell + 1
+    nxt_b = nxt // (nh_ * pl.num_programs(2))
+    rem = nxt % (nh_ * pl.num_programs(2))
+    nxt_h = rem // pl.num_programs(2)
+    nxt_blk = rem % pl.num_programs(2)
+
+    @pl.when(nxt < total)
+    def _prefetch():
+        for c in dma(nxt_b, nxt_h, nxt_blk, 1 - cur, 0) + \
+                 dma(nxt_b, nxt_h, nxt_blk, 1 - cur, 1):
+            c.start()
+
+    for c in dma(b, h, blk, cur, 0) + dma(b, h, blk, cur, 1):
+        c.wait()
+    buf_idx[0] = 1 - cur
+
     @pl.when(blk * blk_tokens < length)
     def _run():
-        # DMA this block's pages (non-contiguous in HBM → one copy per page)
-        for i in range(pages_per_block):
-            pid = page_idx_ref[b, blk * pages_per_block + i]
-            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[i],
-                                  sems.at[0]).start()
-            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[i],
-                                  sems.at[1]).start()
-        for i in range(pages_per_block):
-            pid = page_idx_ref[b, blk * pages_per_block + i]
-            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[i],
-                                  sems.at[0]).wait()
-            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[i],
-                                  sems.at[1]).wait()
         q = q_ref[0, 0].astype(jnp.float32)  # (g, hd) — this kv head's q group
         hd = q.shape[-1]
-        k = k_buf[:].reshape(blk_tokens, hd).astype(jnp.float32)
-        v = v_buf[:].reshape(blk_tokens, hd).astype(jnp.float32)
+        k = k_buf[cur].reshape(blk_tokens, hd).astype(jnp.float32)
+        v = v_buf[cur].reshape(blk_tokens, hd).astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
             jnp.float32(hd))
         tok = blk * blk_tokens + jax.lax.broadcasted_iota(
@@ -223,18 +250,25 @@ def _paged_kernel(lengths_ref, page_idx_ref,
 def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     pages_per_block: int = 4,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Decode-step paged attention. q (b, nh, hd); pages (P, ps, nkv, hd);
+    """Decode-step paged attention. q (b, nh, hd); pages (nkv, P, ps, hd);
     page_indices (b, max_pages) int32; lengths (b,) int32."""
     if interpret is None:
         interpret = not _on_tpu()
+    mp = page_indices.shape[1]
+    if mp % pages_per_block != 0:
+        pad = pages_per_block - mp % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+    return _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
+                                 pages_per_block, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret"))
+def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
+                          pages_per_block: int, interpret: bool) -> jnp.ndarray:
     b, nh, hd = q.shape
     nkv, P, ps, _ = k_pages.shape
     mp = page_indices.shape[1]
     g = nh // nkv
-    if mp % pages_per_block != 0:
-        pad = pages_per_block - mp % pages_per_block
-        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
-        mp += pad
     blocks = mp // pages_per_block
     # q regrouped per kv head: (b, nkv, g, hd)
     qg = q.reshape(b, nkv, g, hd)
@@ -252,9 +286,10 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, ps, hd), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, ps, hd), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, pages_per_block, ps, hd), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, ps, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),  # (slot, k/v)
+            pltpu.SMEM((1,), jnp.int32),      # active buffer slot
             pltpu.VMEM((g, 1), jnp.float32),
             pltpu.VMEM((g, 1), jnp.float32),
             pltpu.VMEM((g, hd), jnp.float32),
