@@ -77,10 +77,15 @@ def rope_freqs(head_dim: int, max_len: int, theta: float) -> Tuple[np.ndarray, n
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (b, s, h, hd); cos/sin: (s, hd/2) for these positions."""
+    """x: (b, s, h, hd); cos/sin: (s, hd/2) shared, or (b, s, hd/2) for
+    per-sequence positions (batched paged decode)."""
     x1, x2 = jnp.split(x, 2, axis=-1)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 3:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    else:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
@@ -118,7 +123,8 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias=None, cache=None,
-                 cache_pos=None, capture_weights: bool = False):
+                 cache_pos=None, capture_weights: bool = False,
+                 paged_state=None):
         c = self.cfg
         b, s, _ = x.shape
         hd, nh, nkv = c.head_dim, c.num_heads, c.num_kv_heads
@@ -132,6 +138,21 @@ class LlamaAttention(nn.Module):
         v = v.reshape(b, s, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        if paged_state is not None:
+            # batched paged decode (s == 1): write the new token's K/V into
+            # the page pool, then paged attention over the pool
+            from ragmeup_tpu.ops.paged_attention import paged_attention
+            k_pages, v_pages, page_idx, lengths, pages, slots = paged_state
+            kp = k_pages.at[:, pages, slots].set(
+                jnp.transpose(k[:, 0], (1, 0, 2)).astype(k_pages.dtype))
+            vp = v_pages.at[:, pages, slots].set(
+                jnp.transpose(v[:, 0], (1, 0, 2)).astype(v_pages.dtype))
+            attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
+            out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
+            out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
+                             bits, name="o_proj")(out)
+            return out, (kp, vp), None
 
         new_cache = None
         if cache is not None:
@@ -201,11 +222,12 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias, cache, cache_pos,
-                 capture_weights: bool = False):
+                 capture_weights: bool = False, paged_state=None):
         c = self.cfg
         h, new_cache, w = LlamaAttention(c, name="attention")(
             RMSNorm(c.rms_eps, c.jdtype, name="input_norm")(x),
-            cos, sin, attn_bias, cache, cache_pos, capture_weights)
+            cos, sin, attn_bias, cache, cache_pos, capture_weights,
+            paged_state)
         x = x + h
         x = x + LlamaMlp(c, name="mlp")(
             RMSNorm(c.rms_eps, c.jdtype, name="post_attn_norm")(x))
@@ -224,7 +246,8 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, input_ids, *, positions, attn_bias=None,
                  caches: Optional[list] = None, cache_pos=None,
-                 capture_weights: bool = False, capture_qk_last: bool = False):
+                 capture_weights: bool = False, capture_qk_last: bool = False,
+                 paged_caches=None, paged_meta=None):
         c = self.cfg
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
@@ -233,14 +256,22 @@ class LlamaModel(nn.Module):
         cos = jnp.asarray(cos_t)[positions]
         sin = jnp.asarray(sin_t)[positions]
         new_caches, all_w = [], []
+        new_paged = [] if paged_caches is not None else None
         qk_last = None
         for i in range(c.num_layers):
             cache = caches[i] if caches is not None else None
             cap = capture_weights
             if capture_qk_last and i == c.num_layers - 1:
                 cap = "qk"
+            pstate = None
+            if paged_caches is not None:
+                kp, vp = paged_caches[i]
+                pstate = (kp, vp) + tuple(paged_meta)
             x, nc, w = LlamaBlock(c, name=f"layer_{i}")(
-                x, cos, sin, attn_bias, cache, cache_pos, cap)
+                x, cos, sin, attn_bias, cache, cache_pos, cap, pstate)
+            if paged_caches is not None:
+                new_paged.append(nc)
+                nc = None
             new_caches.append(nc)
             if cap == "qk":
                 qk_last = w
@@ -257,6 +288,8 @@ class LlamaModel(nn.Module):
         out = {"logits": logits}
         if caches is not None:
             out["caches"] = new_caches
+        if new_paged is not None:
+            out["paged_caches"] = new_paged
         if capture_weights:
             out["attn_weights"] = all_w
         if capture_qk_last:

@@ -254,6 +254,12 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     page_indices (b, max_pages) int32; lengths (b,) int32."""
     if interpret is None:
         interpret = not _on_tpu()
+    hd = q.shape[-1]
+    ps = k_pages.shape[2]
+    # Mosaic constraint: the HBM page slice needs the last dim 128-aligned
+    # and the sublane dim 8-aligned; other shapes take the XLA gather path
+    if not interpret and (hd % 128 != 0 or ps % 8 != 0):
+        return paged_attention_ref(q, k_pages, v_pages, page_indices, lengths)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -280,8 +286,8 @@ def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
         in_specs=[
             pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k pages stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # v pages stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -1,0 +1,188 @@
+"""Continuous-batching serving engine for the local LLM.
+
+The reference serves one Flask request at a time, rebuilding an HF cache
+per call (SURVEY.md §2.4: "single-process, single-request"). This engine
+serves many chat generations concurrently on one chip:
+
+- prompts prefill individually (the existing length-bucketed prefill) and
+  their K/V moves into the shared ``PagedKVCache`` pool;
+- every engine step decodes ONE token for ALL active sequences in a single
+  batched forward whose attention is the paged-attention kernel (pages
+  stay in HBM; per-sequence page tables);
+- sequences join and retire independently (continuous batching) — a new
+  request starts decoding on the next step without waiting for others.
+
+Sampling (temperature / repetition penalty / EOS) matches
+``LocalLLM.generate`` semantics per sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragmeup_tpu.models.decoder import LocalLLM, _next_pow2_int
+from ragmeup_tpu.ops.paged_attention import PagedKVCache
+
+
+class _SeqState:
+    __slots__ = ("prompt_len", "pos", "out", "logits", "key", "seen",
+                 "max_new", "temperature", "rep_penalty", "done")
+
+    def __init__(self, prompt_len, logits, key, seen, max_new,
+                 temperature, rep_penalty):
+        self.prompt_len = prompt_len
+        self.pos = prompt_len
+        self.out: List[int] = []
+        self.logits = logits
+        self.key = key
+        self.seen = seen
+        self.max_new = max_new
+        self.temperature = temperature
+        self.rep_penalty = rep_penalty
+        self.done = False
+
+
+class ServingEngine:
+    def __init__(self, llm: LocalLLM, num_pages: int = 256,
+                 page_size: int = 64, max_pages_per_seq: int = 16,
+                 max_batch: int = 16):
+        self.llm = llm
+        cfg = llm.cfg
+        self.page_size = page_size
+        self.max_pages_per_seq = max_pages_per_seq
+        self.max_batch = max_batch
+        self.cache = PagedKVCache(num_pages, page_size, cfg.num_kv_heads,
+                                  cfg.head_dim, cfg.num_layers,
+                                  dtype=cfg.jdtype)
+        # reserved trash page: batch-padding rows write here harmlessly
+        self.cache.allocate("__pad__", 1)
+        self.seqs: Dict[object, _SeqState] = {}
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4))
+
+    # -- jitted batched paged decode ------------------------------------------
+
+    def _decode_impl(self, params, tokens, positions, k_pages, v_pages,
+                     page_idx, lengths, pages, slots):
+        out = self.llm.model.apply(
+            {"params": params}, tokens[:, None], positions=positions[:, None],
+            paged_caches=list(zip(k_pages, v_pages)),
+            paged_meta=(page_idx, lengths, pages, slots))
+        new_k = [kp for kp, _ in out["paged_caches"]]
+        new_v = [vp for _, vp in out["paged_caches"]]
+        return out["logits"][:, 0], new_k, new_v
+
+    # -- request lifecycle -------------------------------------------------------
+
+    def add_request(self, seq_id, prompt_ids: Sequence[int],
+                    max_new_tokens: int = 100, temperature: float = 0.2,
+                    repetition_penalty: float = 1.1, seed: int = 0) -> None:
+        """Prefill the prompt, move its K/V into the page pool, queue for
+        decoding."""
+        if seq_id in self.seqs:
+            raise ValueError(f"duplicate seq_id {seq_id}")
+        llm = self.llm
+        max_prompt = self.max_pages_per_seq * self.page_size - max_new_tokens
+        prompt_ids = list(prompt_ids)[-max(max_prompt, 8):]
+        n = len(prompt_ids)
+        L = llm._bucket(n)
+        padded = np.zeros((1, L), np.int32)
+        padded[0, :n] = prompt_ids
+        logits, caches = llm._prefill(llm.params, jnp.asarray(padded),
+                                      jnp.int32(n), cache_len=L)
+        self.cache.allocate(seq_id, n)
+        for layer, (ck, cv) in enumerate(caches):
+            self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
+        seen = set(int(t) for t in prompt_ids)
+        self.seqs[seq_id] = _SeqState(
+            n, np.array(logits, np.float32), jax.random.PRNGKey(seed), seen,
+            max_new_tokens, temperature, repetition_penalty)
+
+    def _sample(self, st: _SeqState) -> int:
+        lg = st.logits.copy()
+        if st.rep_penalty and st.rep_penalty != 1.0 and st.seen:
+            idxs = np.fromiter(st.seen, dtype=np.int64)
+            vals = lg[idxs]
+            lg[idxs] = np.where(vals > 0, vals / st.rep_penalty,
+                                vals * st.rep_penalty)
+        if st.temperature and st.temperature > 0:
+            st.key, sub = jax.random.split(st.key)
+            tok = int(jax.random.categorical(sub, jnp.asarray(lg) / st.temperature))
+        else:
+            tok = int(np.argmax(lg))
+        return tok
+
+    def step(self) -> int:
+        """Sample one token for every active sequence, run one batched paged
+        decode step. Returns the number of sequences still active."""
+        active = [(sid, st) for sid, st in self.seqs.items() if not st.done]
+        if not active:
+            return 0
+        active = active[:self.max_batch]
+        batch, toks = [], []
+        for sid, st in active:
+            tok = self._sample(st)
+            if tok in self.llm.eos_ids or len(st.out) >= st.max_new or \
+                    st.pos + 1 >= self.max_pages_per_seq * self.page_size:
+                st.done = True
+                continue
+            st.out.append(tok)
+            st.seen.add(tok)
+            batch.append((sid, st))
+            toks.append(tok)
+        if not batch:
+            return sum(1 for _, st in self.seqs.items() if not st.done)
+        # grow pages for the new token, build batch meta
+        B = _next_pow2_int(len(batch))
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        pages = np.zeros(B, np.int32)  # page holding the new token
+        slots = np.zeros(B, np.int32)
+        page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
+        lengths = np.ones(B, np.int32)  # pad rows: length 1 on trash page
+        pad_page = self.cache.seq_pages["__pad__"][0]
+        page_idx[:, 0] = pad_page
+        pages[:] = pad_page
+        for i, (sid, st) in enumerate(batch):
+            self.cache.extend(sid, 1)
+            tokens[i] = toks[i]
+            positions[i] = st.pos
+            plist = self.cache.seq_pages[sid]
+            page_idx[i, :len(plist)] = plist
+            pages[i] = plist[st.pos // self.page_size]
+            slots[i] = st.pos % self.page_size
+            lengths[i] = st.pos + 1
+        logits, new_k, new_v = self._decode(
+            self.llm.params, jnp.asarray(tokens), jnp.asarray(positions),
+            self.cache.k_pages, self.cache.v_pages, jnp.asarray(page_idx),
+            jnp.asarray(lengths), jnp.asarray(pages), jnp.asarray(slots))
+        self.cache.k_pages = list(new_k)
+        self.cache.v_pages = list(new_v)
+        lg = np.array(logits, np.float32)
+        for i, (sid, st) in enumerate(batch):
+            st.logits = lg[i]
+            st.pos += 1
+        return sum(1 for _, st in self.seqs.items() if not st.done)
+
+    def run(self, max_steps: Optional[int] = None) -> Dict[object, List[int]]:
+        """Step until every sequence finishes; returns generated ids."""
+        steps = 0
+        while self.step() > 0:
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        return self.results()
+
+    def results(self) -> Dict[object, List[int]]:
+        return {sid: list(st.out) for sid, st in self.seqs.items()
+                if sid != "__pad__"}
+
+    def retire(self, seq_id) -> List[int]:
+        """Free a finished sequence's pages and return its tokens."""
+        st = self.seqs.pop(seq_id)
+        self.cache.free(seq_id)
+        return list(st.out)

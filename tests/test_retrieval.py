@@ -156,7 +156,8 @@ def test_dense_index_delete_and_compact(rng):
     mapping = [-1 if i == 5 else (i if i < 5 else i - 1) for i in range(100)]
     idx.compact(mapping)
     assert idx.n == 99
-    assert idx.search(q, k=1)[0][0][0] == top - 1 if top > 5 else top
+    expected = top - 1 if top > 5 else top
+    assert idx.search(q, k=1)[0][0][0] == expected
 
 
 def test_dense_index_mmr_diversifies(rng):
