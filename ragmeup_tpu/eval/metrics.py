@@ -15,7 +15,7 @@ All metrics return floats in [0, 1].
 from __future__ import annotations
 
 import re
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

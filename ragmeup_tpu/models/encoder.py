@@ -15,8 +15,7 @@ framework runs self-contained.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

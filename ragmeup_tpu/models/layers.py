@@ -14,7 +14,6 @@ forward, and the blockwise variant for long context lives in
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ inner op can be swapped for the fused Pallas kernel when shards are large.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

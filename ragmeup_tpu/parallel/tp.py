@@ -11,7 +11,7 @@ collectives XLA inserts from the shardings.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 from flax import linen as nn

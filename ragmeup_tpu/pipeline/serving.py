@@ -18,7 +18,6 @@ Sampling (temperature / repetition penalty / EOS) matches
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -30,15 +29,16 @@ from ragmeup_tpu.ops.paged_attention import PagedKVCache
 
 
 class _SeqState:
-    __slots__ = ("prompt_len", "pos", "out", "logits", "key", "seen",
+    __slots__ = ("prompt_len", "pos", "out", "vals", "ids", "key", "seen",
                  "max_new", "temperature", "rep_penalty", "done")
 
-    def __init__(self, prompt_len, logits, key, seen, max_new,
+    def __init__(self, prompt_len, vals, ids, key, seen, max_new,
                  temperature, rep_penalty):
         self.prompt_len = prompt_len
         self.pos = prompt_len
         self.out: List[int] = []
-        self.logits = logits
+        self.vals = vals  # top-K logit values
+        self.ids = ids    # top-K token ids
         self.key = key
         self.seen = seen
         self.max_new = max_new
@@ -50,10 +50,13 @@ class _SeqState:
 class ServingEngine:
     def __init__(self, llm: LocalLLM, num_pages: int = 256,
                  page_size: int = 64, max_pages_per_seq: int = 16,
-                 max_batch: int = 16):
+                 max_batch: int = 16, topk_support: int = 64):
         self.llm = llm
         cfg = llm.cfg
         self.page_size = page_size
+        # sampling happens within the device-computed top-K support (top-k
+        # sampling; greedy is exact since the argmax is always in support)
+        self.topk_support = min(topk_support, cfg.vocab_size)
         self.max_pages_per_seq = max_pages_per_seq
         self.max_batch = max_batch
         self.cache = PagedKVCache(num_pages, page_size, cfg.num_kv_heads,
@@ -74,7 +77,10 @@ class ServingEngine:
             paged_meta=(page_idx, lengths, pages, slots))
         new_k = [kp for kp, _ in out["paged_caches"]]
         new_v = [vp for _, vp in out["paged_caches"]]
-        return out["logits"][:, 0], new_k, new_v
+        # ship only the top-K support to host (full vocab logits would cost
+        # ~1MB/step of host transfer); host samples within this support
+        vals, ids = jax.lax.top_k(out["logits"][:, 0], self.topk_support)
+        return vals, ids, new_k, new_v
 
     # -- request lifecycle -------------------------------------------------------
 
@@ -98,23 +104,25 @@ class ServingEngine:
         for layer, (ck, cv) in enumerate(caches):
             self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
         seen = set(int(t) for t in prompt_ids)
+        vals, ids = jax.lax.top_k(logits, self.topk_support)
         self.seqs[seq_id] = _SeqState(
-            n, np.array(logits, np.float32), jax.random.PRNGKey(seed), seen,
+            n, np.array(vals, np.float32), np.array(ids),
+            jax.random.PRNGKey(seed), seen,
             max_new_tokens, temperature, repetition_penalty)
 
     def _sample(self, st: _SeqState) -> int:
-        lg = st.logits.copy()
+        """Sample within the top-K support (penalty + temperature)."""
+        lg = st.vals.copy()
         if st.rep_penalty and st.rep_penalty != 1.0 and st.seen:
-            idxs = np.fromiter(st.seen, dtype=np.int64)
-            vals = lg[idxs]
-            lg[idxs] = np.where(vals > 0, vals / st.rep_penalty,
-                                vals * st.rep_penalty)
+            hit = np.isin(st.ids, np.fromiter(st.seen, dtype=np.int64))
+            lg = np.where(hit, np.where(lg > 0, lg / st.rep_penalty,
+                                        lg * st.rep_penalty), lg)
         if st.temperature and st.temperature > 0:
             st.key, sub = jax.random.split(st.key)
-            tok = int(jax.random.categorical(sub, jnp.asarray(lg) / st.temperature))
+            j = int(jax.random.categorical(sub, jnp.asarray(lg) / st.temperature))
         else:
-            tok = int(np.argmax(lg))
-        return tok
+            j = int(np.argmax(lg))
+        return int(st.ids[j])
 
     def step(self) -> int:
         """Sample one token for every active sequence, run one batched paged
@@ -156,15 +164,17 @@ class ServingEngine:
             pages[i] = plist[st.pos // self.page_size]
             slots[i] = st.pos % self.page_size
             lengths[i] = st.pos + 1
-        logits, new_k, new_v = self._decode(
+        vals, ids, new_k, new_v = self._decode(
             self.llm.params, jnp.asarray(tokens), jnp.asarray(positions),
             self.cache.k_pages, self.cache.v_pages, jnp.asarray(page_idx),
             jnp.asarray(lengths), jnp.asarray(pages), jnp.asarray(slots))
         self.cache.k_pages = list(new_k)
         self.cache.v_pages = list(new_v)
-        lg = np.array(logits, np.float32)
+        vals = np.array(vals, np.float32)
+        ids = np.array(ids)
         for i, (sid, st) in enumerate(batch):
-            st.logits = lg[i]
+            st.vals = vals[i]
+            st.ids = ids[i]
             st.pos += 1
         return sum(1 for _, st in self.seqs.items() if not st.done)
 
