@@ -522,3 +522,45 @@ def test_hybrid_fused_int8_fallback(rng):
     fused = hybrid_fused_search(dense, sparse, ["fox dog"],
                                 embed(["fox dog"]), k=4)
     assert len(fused[0]) > 0  # falls back to the two-call path
+
+
+# -- IVF cluster pruning -----------------------------------------------------------
+
+def test_ivf_recall_on_clustered_data(rng):
+    from ragmeup_tpu.retrieval.ivf import IVFIndex
+    # clustered corpus: 16 gaussian blobs
+    d, per = 64, 128
+    centers = _rand_corpus(rng, 16, d)
+    corpus = np.concatenate(
+        [c + 0.15 * rng.standard_normal((per, d)).astype(np.float32)
+         for c in centers])
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = IVFIndex(n_clusters=16, iters=10)
+    idx.fit(corpus, dtype=jnp.float32)
+    q = corpus[rng.choice(len(corpus), 16, replace=False)]
+    got = idx.search(q, k=10, nprobe=4)
+    _, oracle = topk_oracle(q, corpus, 10)
+    recall = np.mean([
+        len({r for r, _ in got[i]} & set(oracle[i].tolist())) / 10
+        for i in range(len(q))])
+    assert recall >= 0.9, recall
+
+
+def test_ivf_full_probe_is_exact(rng):
+    from ragmeup_tpu.retrieval.ivf import IVFIndex
+    d, n = 32, 256
+    corpus = _rand_corpus(rng, n, d)
+    idx = IVFIndex(n_clusters=8, iters=5)
+    idx.fit(corpus, dtype=jnp.float32)
+    q = _rand_corpus(rng, 4, d)
+    got = idx.search(q, k=5, nprobe=8)  # probe every cluster → exact
+    _, oracle = topk_oracle(q, corpus, 5)
+    for i in range(4):
+        assert [r for r, _ in got[i]] == oracle[i].tolist()
+
+
+def test_ivf_empty_and_memory():
+    from ragmeup_tpu.retrieval.ivf import IVFIndex
+    idx = IVFIndex()
+    assert idx.search(np.zeros((1, 8), np.float32), k=3) == [[]]
+    assert idx.memory_bytes == 0
