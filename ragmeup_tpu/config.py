@@ -334,6 +334,11 @@ class ParallelConfig:
 class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 5000
+    # serve concurrent /chat generations through the continuous-batching
+    # engine (pipeline/serving.py) instead of one-at-a-time generation
+    batched_llm: bool = False
+    kv_pages: int = 512
+    kv_page_size: int = 128
 
 
 @dataclass

@@ -278,3 +278,22 @@ def topk_oracle(queries: np.ndarray, corpus: np.ndarray, k: int,
         out_s[r] = s[r][order]
         out_i[r] = order
     return out_s, out_i
+
+
+# ---------------------------------------------------------------------------
+# Fetch packing: this environment's device→host path has high per-fetch
+# latency (and a pathological slow path when a step fetches two arrays
+# separately), so every hot query path returns ONE stacked int32 array:
+# row 0 = scores bitcast to int32, row 1 = indices.
+# ---------------------------------------------------------------------------
+
+def pack_scores_ids(scores: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """(b, k) f32 + (b, k) i32 → (2, b, k) i32 (scores bitcast). Device op."""
+    s_bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.int32)
+    return jnp.stack([s_bits, ids.astype(jnp.int32)])
+
+
+def unpack_scores_ids(packed) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of pack_scores_ids (one D2H fetch)."""
+    arr = np.asarray(packed)
+    return arr[0].view(np.float32), arr[1]

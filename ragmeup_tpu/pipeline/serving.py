@@ -65,22 +65,31 @@ class ServingEngine:
         # reserved trash page: batch-padding rows write here harmlessly
         self.cache.allocate("__pad__", 1)
         self.seqs: Dict[object, _SeqState] = {}
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(3, 4))
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(2, 3))
 
     # -- jitted batched paged decode ------------------------------------------
 
-    def _decode_impl(self, params, tokens, positions, k_pages, v_pages,
-                     page_idx, lengths, pages, slots):
+    def _decode_impl(self, params, meta, k_pages, v_pages):
+        """meta: one packed (B, mp+5) int32 array — a single host->device
+        transfer per step (each extra device_put costs a tunnel roundtrip):
+        columns [token, position, page, slot, length, page_idx...]."""
+        tokens = meta[:, 0]
+        positions = meta[:, 1]
+        pages = meta[:, 2]
+        slots = meta[:, 3]
+        lengths = meta[:, 4]
+        page_idx = meta[:, 5:]
         out = self.llm.model.apply(
             {"params": params}, tokens[:, None], positions=positions[:, None],
             paged_caches=list(zip(k_pages, v_pages)),
             paged_meta=(page_idx, lengths, pages, slots))
         new_k = [kp for kp, _ in out["paged_caches"]]
         new_v = [vp for _, vp in out["paged_caches"]]
-        # ship only the top-K support to host (full vocab logits would cost
-        # ~1MB/step of host transfer); host samples within this support
+        # ship only the top-K support to host, packed into ONE array (the
+        # device->host path has high per-fetch latency)
         vals, ids = jax.lax.top_k(out["logits"][:, 0], self.topk_support)
-        return vals, ids, new_k, new_v
+        from ragmeup_tpu.ops.topk import pack_scores_ids
+        return pack_scores_ids(vals, ids), new_k, new_v
 
     # -- request lifecycle -------------------------------------------------------
 
@@ -144,34 +153,31 @@ class ServingEngine:
             toks.append(tok)
         if not batch:
             return sum(1 for _, st in self.seqs.items() if not st.done)
-        # grow pages for the new token, build batch meta
+        # grow pages for the new token, build one packed meta array
         B = _next_pow2_int(len(batch))
-        tokens = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        pages = np.zeros(B, np.int32)  # page holding the new token
-        slots = np.zeros(B, np.int32)
-        page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
-        lengths = np.ones(B, np.int32)  # pad rows: length 1 on trash page
+        mp = self.max_pages_per_seq
+        meta = np.zeros((B, mp + 5), np.int32)
         pad_page = self.cache.seq_pages["__pad__"][0]
-        page_idx[:, 0] = pad_page
-        pages[:] = pad_page
+        meta[:, 2] = pad_page   # page
+        meta[:, 4] = 1          # length (pad rows: trash page)
+        meta[:, 5] = pad_page   # page_idx[0]
         for i, (sid, st) in enumerate(batch):
             self.cache.extend(sid, 1)
-            tokens[i] = toks[i]
-            positions[i] = st.pos
             plist = self.cache.seq_pages[sid]
-            page_idx[i, :len(plist)] = plist
-            pages[i] = plist[st.pos // self.page_size]
-            slots[i] = st.pos % self.page_size
-            lengths[i] = st.pos + 1
-        vals, ids, new_k, new_v = self._decode(
-            self.llm.params, jnp.asarray(tokens), jnp.asarray(positions),
-            self.cache.k_pages, self.cache.v_pages, jnp.asarray(page_idx),
-            jnp.asarray(lengths), jnp.asarray(pages), jnp.asarray(slots))
+            meta[i, 0] = toks[i]
+            meta[i, 1] = st.pos
+            meta[i, 2] = plist[st.pos // self.page_size]
+            meta[i, 3] = st.pos % self.page_size
+            meta[i, 4] = st.pos + 1
+            meta[i, 5:5 + len(plist)] = plist
+        packed, new_k, new_v = self._decode(
+            self.llm.params, jnp.asarray(meta),
+            self.cache.k_pages, self.cache.v_pages)
         self.cache.k_pages = list(new_k)
         self.cache.v_pages = list(new_v)
-        vals = np.array(vals, np.float32)
-        ids = np.array(ids)
+        from ragmeup_tpu.ops.topk import unpack_scores_ids
+        vals, ids = unpack_scores_ids(packed)
+        vals = vals.copy()
         for i, (sid, st) in enumerate(batch):
             st.vals = vals[i]
             st.ids = ids[i]
@@ -196,3 +202,87 @@ class ServingEngine:
         st = self.seqs.pop(seq_id)
         self.cache.free(seq_id)
         return list(st.out)
+
+
+# ---------------------------------------------------------------------------
+# Chat-backend adapter: concurrent /chat requests share one engine
+# ---------------------------------------------------------------------------
+
+import queue
+import threading
+
+from ragmeup_tpu.pipeline.llm_backends import ChatBackend, llama3_template
+
+
+class BatchedChatBackend(ChatBackend):
+    """A ChatBackend whose generations run through a shared ServingEngine.
+
+    Server threads call ``chat()`` concurrently; a single worker thread owns
+    the engine and continuously batches all in-flight generations (the
+    reference can only serve one generation at a time). Sampling semantics
+    per request match LocalChatBackend (template, assistant-token strip).
+    """
+
+    def __init__(self, llm, template=llama3_template,
+                 assistant_token=None, seed: int = 0, **engine_kwargs):
+        self.llm = llm
+        self.template = template
+        self.assistant_token = assistant_token
+        self.seed = seed
+        self.engine = ServingEngine(llm, **engine_kwargs)
+        self._submit: "queue.Queue" = queue.Queue()
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def _loop(self):
+        pending = {}  # seq_id → Event-carrying dict
+        while True:
+            # drain new requests (block when idle)
+            try:
+                block = not pending
+                while True:
+                    req = self._submit.get(block=block, timeout=None if block else 0)
+                    self.engine.add_request(req["id"], req["prompt_ids"],
+                                            max_new_tokens=req["max_new"],
+                                            temperature=req["temperature"],
+                                            repetition_penalty=req["rp"],
+                                            seed=self.seed)
+                    pending[req["id"]] = req
+                    block = False
+            except queue.Empty:
+                pass
+            if not pending:
+                continue
+            self.engine.step()
+            done = [sid for sid in pending
+                    if self.engine.seqs[sid].done]
+            for sid in done:
+                req = pending.pop(sid)
+                req["tokens"] = self.engine.retire(sid)
+                req["event"].set()
+
+    def chat(self, messages, max_new_tokens: int = 1000,
+             temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
+        prompt = self.template(messages)
+        ids = self.llm.tokenizer.encode(prompt)
+        with self._id_lock:
+            self._next_id += 1
+            sid = f"req-{self._next_id}"
+        req = {"id": sid, "prompt_ids": ids, "max_new": max_new_tokens,
+               "temperature": temperature, "rp": repetition_penalty,
+               "event": threading.Event()}
+        self._submit.put(req)
+        req["event"].wait()
+        toks = req["tokens"]
+        if hasattr(self.llm.tokenizer, "decode"):
+            reply = self.llm.tokenizer.decode(toks)
+        else:
+            reply = " ".join(str(t) for t in toks)
+        if self.assistant_token and self.assistant_token in reply:
+            reply = reply.rsplit(self.assistant_token, 1)[-1]
+        for stop in ("<|eot_id|>", "<|end_of_text|>"):
+            if stop in reply:
+                reply = reply.split(stop, 1)[0]
+        return reply.strip()

@@ -61,8 +61,16 @@ class RagSystem:
                 if self.llm is None:
                     self.llm = load_local_llm(cfg.model.llm_checkpoint,
                                               quantization=cfg.model.quantization)
-                backend = LocalChatBackend(
-                    self.llm, assistant_token=cfg.model.llm_assistant_token)
+                if cfg.server.batched_llm:
+                    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+                    backend = BatchedChatBackend(
+                        self.llm,
+                        assistant_token=cfg.model.llm_assistant_token,
+                        num_pages=cfg.server.kv_pages,
+                        page_size=cfg.server.kv_page_size)
+                else:
+                    backend = LocalChatBackend(
+                        self.llm, assistant_token=cfg.model.llm_assistant_token)
         self.backend = backend
         self.extra_retrievers = list(extra_retrievers)
         # GraphRAG wiring (cloud helper's graph_retriever hook,

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ragmeup_tpu.ops.topk import (
-    NEG_INF, dense_topk, dense_topk_int8, quantize_int8,
+    NEG_INF, dense_topk, dense_topk_int8, quantize_int8, pack_scores_ids,
+    unpack_scores_ids,
 )
 from ragmeup_tpu.ops.fusion import mmr_select
 
@@ -167,8 +168,7 @@ class DenseIndex:
         else:
             s, idx = dense_topk(jnp.asarray(q), self._corpus_t, kk,
                                 mask=self._mask, tile_n=self.tile_n)
-        s = np.asarray(s)
-        idx = np.asarray(idx)
+        s, idx = unpack_scores_ids(jax.jit(pack_scores_ids)(s, idx))
         results: List[List[Tuple[int, float]]] = []
         host = self.host_vectors() if search_type == "mmr" else None
         for r in range(q.shape[0]):

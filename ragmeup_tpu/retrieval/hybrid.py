@@ -98,7 +98,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ragmeup_tpu.ops.topk import NEG_INF, _dense_topk_call, _pad_rows
+from ragmeup_tpu.ops.topk import (NEG_INF, _dense_topk_call, _pad_rows,
+                                  pack_scores_ids, unpack_scores_ids)
 from ragmeup_tpu.ops.fusion import rrf_fuse_device
 from ragmeup_tpu.retrieval.sparse import _bm25_score_topk
 
@@ -118,7 +119,8 @@ def _hybrid_fused(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
                               k=k, nq=nq, cap=cap, has_head=has_head,
                               has_tail=has_tail)
     si = jnp.where(ss > 0, si, -1)
-    return rrf_fuse_device(si, di, w_sparse, w_dense, rrf_c, k)
+    fs, fi = rrf_fuse_device(si, di, w_sparse, w_dense, rrf_c, k)
+    return pack_scores_ids(fs, fi)  # one packed D2H fetch
 
 
 def hybrid_fused_search(dense, sparse, queries, qvecs, k,
@@ -152,7 +154,7 @@ def hybrid_fused_search(dense, sparse, queries, qvecs, k,
                 for i in range(nq)]
     qp, nb = _pad_rows(jnp.asarray(q))
     interpret = jax.default_backend() != "tpu"
-    fs, fi = _hybrid_fused(
+    packed = _hybrid_fused(
         qp, dense._corpus_t, dense._mask,
         jnp.asarray(inputs["qsel"]), inputs["dev"]["head"],
         jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
@@ -161,7 +163,6 @@ def hybrid_fused_search(dense, sparse, queries, qvecs, k,
         cap=inputs["cap"], has_head=inputs["has_head"],
         has_tail=inputs["has_tail"], w_sparse=weights[0],
         w_dense=weights[1], rrf_c=rrf_c, k1=sparse.k1, b=sparse.b)
-    fs = np.asarray(fs)
-    fi = np.asarray(fi)
+    fs, fi = unpack_scores_ids(packed)
     return [[(int(r), float(s)) for r, s in zip(fi[i], fs[i]) if r >= 0]
             for i in range(nq)]

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ragmeup_tpu.ops.topk import NEG_INF
+from ragmeup_tpu.ops.topk import NEG_INF, pack_scores_ids, unpack_scores_ids
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -339,8 +339,7 @@ class BM25Index:
             jnp.asarray(qsel), dev["head"], jnp.asarray(docs_cat),
             jnp.asarray(con_cat), jnp.asarray(qid_cat), dev["mask"],
             k=k, nq=nq, cap=cap, has_head=n_head > 0, has_tail=has_tail)
-        s = np.asarray(s)
-        idx = np.asarray(idx)
+        s, idx = unpack_scores_ids(jax.jit(pack_scores_ids)(s, idx))
         return [[(int(i), float(v)) for i, v in zip(idx[r], s[r]) if v > 0.0]
                 for r in range(nq)]
 

@@ -87,3 +87,33 @@ def test_engine_rejects_duplicate_ids(llm):
     eng.add_request("a", [1, 2], max_new_tokens=2)
     with pytest.raises(ValueError):
         eng.add_request("a", [3, 4], max_new_tokens=2)
+
+
+def test_batched_chat_backend_concurrent(llm):
+    """Concurrent chat() calls through the shared engine each match the
+    solo LocalChatBackend output (greedy)."""
+    import threading
+    from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    solo = LocalChatBackend(llm)
+    batched = BatchedChatBackend(llm, num_pages=64, page_size=16,
+                                 max_pages_per_seq=8)
+    messages = [
+        [{"role": "user", "content": "hello there"}],
+        [{"role": "user", "content": "tell me about foxes please"}],
+        [{"role": "user", "content": "what is a tpu"}],
+    ]
+    want = [solo.chat(m, max_new_tokens=5, temperature=0.0,
+                      repetition_penalty=1.0) for m in messages]
+    got = [None] * 3
+
+    def run(i):
+        got[i] = batched.chat(messages[i], max_new_tokens=5, temperature=0.0,
+                              repetition_penalty=1.0)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert got == want
