@@ -117,7 +117,8 @@ def main():
     dense.add(vecs)
     log(f"dense index built in {time.perf_counter()-t0:.1f}s")
 
-    from ragmeup_tpu.retrieval.hybrid import hybrid_fused_search
+    from ragmeup_tpu.retrieval.hybrid import (hybrid_fused_search,
+                                              hybrid_fused_search_stream)
 
     def tpu_hybrid():
         # one fused device program: dense top-k + BM25 + RRF
@@ -130,13 +131,22 @@ def main():
     tpu_results = tpu_hybrid()
     log(f"first hybrid batch (incl compile): {time.perf_counter()-t0:.1f}s")
 
-    REPS = 5
+    REPS = 8
+    # throughput shape: a stream of batches, one-deep pipelined so the
+    # device->host fetch of batch i hides behind batch i+1's compute
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        tpu_results = tpu_hybrid()
+    for out in hybrid_fused_search_stream(
+            dense, sparse, [(queries, qvecs)] * REPS, K,
+            weights=WEIGHTS, rrf_c=RRF_C):
+        tpu_results = [[r for r, _ in row] for row in out]
     dt = (time.perf_counter() - t0) / REPS
     tpu_qps = BQ / dt
-    log(f"TPU hybrid: {dt*1e3:.1f} ms / {BQ} queries -> {tpu_qps:.0f} QPS/chip")
+    log(f"TPU hybrid (pipelined stream): {dt*1e3:.1f} ms / {BQ} queries "
+        f"-> {tpu_qps:.0f} QPS/chip")
+    t0 = time.perf_counter()
+    tpu_results_sync = tpu_hybrid()
+    log(f"TPU hybrid (sync single batch): "
+        f"{(time.perf_counter()-t0)*1e3:.1f} ms")
 
     log("CPU baseline (BLAS dense + sparse-contrib BM25 + RRF)...")
     cpu_results, cpu_dt = cpu_baseline(qvecs, vecs, sparse, queries, K,

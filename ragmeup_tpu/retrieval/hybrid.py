@@ -166,3 +166,52 @@ def hybrid_fused_search(dense, sparse, queries, qvecs, k,
     fs, fi = unpack_scores_ids(packed)
     return [[(int(r), float(s)) for r, s in zip(fi[i], fs[i]) if r >= 0]
             for i in range(nq)]
+
+
+def hybrid_fused_search_stream(dense, sparse, batches, k,
+                               weights=(0.5, 0.5), rrf_c: int = 60,
+                               re2_prompt=None):
+    """Pipelined hybrid search over a stream of query batches.
+
+    ``batches``: iterable of (queries, qvecs). Dispatches batch i+1 before
+    fetching batch i's packed result, hiding the device→host round-trip
+    behind the next batch's compute — the serving-throughput shape of
+    hybrid_fused_search. Yields per-batch result lists in order.
+    """
+    def dispatch(queries, qvecs):
+        nq = len(queries)
+        q = np.asarray(qvecs, np.float32)
+        if dense.normalize:
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        inputs = sparse.build_query_inputs(queries, re2_prompt)
+        if inputs is None:
+            return None, nq
+        qp, _ = _pad_rows(jnp.asarray(q))
+        interpret = jax.default_backend() != "tpu"
+        kk = min(k, max(dense.n - len(dense.dead), 1))
+        packed = _hybrid_fused(
+            qp, dense._corpus_t, dense._mask,
+            jnp.asarray(inputs["qsel"]), inputs["dev"]["head"],
+            jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
+            jnp.asarray(inputs["qid_cat"]), inputs["dev"]["mask"],
+            k=kk, tile_n=dense.tile_n, interpret=interpret, nq=nq,
+            cap=inputs["cap"], has_head=inputs["has_head"],
+            has_tail=inputs["has_tail"], w_sparse=weights[0],
+            w_dense=weights[1], rrf_c=rrf_c, k1=sparse.k1, b=sparse.b)
+        return packed, nq
+
+    def collect(packed, nq):
+        if packed is None:
+            return [[] for _ in range(nq)]
+        fs, fi = unpack_scores_ids(packed)
+        return [[(int(r), float(s)) for r, s in zip(fi[i], fs[i]) if r >= 0]
+                for i in range(nq)]
+
+    prev = None
+    for queries, qvecs in batches:
+        cur = dispatch(queries, qvecs)
+        if prev is not None:
+            yield collect(*prev)
+        prev = cur
+    if prev is not None:
+        yield collect(*prev)
