@@ -564,3 +564,17 @@ def test_ivf_empty_and_memory():
     idx = IVFIndex()
     assert idx.search(np.zeros((1, 8), np.float32), k=3) == [[]]
     assert idx.memory_bytes == 0
+
+
+def test_hybrid_fused_stream_matches_sync(rng):
+    from ragmeup_tpu.retrieval.hybrid import (hybrid_fused_search,
+                                              hybrid_fused_search_stream)
+    hybrid_fused_search_fn, dense, sparse, embed = (
+        hybrid_fused_search, *_fused_fixture(rng)[1:])
+    q1 = ["fox dog", "quantum bits"]
+    q2 = ["tech earnings rally"]
+    batches = [(q1, embed(q1)), (q2, embed(q2))]
+    streamed = list(hybrid_fused_search_stream(dense, sparse, batches, k=4))
+    assert len(streamed) == 2
+    assert streamed[0] == hybrid_fused_search_fn(dense, sparse, q1, embed(q1), 4)
+    assert streamed[1] == hybrid_fused_search_fn(dense, sparse, q2, embed(q2), 4)
