@@ -142,7 +142,8 @@ class RAGPipeline:
                 if self.cross_encoder is None:
                     return docs
                 scores = prov.compute_rerank_provenance(
-                    self.cross_encoder, query, answer, docs, include_query=True)
+                    self.cross_encoder, query, answer, docs,
+                    include_query=include_q)
             elif method == "similarity":
                 if self.encoder is None:
                     return docs

@@ -229,3 +229,47 @@ def test_text_to_graph_llm_max_instances():
     backend = StaticChatBackend(default=reply)
     n = text_to_graph_llm(g, backend, PromptLibrary(), "t", max_instances=9)
     assert n == 9  # reference caps at 9 additions
+
+
+def test_remote_client_against_sidecar_process(tmp_path):
+    """RemoteGraphClient ↔ live sidecar process over real HTTP."""
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+    from ragmeup_tpu.graph.client import RemoteGraphClient
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ragmeup_tpu.graph.sidecar", "--port",
+         str(port), "--host", "127.0.0.1", "--db", str(tmp_path / "g.json")],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        client = RemoteGraphClient(f"http://127.0.0.1:{port}")
+        for _ in range(50):
+            try:
+                client.schema()
+                break
+            except Exception:
+                _time.sleep(0.2)
+        client.add_instances([
+            {"query": "MERGE (t:Topic {name: $n})", "parameters": {"n": "physics"}},
+        ])
+        schema = client.schema()
+        assert schema["node_labels"][0]["label"] == "Topic"
+        rows = client.run("MATCH (t:Topic) RETURN t.name")
+        assert rows == [{"t.name": "physics"}]
+        # GraphRetriever is backend-agnostic: works over the remote client
+        from ragmeup_tpu.config import PromptLibrary
+        from ragmeup_tpu.graph.retriever import GraphRetriever
+        from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+        r = GraphRetriever(client, StaticChatBackend(
+            default="MATCH (t:Topic) RETURN t.name"), PromptLibrary())
+        chunks = r.retrieve("what topics exist?")
+        assert chunks and "physics" in chunks[0].content
+        client.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
