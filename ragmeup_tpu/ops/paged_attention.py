@@ -255,9 +255,13 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     if interpret is None:
         interpret = not _on_tpu()
     hd = q.shape[-1]
-    ps = k_pages.shape[2]
-    # Mosaic constraint: the HBM page slice needs the last dim 128-aligned
-    # and the sublane dim 8-aligned; other shapes take the XLA gather path
+    nkv, P, ps, _ = k_pages.shape
+    # Mosaic constraint: HBM page slices need an (8k, 128k)-aligned tail, so
+    # the kernel requires hd % 128 == 0 (Llama-class models). Other head
+    # dims take the XLA gather path. (A flat (ps*hd/128, 128) page layout
+    # hits Mosaic's unsupported in-register shape cast; the workaround for a
+    # future round is m = 128/hd column-group matmuls with interleaved
+    # position masks.)
     if not interpret and (hd % 128 != 0 or ps % 8 != 0):
         return paged_attention_ref(q, k_pages, v_pages, page_indices, lengths)
     mp = page_indices.shape[1]
@@ -265,14 +269,17 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         pad = pages_per_block - mp % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
     return _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
-                                 pages_per_block, interpret)
+                                 pages_per_block, interpret, ps)
 
 
-@functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret",
+                                             "page_size"))
 def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
-                          pages_per_block: int, interpret: bool) -> jnp.ndarray:
+                          pages_per_block: int, interpret: bool,
+                          page_size: int) -> jnp.ndarray:
     b, nh, hd = q.shape
-    nkv, P, ps, _ = k_pages.shape
+    nkv, P, rows, cols = k_pages.shape  # logical (ps, hd) or flat (R, 128)
+    ps = page_size
     mp = page_indices.shape[1]
     g = nh // nkv
     blocks = mp // pages_per_block
@@ -292,8 +299,8 @@ def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, ps, hd), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, ps, hd), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, rows, cols), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, rows, cols), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),  # (slot, k/v)
             pltpu.SMEM((1,), jnp.int32),      # active buffer slot
             pltpu.VMEM((g, 1), jnp.float32),

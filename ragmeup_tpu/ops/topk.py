@@ -168,6 +168,9 @@ def dense_topk(queries: jnp.ndarray, corpus_t: jnp.ndarray, k: int,
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if k > 128:
+        raise ValueError(f"k={k} too large for the unrolled merge (max 128); "
+                         "use dense_topk_xla for very deep retrieval")
     d, n = corpus_t.shape
     if n % tile_n != 0:
         raise ValueError(f"corpus columns ({n}) must be a multiple of tile_n ({tile_n})")

@@ -238,3 +238,48 @@ def test_ui_search_and_feedback_roundtrip(client):
 def test_ui_search_requires_query(client):
     c, _ = client
     assert c.post("/search", json={}).status_code == 400
+
+
+def test_server_with_batched_llm_backend(tmp_path):
+    """Full HTTP server with the continuous-batching backend: concurrent
+    /chat requests all succeed with generation via the paged engine."""
+    import threading
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for name, text in CORPUS:
+        (data / name).write_text(text)
+    cfg = RagConfig()
+    cfg.data.data_directory = str(data)
+    cfg.data.index_directory = str(tmp_path / "index")
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.dense_dtype = "float32"
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+    cfg.generation.max_new_tokens = 4
+
+    lcfg = LlamaConfig.tiny(dtype="float32")
+    llm = LocalLLM(lcfg, SimpleTokenizer(lcfg.vocab_size), seed=0)
+    backend = BatchedChatBackend(llm, num_pages=64, page_size=16,
+                                 max_pages_per_seq=8)
+    system = RagSystem(cfg, encoder=_Enc(), backend=backend)
+    c = Client(RagServer(system))
+
+    results = [None] * 3
+
+    def hit(i):
+        r = c.post("/chat", json={"prompt": f"question number {i} about foxes"})
+        results[i] = r.get_json()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    for r in results:
+        assert r is not None and r["reply"]
+        assert r["documents"]
