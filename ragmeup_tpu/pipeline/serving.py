@@ -30,7 +30,8 @@ from ragmeup_tpu.ops.paged_attention import PagedKVCache
 
 class _SeqState:
     __slots__ = ("prompt_len", "pos", "out", "vals", "ids", "key", "seen",
-                 "max_new", "temperature", "rep_penalty", "done")
+                 "max_new", "temperature", "rep_penalty", "done",
+                 "dev_logits")
 
     def __init__(self, prompt_len, vals, ids, key, seen, max_new,
                  temperature, rep_penalty):
@@ -114,10 +115,12 @@ class ServingEngine:
             self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
         seen = set(int(t) for t in prompt_ids)
         vals, ids = jax.lax.top_k(logits, self.topk_support)
-        self.seqs[seq_id] = _SeqState(
+        st = _SeqState(
             n, np.array(vals, np.float32), np.array(ids),
             jax.random.PRNGKey(seed), seen,
             max_new_tokens, temperature, repetition_penalty)
+        st.dev_logits = logits  # stays on device (wave mode)
+        self.seqs[seq_id] = st
 
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""
@@ -286,3 +289,164 @@ class BatchedChatBackend(ChatBackend):
             if stop in reply:
                 reply = reply.split(stop, 1)[0]
         return reply.strip()
+
+
+# ---------------------------------------------------------------------------
+# Wave decoding: N tokens per dispatch, sampling fully on device
+# ---------------------------------------------------------------------------
+
+class _WaveMixin:
+    """Multi-step decode for ServingEngine. The single-step path costs one
+    host↔device round-trip per token; a *wave* runs `steps` decode+sample
+    iterations inside one jit (penalty/temperature/EOS on device, finished
+    rows redirected to the trash page) and fetches one packed (B, steps)
+    token matrix — amortizing the round-trip `steps`×.
+
+    Semantics match LocalLLM's fused loop (full-vocab repetition penalty);
+    temperature sampling uses one wave-level PRNG key rather than per-
+    sequence keys. Greedy decoding is exactly equal to the single-step
+    engine."""
+
+    def _wave_impl(self, params, logits0, key0, seen0, done0, emitted0, pos0,
+                   temps, rps, max_new, pages_step, slots_step, page_idx,
+                   trash_page, eos_arr, k_pages, v_pages, *, steps: int):
+        B = logits0.shape[0]
+        out0 = jnp.full((B, steps), -1, jnp.int32)
+
+        def body(s, carry):
+            (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
+            penal = jnp.where(logits > 0, logits / rps[:, None],
+                              logits * rps[:, None])
+            lg = jnp.where(seen & (rps != 1.0)[:, None], penal, logits)
+            key, sub = jax.random.split(key)
+            sampled = jax.random.categorical(
+                sub, lg / jnp.maximum(temps, 1e-6)[:, None])
+            tok = jnp.where(temps > 0, sampled,
+                            jnp.argmax(lg, axis=1)).astype(jnp.int32)
+            is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
+            emit = (~done) & (~is_eos) & (emitted < max_new)
+            out = out.at[:, s].set(jnp.where(emit, tok, -1))
+            rows = jnp.arange(B)
+            seen = seen.at[rows, tok].set(seen[rows, tok] | emit)
+            done = done | is_eos | (emitted >= max_new)
+            emitted = emitted + emit
+            w_pages = jnp.where(emit, pages_step[:, s], trash_page)
+            w_slots = jnp.where(emit, slots_step[:, s], 0)
+            lengths = pos + 1
+            tok_in = jnp.where(emit, tok, 0)
+            mout = self.llm.model.apply(
+                {"params": params}, tok_in[:, None], positions=pos[:, None],
+                paged_caches=list(zip(k_p, v_p)),
+                paged_meta=(page_idx, lengths, w_pages, w_slots))
+            k_p = [kp for kp, _ in mout["paged_caches"]]
+            v_p = [vp for _, vp in mout["paged_caches"]]
+            logits = mout["logits"][:, 0]
+            pos = pos + emit
+            return (logits, key, seen, done, emitted, pos, out, k_p, v_p)
+
+        carry = (logits0, key0, seen0, done0, emitted0, pos0, out0,
+                 list(k_pages), list(v_pages))
+        carry = jax.lax.fori_loop(0, steps, body, carry)
+        (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
+        return out, logits, key, seen, done, emitted, pos, k_p, v_p
+
+    def run_wave(self, steps_per_dispatch: int = 8,
+                 seed: int = 0) -> Dict[object, List[int]]:
+        """Decode all currently-active sequences to completion in waves of
+        `steps_per_dispatch` tokens per device round-trip. The active set is
+        fixed for the duration (use step() for join-friendly serving)."""
+        active = [(sid, st) for sid, st in self.seqs.items()
+                  if not st.done][:self.max_batch]
+        if not active:
+            return self.results()
+        if not hasattr(self, "_wave_jit"):
+            self._wave_jit = jax.jit(self._wave_impl,
+                                     static_argnames=("steps",),
+                                     donate_argnums=(15, 16))
+        B = _next_pow2_int(len(active))
+        V = self.llm.cfg.vocab_size
+        steps = steps_per_dispatch
+        trash = self.cache.seq_pages["__pad__"][0]
+        eos = sorted(self.llm.eos_ids) or [-1]
+
+        # device-resident wave state
+        logits = jnp.zeros((B, V), jnp.float32)
+        for i, (_, st) in enumerate(active):
+            logits = logits.at[i].set(st.dev_logits)
+        seen = np.zeros((B, V), bool)
+        pos = np.zeros(B, np.int32)
+        emitted = np.zeros(B, np.int32)
+        done = np.ones(B, bool)  # pad rows permanently done
+        temps = np.zeros(B, np.float32)
+        rps = np.ones(B, np.float32)
+        max_new = np.zeros(B, np.int32)
+        for i, (_, st) in enumerate(active):
+            if st.seen:
+                seen[i, np.fromiter(st.seen, dtype=np.int64)] = True
+            pos[i] = st.pos
+            emitted[i] = len(st.out)
+            done[i] = st.done
+            temps[i] = st.temperature
+            rps[i] = st.rep_penalty
+            max_new[i] = st.max_new
+        seen = jnp.asarray(seen)
+        pos = jnp.asarray(pos)
+        emitted = jnp.asarray(emitted)
+        done = jnp.asarray(done)
+        key = jax.random.PRNGKey(seed)
+
+        limit = self.max_pages_per_seq * self.page_size
+        while True:
+            # page tables come from HOST bookkeeping (st.pos/st.done) — a
+            # device fetch of pos/done here would add two ~26ms round-trips
+            # per dispatch in this environment
+            pages_step = np.full((B, steps), trash, np.int32)
+            slots_step = np.zeros((B, steps), np.int32)
+            page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
+            page_idx[:, 0] = trash
+            for i, (sid, st) in enumerate(active):
+                if st.done:
+                    continue
+                p0 = int(st.pos)
+                room = min(steps, limit - 1 - p0)
+                if room > 0:
+                    self.cache.extend(sid, room)
+                    self.cache.seq_len[sid] = p0  # trim; fixed up after wave
+                plist = self.cache.seq_pages[sid]
+                page_idx[i, :len(plist)] = plist
+                for s in range(steps):
+                    tp = p0 + s
+                    if tp < limit and tp // self.page_size < len(plist):
+                        pages_step[i, s] = plist[tp // self.page_size]
+                        slots_step[i, s] = tp % self.page_size
+            out, logits, key, seen, done, emitted, pos, k_p, v_p = \
+                self._wave_jit(self.llm.params, logits, key, seen, done,
+                               emitted, pos, jnp.asarray(temps),
+                               jnp.asarray(rps), jnp.asarray(max_new),
+                               jnp.asarray(pages_step),
+                               jnp.asarray(slots_step), jnp.asarray(page_idx),
+                               jnp.int32(trash), jnp.asarray(eos, jnp.int32),
+                               self.cache.k_pages, self.cache.v_pages,
+                               steps=steps)
+            self.cache.k_pages = list(k_p)
+            self.cache.v_pages = list(v_p)
+            toks = np.asarray(out)  # ONE fetch per `steps` tokens
+            all_done = True
+            for i, (sid, st) in enumerate(active):
+                row = [int(t) for t in toks[i] if t >= 0]
+                st.out.extend(row)
+                st.seen.update(row)
+                st.pos += len(row)
+                self.cache.seq_len[sid] = st.pos
+                if len(row) < steps or len(st.out) >= st.max_new or \
+                        st.pos + 1 >= limit:
+                    st.done = True
+                else:
+                    all_done = False
+            if all_done:
+                break
+        return self.results()
+
+
+ServingEngine._wave_impl = _WaveMixin._wave_impl
+ServingEngine.run_wave = _WaveMixin.run_wave

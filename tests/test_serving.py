@@ -117,3 +117,44 @@ def test_batched_chat_backend_concurrent(llm):
     for t in threads:
         t.join(timeout=120)
     assert got == want
+
+
+def test_wave_matches_single_step_greedy(llm):
+    """Wave decoding (N tokens/dispatch) must equal single-step greedy."""
+    prompts = {"a": [5, 17, 101], "b": [9, 8, 7, 6, 5], "c": [200, 300]}
+    eng1 = _engine(llm)
+    for k, v in prompts.items():
+        eng1.add_request(k, v, max_new_tokens=7, temperature=0.0,
+                         repetition_penalty=1.0)
+    want = eng1.run()
+    eng2 = _engine(llm)
+    for k, v in prompts.items():
+        eng2.add_request(k, v, max_new_tokens=7, temperature=0.0,
+                         repetition_penalty=1.0)
+    got = eng2.run_wave(steps_per_dispatch=3)
+    assert got == want
+
+
+def test_wave_matches_fused_generate_with_penalty(llm):
+    """Wave decoding applies the full-vocab repetition penalty — the same
+    semantics as LocalLLM's fused loop."""
+    prompt = [5, 17, 101, 42]
+    want = llm.generate(prompt, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=5.0)
+    eng = _engine(llm)
+    eng.add_request("a", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=5.0)
+    got = eng.run_wave(steps_per_dispatch=4)["a"]
+    assert got == want
+
+
+def test_wave_eos_and_page_growth(llm):
+    eng = _engine(llm)
+    eng.add_request("a", [5, 6], max_new_tokens=20, temperature=0.0,
+                    repetition_penalty=1.0)
+    got = eng.run_wave(steps_per_dispatch=8)["a"]
+    want = llm.generate([5, 6], max_new_tokens=20, temperature=0.0,
+                        repetition_penalty=1.0)
+    assert got == want
+    # seq_len bookkeeping trimmed to actual tokens
+    assert eng.cache.seq_len["a"] == eng.seqs["a"].pos
