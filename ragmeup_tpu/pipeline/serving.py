@@ -65,6 +65,7 @@ class ServingEngine:
                                   dtype=cfg.jdtype)
         # reserved trash page: batch-padding rows write here harmlessly
         self.cache.allocate("__pad__", 1)
+        self._wave_counter = 0
         self.seqs: Dict[object, _SeqState] = {}
         self._decode = jax.jit(self._decode_impl, donate_argnums=(2, 3))
 
@@ -227,11 +228,13 @@ class BatchedChatBackend(ChatBackend):
     """
 
     def __init__(self, llm, template=llama3_template,
-                 assistant_token=None, seed: int = 0, **engine_kwargs):
+                 assistant_token=None, seed: int = 0, wave_steps: int = 0,
+                 **engine_kwargs):
         self.llm = llm
         self.template = template
         self.assistant_token = assistant_token
         self.seed = seed
+        self.wave_steps = wave_steps  # >0: decode in waves of N tokens
         self.engine = ServingEngine(llm, **engine_kwargs)
         self._submit: "queue.Queue" = queue.Queue()
         self._next_id = 0
@@ -258,7 +261,10 @@ class BatchedChatBackend(ChatBackend):
                 pass
             if not pending:
                 continue
-            self.engine.step()
+            if self.wave_steps > 0:
+                self.engine.wave_once(steps=self.wave_steps, seed=self.seed)
+            else:
+                self.engine.step()
             done = [sid for sid in pending
                     if self.engine.seqs[sid].done]
             for sid in done:
@@ -350,29 +356,25 @@ class _WaveMixin:
         (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
         return out, logits, key, seen, done, emitted, pos, k_p, v_p
 
-    def run_wave(self, steps_per_dispatch: int = 8,
-                 seed: int = 0) -> Dict[object, List[int]]:
-        """Decode all currently-active sequences to completion in waves of
-        `steps_per_dispatch` tokens per device round-trip. The active set is
-        fixed for the duration (use step() for join-friendly serving)."""
+    def wave_once(self, steps: int = 8, seed: int = 0) -> int:
+        """One wave dispatch: decode up to `steps` tokens for every active
+        sequence in a single device round-trip. Join-friendly — the active
+        set may change between calls. Returns sequences still active."""
         active = [(sid, st) for sid, st in self.seqs.items()
                   if not st.done][:self.max_batch]
         if not active:
-            return self.results()
+            return 0
         if not hasattr(self, "_wave_jit"):
             self._wave_jit = jax.jit(self._wave_impl,
                                      static_argnames=("steps",),
                                      donate_argnums=(15, 16))
         B = _next_pow2_int(len(active))
         V = self.llm.cfg.vocab_size
-        steps = steps_per_dispatch
         trash = self.cache.seq_pages["__pad__"][0]
         eos = sorted(self.llm.eos_ids) or [-1]
+        limit = self.max_pages_per_seq * self.page_size
 
-        # device-resident wave state
         logits = jnp.zeros((B, V), jnp.float32)
-        for i, (_, st) in enumerate(active):
-            logits = logits.at[i].set(st.dev_logits)
         seen = np.zeros((B, V), bool)
         pos = np.zeros(B, np.int32)
         emitted = np.zeros(B, np.int32)
@@ -380,73 +382,70 @@ class _WaveMixin:
         temps = np.zeros(B, np.float32)
         rps = np.ones(B, np.float32)
         max_new = np.zeros(B, np.int32)
-        for i, (_, st) in enumerate(active):
+        pages_step = np.full((B, steps), trash, np.int32)
+        slots_step = np.zeros((B, steps), np.int32)
+        page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
+        page_idx[:, 0] = trash
+        for i, (sid, st) in enumerate(active):
+            logits = logits.at[i].set(st.dev_logits)
             if st.seen:
                 seen[i, np.fromiter(st.seen, dtype=np.int64)] = True
             pos[i] = st.pos
             emitted[i] = len(st.out)
-            done[i] = st.done
+            done[i] = False
             temps[i] = st.temperature
             rps[i] = st.rep_penalty
             max_new[i] = st.max_new
-        seen = jnp.asarray(seen)
-        pos = jnp.asarray(pos)
-        emitted = jnp.asarray(emitted)
-        done = jnp.asarray(done)
-        key = jax.random.PRNGKey(seed)
+            # pre-reserve pages + per-step (page, slot) tables from HOST
+            # bookkeeping (a device fetch of pos/done would add ~26ms
+            # round-trips per dispatch in this environment)
+            p0 = int(st.pos)
+            room = min(steps, limit - 1 - p0)
+            if room > 0:
+                self.cache.extend(sid, room)
+                self.cache.seq_len[sid] = p0  # trimmed after the wave
+            plist = self.cache.seq_pages[sid]
+            page_idx[i, :len(plist)] = plist
+            for ss in range(steps):
+                tp = p0 + ss
+                if tp < limit and tp // self.page_size < len(plist):
+                    pages_step[i, ss] = plist[tp // self.page_size]
+                    slots_step[i, ss] = tp % self.page_size
 
-        limit = self.max_pages_per_seq * self.page_size
-        while True:
-            # page tables come from HOST bookkeeping (st.pos/st.done) — a
-            # device fetch of pos/done here would add two ~26ms round-trips
-            # per dispatch in this environment
-            pages_step = np.full((B, steps), trash, np.int32)
-            slots_step = np.zeros((B, steps), np.int32)
-            page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
-            page_idx[:, 0] = trash
-            for i, (sid, st) in enumerate(active):
-                if st.done:
-                    continue
-                p0 = int(st.pos)
-                room = min(steps, limit - 1 - p0)
-                if room > 0:
-                    self.cache.extend(sid, room)
-                    self.cache.seq_len[sid] = p0  # trim; fixed up after wave
-                plist = self.cache.seq_pages[sid]
-                page_idx[i, :len(plist)] = plist
-                for s in range(steps):
-                    tp = p0 + s
-                    if tp < limit and tp // self.page_size < len(plist):
-                        pages_step[i, s] = plist[tp // self.page_size]
-                        slots_step[i, s] = tp % self.page_size
-            out, logits, key, seen, done, emitted, pos, k_p, v_p = \
-                self._wave_jit(self.llm.params, logits, key, seen, done,
-                               emitted, pos, jnp.asarray(temps),
-                               jnp.asarray(rps), jnp.asarray(max_new),
-                               jnp.asarray(pages_step),
-                               jnp.asarray(slots_step), jnp.asarray(page_idx),
-                               jnp.int32(trash), jnp.asarray(eos, jnp.int32),
-                               self.cache.k_pages, self.cache.v_pages,
-                               steps=steps)
-            self.cache.k_pages = list(k_p)
-            self.cache.v_pages = list(v_p)
-            toks = np.asarray(out)  # ONE fetch per `steps` tokens
-            all_done = True
-            for i, (sid, st) in enumerate(active):
-                row = [int(t) for t in toks[i] if t >= 0]
-                st.out.extend(row)
-                st.seen.update(row)
-                st.pos += len(row)
-                self.cache.seq_len[sid] = st.pos
-                if len(row) < steps or len(st.out) >= st.max_new or \
-                        st.pos + 1 >= limit:
-                    st.done = True
-                else:
-                    all_done = False
-            if all_done:
-                break
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), self._wave_counter)
+        self._wave_counter += 1
+        out, logits, _key, _seen, _done, _emitted, _pos, k_p, v_p = \
+            self._wave_jit(self.llm.params, logits, key, jnp.asarray(seen),
+                           jnp.asarray(done), jnp.asarray(emitted),
+                           jnp.asarray(pos), jnp.asarray(temps),
+                           jnp.asarray(rps), jnp.asarray(max_new),
+                           jnp.asarray(pages_step), jnp.asarray(slots_step),
+                           jnp.asarray(page_idx), jnp.int32(trash),
+                           jnp.asarray(eos, jnp.int32),
+                           self.cache.k_pages, self.cache.v_pages,
+                           steps=steps)
+        self.cache.k_pages = list(k_p)
+        self.cache.v_pages = list(v_p)
+        toks = np.asarray(out)  # ONE fetch per `steps` tokens
+        for i, (sid, st) in enumerate(active):
+            row = [int(t) for t in toks[i] if t >= 0]
+            st.out.extend(row)
+            st.seen.update(row)
+            st.pos += len(row)
+            self.cache.seq_len[sid] = st.pos
+            st.dev_logits = logits[i]  # stays on device
+            if len(row) < steps or len(st.out) >= st.max_new or \
+                    st.pos + 1 >= limit:
+                st.done = True
+        return sum(1 for _, st in self.seqs.items() if not st.done)
+
+    def run_wave(self, steps_per_dispatch: int = 8,
+                 seed: int = 0) -> Dict[object, List[int]]:
+        """Decode all currently-active sequences to completion in waves."""
+        while self.wave_once(steps=steps_per_dispatch, seed=seed) > 0:
+            pass
         return self.results()
 
-
 ServingEngine._wave_impl = _WaveMixin._wave_impl
+ServingEngine.wave_once = _WaveMixin.wave_once
 ServingEngine.run_wave = _WaveMixin.run_wave

@@ -158,3 +158,42 @@ def test_wave_eos_and_page_growth(llm):
     assert got == want
     # seq_len bookkeeping trimmed to actual tokens
     assert eng.cache.seq_len["a"] == eng.seqs["a"].pos
+
+
+def test_wave_join_between_dispatches(llm):
+    """A request added between wave dispatches decodes correctly."""
+    eng = _engine(llm)
+    eng.add_request("a", [5, 17, 101], max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.wave_once(steps=2)
+    eng.add_request("b", [9, 8, 7], max_new_tokens=4, temperature=0.0,
+                    repetition_penalty=1.0)
+    out = eng.run_wave(steps_per_dispatch=2)
+    assert out["a"] == llm.generate([5, 17, 101], max_new_tokens=6,
+                                    temperature=0.0, repetition_penalty=1.0)
+    assert out["b"] == llm.generate([9, 8, 7], max_new_tokens=4,
+                                    temperature=0.0, repetition_penalty=1.0)
+
+
+def test_batched_backend_wave_mode(llm):
+    import threading
+    from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    solo = LocalChatBackend(llm)
+    batched = BatchedChatBackend(llm, num_pages=64, page_size=16,
+                                 max_pages_per_seq=8, wave_steps=3)
+    msgs = [[{"role": "user", "content": f"question {i}"}] for i in range(3)]
+    want = [solo.chat(m, max_new_tokens=5, temperature=0.0,
+                      repetition_penalty=1.0) for m in msgs]
+    got = [None] * 3
+
+    def run(i):
+        got[i] = batched.chat(msgs[i], max_new_tokens=5, temperature=0.0,
+                              repetition_penalty=1.0)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert got == want
