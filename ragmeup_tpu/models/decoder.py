@@ -111,6 +111,18 @@ class QuantDense(nn.Module):
             s = self.param("scale", nn.with_logical_partitioning(
                 nn.initializers.ones_init(), (self.names[1],)),
                 (self.features,), jnp.float32)
+            lead = x.shape[:-1]
+            rows = 1
+            for dim in lead:
+                rows *= dim
+            if (self.bits == 8 and rows <= 8 and d_in % 512 == 0
+                    and self.features % 512 == 0):
+                # decode-time fast path: fused dequant matmul reads int8
+                # weights once (XLA otherwise materializes bf16 weights)
+                from ragmeup_tpu.ops.quant_matmul import int8_matmul
+                out = int8_matmul(x.reshape(rows, d_in).astype(self.dtype),
+                                  w, s)
+                return out.reshape(lead + (self.features,))
             wd = w.astype(self.dtype) * s.astype(self.dtype)[None, :]
             return jnp.dot(x, wd, preferred_element_type=self.dtype)
         w = self.param("kernel", dense_init(self.names),
@@ -283,8 +295,11 @@ class LlamaModel(nn.Module):
         else:
             head = self.param("lm_head", dense_init(("embed", "vocab")),
                               (c.hidden_size, c.vocab_size), jnp.float32)
-        logits = jnp.dot(x.astype(jnp.float32), head,
-                         preferred_element_type=jnp.float32)
+        # storing embeddings/head in bf16 halves their HBM traffic (the
+        # lm_head read dominates per-token decode bandwidth at 8B scale);
+        # accumulate in f32 either way
+        logits = jnp.dot(x.astype(head.dtype), head,
+                         preferred_element_type=jnp.float32).astype(jnp.float32)
         out = {"logits": logits}
         if caches is not None:
             out["caches"] = new_caches

@@ -226,12 +226,15 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
     return params
 
 
-def quantize_decoder_params(params: dict, bits: int = 8) -> dict:
+def quantize_decoder_params(params: dict, bits: int = 8,
+                            embeddings_bf16: bool = True) -> dict:
     """Post-load weight-only int8/int4 quantization (per-output-channel
     scales). Transforms every QuantDense 'kernel' into ('kernel_q',
     'scale') so the tree matches a LlamaConfig with quantization='int8' /
-    'int4'. The TPU-native replacement for bitsandbytes nf4 (reference
-    RAGHelper_local.py:76-89)."""
+    'int4'; token_embedding/lm_head convert to bf16 (their f32 reads
+    dominate per-token decode bandwidth at 8B scale). The TPU-native
+    replacement for bitsandbytes nf4 (reference RAGHelper_local.py:76-89)."""
+    import jax.numpy as jnp
     qmax = 7 if bits == 4 else 127
 
     def quant(w: np.ndarray):
@@ -251,7 +254,12 @@ def quantize_decoder_params(params: dict, bits: int = 8) -> dict:
             return {k: walk(v) for k, v in node.items()}
         return node
 
-    return walk(params)
+    out = walk(params)
+    if embeddings_bf16:
+        for name in ("token_embedding", "lm_head"):
+            if name in out:
+                out[name] = jnp.asarray(out[name], jnp.bfloat16)
+    return out
 
 
 def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",

@@ -578,3 +578,19 @@ def test_hybrid_fused_stream_matches_sync(rng):
     assert len(streamed) == 2
     assert streamed[0] == hybrid_fused_search_fn(dense, sparse, q1, embed(q1), 4)
     assert streamed[1] == hybrid_fused_search_fn(dense, sparse, q2, embed(q2), 4)
+
+
+def test_int8_matmul_kernel_parity(rng):
+    from ragmeup_tpu.ops.quant_matmul import int8_matmul
+    m, k, n = 3, 1024, 1536
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32),
+                    jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01)
+    got = int8_matmul(x, wq, sc)
+    want = jnp.dot(x, wq.astype(jnp.bfloat16) * sc.astype(jnp.bfloat16)[None],
+                   preferred_element_type=jnp.bfloat16)
+    err = float(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max())
+    assert err / float(jnp.abs(want.astype(jnp.float32)).max()) < 0.02
+    # unaligned shapes fall back to dequant-dot
+    assert int8_matmul(x[:, :1000], wq[:1000], sc).shape == (m, n)
