@@ -114,12 +114,38 @@ def main():
             ce.score(ps)
         t_e2e.append(time.perf_counter() - t0)
 
+    # -- generation engine: concurrent decoding through the paged cache ----
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.pipeline.serving import ServingEngine
+    lcfg = LlamaConfig(vocab_size=32000, hidden_size=1024, num_layers=4,
+                       num_heads=8, num_kv_heads=4, intermediate_size=2816,
+                       max_seq_len=2048, rope_theta=10000.0, use_flash=True)
+    llm = LocalLLM(lcfg, SimpleTokenizer(lcfg.vocab_size), seed=0)
+
+    def fresh_engine():
+        e = ServingEngine(llm, num_pages=256, page_size=128,
+                          max_pages_per_seq=8)
+        erng = np.random.default_rng(0)
+        for i in range(8):
+            p = list(erng.integers(5, 30000, 150 + 10 * i))
+            e.add_request(i, p, max_new_tokens=64, temperature=0.0,
+                          repetition_penalty=1.0)
+        return e
+
+    fresh_engine().run_wave(steps_per_dispatch=8)  # compile
+    eng = fresh_engine()
+    t0 = time.perf_counter()
+    out = eng.run_wave(steps_per_dispatch=8)
+    e_dt = time.perf_counter() - t0
+    e_tok = sum(len(v) for v in out.values())
+
     report = {
         "backend": backend, "corpus": args.n, "k": args.k,
         "query_embed_ms": {"p50": pct(t_embed, 50), "p95": pct(t_embed, 95)},
         "hybrid_retrieval_ms": {"p50": pct(t_retr, 50), "p95": pct(t_retr, 95)},
         "rerank_ms": {"p50": pct(t_rerank, 50), "p95": pct(t_rerank, 95)},
         "end_to_end_ms": {"p50": pct(t_e2e, 50), "p95": pct(t_e2e, 95)},
+        "engine_tok_per_s": round(e_tok / e_dt, 1),
     }
     print(json.dumps(report, indent=2))
 

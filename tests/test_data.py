@@ -350,3 +350,15 @@ def test_store_save_load_roundtrip(tmp_path):
     assert loaded.tombstones == {0}
     assert loaded.live_chunks()[0].content == "b"
     assert ChunkStore.exists(str(tmp_path))
+
+
+def test_semantic_splitter_gradient_and_iqr_thresholds():
+    text = ("The cat sat down. The kitten purred. A cat chased yarn. "
+            "The car engine roared. The car drove fast. A car parked.")
+    for mode in ("gradient", "standard_deviation", "interquartile"):
+        sp = SemanticSplitter(_fake_embed, breakpoint_threshold_type=mode)
+        chunks = sp.split_text(text)
+        assert 1 <= len(chunks) <= 6
+    with pytest.raises(ValueError):
+        SemanticSplitter(_fake_embed,
+                         breakpoint_threshold_type="bogus").split_text(text)

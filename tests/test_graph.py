@@ -273,3 +273,12 @@ def test_remote_client_against_sidecar_process(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_order_by_and_where_or():
+    g = PropertyGraph()
+    for name, age in [("ada", 36), ("grace", 85), ("alan", 41)]:
+        g.run("CREATE (p:Person {name: $n, age: $a})", {"n": name, "a": age})
+    rows = g.run("MATCH (p:Person) WHERE p.age < 40 OR p.name = 'grace' "
+                 "RETURN p.name")
+    assert sorted(r["p.name"] for r in rows) == ["ada", "grace"]

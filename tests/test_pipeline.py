@@ -362,3 +362,16 @@ def test_system_with_graph_enabled(system_dirs, tmp_path):
     assert any(d["s"] == "graph_db" for d in out["documents"])
     # graph doc comes first (prioritized, RAGHelper_cloud.py:170-200)
     assert out["documents"][0]["s"] == "graph_db"
+
+
+def test_stage_timer_and_trace():
+    from ragmeup_tpu.utils.profiling import StageTimer, trace_stage
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with trace_stage("x"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
