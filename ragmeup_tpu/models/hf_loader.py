@@ -191,9 +191,11 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none"):
 
 
 def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
-                         tie_embeddings: bool) -> dict:
+                         tie_embeddings: bool,
+                         fused_projections: bool = False) -> dict:
     """HF Llama safetensors → LlamaModel param tree (torch Linear weights
-    transposed into flax kernels)."""
+    transposed into flax kernels). With fused_projections, Q/K/V and
+    gate/up kernels column-concatenate (numerically identical)."""
     t = _strip_prefix(tensors)
 
     def W(name):
@@ -208,20 +210,33 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
             tensors["lm_head.weight"].T.astype(np.float32))
     for i in range(num_layers):
         p = f"layers.{i}."
-        params[f"layer_{i}"] = {
-            "attention": {
+        if fused_projections:
+            attn = {"qkv_proj": {"kernel": np.concatenate(
+                        [W(p + "self_attn.q_proj.weight"),
+                         W(p + "self_attn.k_proj.weight"),
+                         W(p + "self_attn.v_proj.weight")], axis=1)},
+                    "o_proj": {"kernel": W(p + "self_attn.o_proj.weight")}}
+            mlp = {"gate_up_proj": {"kernel": np.concatenate(
+                        [W(p + "mlp.gate_proj.weight"),
+                         W(p + "mlp.up_proj.weight")], axis=1)},
+                   "down_proj": {"kernel": W(p + "mlp.down_proj.weight")}}
+        else:
+            attn = {
                 "q_proj": {"kernel": W(p + "self_attn.q_proj.weight")},
                 "k_proj": {"kernel": W(p + "self_attn.k_proj.weight")},
                 "v_proj": {"kernel": W(p + "self_attn.v_proj.weight")},
                 "o_proj": {"kernel": W(p + "self_attn.o_proj.weight")},
-            },
-            "input_norm": {"scale": t[p + "input_layernorm.weight"].astype(np.float32)},
-            "post_attn_norm": {"scale": t[p + "post_attention_layernorm.weight"].astype(np.float32)},
-            "mlp": {
+            }
+            mlp = {
                 "gate_proj": {"kernel": W(p + "mlp.gate_proj.weight")},
                 "up_proj": {"kernel": W(p + "mlp.up_proj.weight")},
                 "down_proj": {"kernel": W(p + "mlp.down_proj.weight")},
-            },
+            }
+        params[f"layer_{i}"] = {
+            "attention": attn,
+            "input_norm": {"scale": t[p + "input_layernorm.weight"].astype(np.float32)},
+            "post_attn_norm": {"scale": t[p + "post_attention_layernorm.weight"].astype(np.float32)},
+            "mlp": mlp,
         }
     return params
 

@@ -205,3 +205,25 @@ def test_int4_quantization(rng):
     q4logits = q4llm.forward_logits([3, 4, 5])
     corr = np.corrcoef(logits, q4logits)[0, 1]
     assert corr > 0.95  # int4 looser than int8 but still faithful
+
+
+def test_fused_projections_identical(rng):
+    """Column-concatenated QKV / gate-up kernels must give identical
+    outputs to the split layout (same weights, f32)."""
+    cfg = LlamaConfig.tiny(tie_embeddings=False, dtype="float32")
+    fcfg = LlamaConfig.tiny(tie_embeddings=False, dtype="float32",
+                            fused_projections=True)
+    tensors = _fake_hf_llama(cfg, rng)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    fparams = llama_params_from_hf(tensors, cfg.num_layers,
+                                   cfg.tie_embeddings,
+                                   fused_projections=True)
+    l1 = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=params)
+    l2 = LocalLLM(fcfg, SimpleTokenizer(fcfg.vocab_size), params=fparams)
+    prompt = [3, 4, 5, 6]
+    np.testing.assert_allclose(l1.forward_logits(prompt),
+                               l2.forward_logits(prompt), atol=1e-4)
+    assert l1.generate(prompt, max_new_tokens=5, temperature=0.0,
+                       repetition_penalty=1.0) == \
+        l2.generate(prompt, max_new_tokens=5, temperature=0.0,
+                    repetition_penalty=1.0)
