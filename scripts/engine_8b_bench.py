@@ -1,0 +1,99 @@
+"""Continuous-batching throughput at full Llama-3.1-8B shape on one chip.
+
+Builds an 8B-configuration decoder (zero int8 weights — identical FLOPs and
+HBM traffic to a real checkpoint; see docs/BENCH_NOTES.md), loads it through
+the paged-KV serving engine, and measures aggregate decode tok/s for N
+concurrent sequences with wave decoding.
+
+This is the serving headline the reference stack (torch + bitsandbytes nf4,
+one request at a time — reference RAGHelper_local.py pipeline) has no
+equivalent for: the reference serializes chat generations, so its aggregate
+throughput equals its single-stream throughput.
+
+Usage: python scripts/engine_8b_bench.py [--seqs 8] [--new-tokens 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_llm():
+    import jax
+    import jax.numpy as jnp
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+
+    cfg = LlamaConfig(quantization="int8", tie_embeddings=False,
+                      use_flash=True, max_seq_len=2048)
+    h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+
+    def qlin(d_in, d_out):
+        return {"kernel_q": np.zeros((d_in, d_out), np.int8),
+                "scale": np.full(d_out, 1e-3, np.float32)}
+
+    params = {"token_embedding": jnp.zeros((v, h), jnp.bfloat16),
+              "lm_head": jnp.zeros((h, v), jnp.bfloat16),
+              "final_norm": {"scale": np.ones(h, np.float32)}}
+    for i in range(cfg.num_layers):
+        params[f"layer_{i}"] = {
+            "attention": {"q_proj": qlin(h, h), "k_proj": qlin(h, kvh),
+                          "v_proj": qlin(h, kvh), "o_proj": qlin(h, h)},
+            "input_norm": {"scale": np.ones(h, np.float32)},
+            "post_attn_norm": {"scale": np.ones(h, np.float32)},
+            "mlp": {"gate_proj": qlin(h, inter), "up_proj": qlin(h, inter),
+                    "down_proj": qlin(inter, h)}}
+    dev = jax.device_put(params)
+    jax.tree_util.tree_leaves(dev)[0].block_until_ready()
+    del params
+    gc.collect()
+    return LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=dev)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seqs", type=int, default=8)
+    parser.add_argument("--new-tokens", type=int, default=128)
+    parser.add_argument("--steps-per-dispatch", type=int, default=8)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    from ragmeup_tpu.utils.platform import ensure_platform
+    backend = ensure_platform(args.platform)
+    print(f"backend: {backend}", file=sys.stderr)
+
+    from ragmeup_tpu.pipeline.serving import ServingEngine
+
+    llm = build_llm()
+
+    def fresh(new_tok):
+        e = ServingEngine(llm, num_pages=64, page_size=128,
+                          max_pages_per_seq=6, max_batch=args.seqs)
+        erng = np.random.default_rng(0)
+        for i in range(args.seqs):
+            p = list(erng.integers(5, 100000, 150 + 17 * i))
+            e.add_request(i, p, max_new_tokens=new_tok, temperature=0.0,
+                          repetition_penalty=1.0)
+        return e
+
+    fresh(8).run_wave(steps_per_dispatch=args.steps_per_dispatch)  # compile
+    eng = fresh(args.new_tokens)
+    t0 = time.time()
+    out = eng.run_wave(steps_per_dispatch=args.steps_per_dispatch)
+    dt = time.time() - t0
+    ntok = sum(len(v) for v in out.values())
+    print("8B int8 engine: %d seqs, %d tokens in %.2fs -> %.1f tok/s aggregate"
+          % (args.seqs, ntok, dt, ntok / dt))
+
+
+if __name__ == "__main__":
+    main()
