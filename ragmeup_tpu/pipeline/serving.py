@@ -18,6 +18,7 @@ Sampling (temperature / repetition penalty / EOS) matches
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -26,6 +27,81 @@ import numpy as np
 
 from ragmeup_tpu.models.decoder import LocalLLM, _next_pow2_int
 from ragmeup_tpu.ops.paged_attention import PagedKVCache
+
+
+def _decode_program(model, topk_support, params, meta, k_pages, v_pages):
+    """One batched paged decode step. meta: one packed (B, mp+5) int32
+    array — a single host->device transfer per step (each extra device_put
+    costs a tunnel roundtrip): columns
+    [token, position, page, slot, length, page_idx...]."""
+    tokens = meta[:, 0]
+    positions = meta[:, 1]
+    pages = meta[:, 2]
+    slots = meta[:, 3]
+    lengths = meta[:, 4]
+    page_idx = meta[:, 5:]
+    out = model.apply(
+        {"params": params}, tokens[:, None], positions=positions[:, None],
+        paged_caches=list(zip(k_pages, v_pages)),
+        paged_meta=(page_idx, lengths, pages, slots))
+    new_k = [kp for kp, _ in out["paged_caches"]]
+    new_v = [vp for _, vp in out["paged_caches"]]
+    # ship only the top-K support to host, packed into ONE array (the
+    # device->host path has high per-fetch latency)
+    vals, ids = jax.lax.top_k(out["logits"][:, 0], topk_support)
+    from ragmeup_tpu.ops.topk import pack_scores_ids
+    return pack_scores_ids(vals, ids), new_k, new_v
+
+
+def _wave_program(model, params, logits0, key0, seen0, done0, emitted0, pos0,
+                  temps, rps, max_new, tables, trash_page, eos_arr,
+                  k_pages, v_pages, *, steps: int):
+    """`steps` decode+sample iterations in one device program (see
+    _WaveMixin). tables: ONE packed (B, 2*steps + max_pages_per_seq) int32
+    upload — [pages_step | slots_step | page_idx]. Separate device_puts each
+    cost a tunnel round-trip in this environment."""
+    pages_step = tables[:, :steps]
+    slots_step = tables[:, steps:2 * steps]
+    page_idx = tables[:, 2 * steps:]
+    B = logits0.shape[0]
+    out0 = jnp.full((B, steps), -1, jnp.int32)
+
+    def body(s, carry):
+        (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
+        penal = jnp.where(logits > 0, logits / rps[:, None],
+                          logits * rps[:, None])
+        lg = jnp.where(seen & (rps != 1.0)[:, None], penal, logits)
+        key, sub = jax.random.split(key)
+        sampled = jax.random.categorical(
+            sub, lg / jnp.maximum(temps, 1e-6)[:, None])
+        tok = jnp.where(temps > 0, sampled,
+                        jnp.argmax(lg, axis=1)).astype(jnp.int32)
+        is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
+        emit = (~done) & (~is_eos) & (emitted < max_new)
+        out = out.at[:, s].set(jnp.where(emit, tok, -1))
+        rows = jnp.arange(B)
+        seen = seen.at[rows, tok].set(seen[rows, tok] | emit)
+        done = done | is_eos | (emitted >= max_new)
+        emitted = emitted + emit
+        w_pages = jnp.where(emit, pages_step[:, s], trash_page)
+        w_slots = jnp.where(emit, slots_step[:, s], 0)
+        lengths = pos + 1
+        tok_in = jnp.where(emit, tok, 0)
+        mout = model.apply(
+            {"params": params}, tok_in[:, None], positions=pos[:, None],
+            paged_caches=list(zip(k_p, v_p)),
+            paged_meta=(page_idx, lengths, w_pages, w_slots))
+        k_p = [kp for kp, _ in mout["paged_caches"]]
+        v_p = [vp for _, vp in mout["paged_caches"]]
+        logits = mout["logits"][:, 0]
+        pos = pos + emit
+        return (logits, key, seen, done, emitted, pos, out, k_p, v_p)
+
+    carry = (logits0, key0, seen0, done0, emitted0, pos0, out0,
+             list(k_pages), list(v_pages))
+    carry = jax.lax.fori_loop(0, steps, body, carry)
+    (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
+    return out, logits, key, seen, done, emitted, pos, k_p, v_p
 
 
 class _SeqState:
@@ -67,31 +143,19 @@ class ServingEngine:
         self.cache.allocate("__pad__", 1)
         self._wave_counter = 0
         self.seqs: Dict[object, _SeqState] = {}
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(2, 3))
-
-    # -- jitted batched paged decode ------------------------------------------
-
-    def _decode_impl(self, params, meta, k_pages, v_pages):
-        """meta: one packed (B, mp+5) int32 array — a single host->device
-        transfer per step (each extra device_put costs a tunnel roundtrip):
-        columns [token, position, page, slot, length, page_idx...]."""
-        tokens = meta[:, 0]
-        positions = meta[:, 1]
-        pages = meta[:, 2]
-        slots = meta[:, 3]
-        lengths = meta[:, 4]
-        page_idx = meta[:, 5:]
-        out = self.llm.model.apply(
-            {"params": params}, tokens[:, None], positions=positions[:, None],
-            paged_caches=list(zip(k_pages, v_pages)),
-            paged_meta=(page_idx, lengths, pages, slots))
-        new_k = [kp for kp, _ in out["paged_caches"]]
-        new_v = [vp for _, vp in out["paged_caches"]]
-        # ship only the top-K support to host, packed into ONE array (the
-        # device->host path has high per-fetch latency)
-        vals, ids = jax.lax.top_k(out["logits"][:, 0], self.topk_support)
-        from ragmeup_tpu.ops.topk import pack_scores_ids
-        return pack_scores_ids(vals, ids), new_k, new_v
+        # jitted programs are cached ON THE SHARED LLM, not per engine: a new
+        # ServingEngine over the same model must not re-trace the 32-layer
+        # program (seconds of Python tracing even when XLA's compile cache
+        # hits — measured as a 3.5 s first-dispatch outlier at 8B)
+        if not hasattr(llm, "_paged_decode_jits"):
+            llm._paged_decode_jits = {}
+        self._decode = llm._paged_decode_jits.get(self.topk_support)
+        if self._decode is None:
+            self._decode = jax.jit(
+                functools.partial(_decode_program, llm.model,
+                                  self.topk_support),
+                donate_argnums=(2, 3))
+            llm._paged_decode_jits[self.topk_support] = self._decode
 
     # -- request lifecycle -------------------------------------------------------
 
@@ -125,6 +189,12 @@ class ServingEngine:
 
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""
+        if st.vals is None:
+            # host snapshot invalidated by a wave dispatch — refresh from the
+            # (already flushed) device-resident logits
+            vals, ids = jax.lax.top_k(st.dev_logits, self.topk_support)
+            st.vals = np.array(vals, np.float32)
+            st.ids = np.array(ids)
         lg = st.vals.copy()
         if st.rep_penalty and st.rep_penalty != 1.0 and st.seen:
             hit = np.isin(st.ids, np.fromiter(st.seen, dtype=np.int64))
@@ -137,9 +207,23 @@ class ServingEngine:
             j = int(np.argmax(lg))
         return int(st.ids[j])
 
+    def _flush_wave_state(self) -> None:
+        """Write the device-resident wave carry's per-row logits back to
+        their sequences and drop the carry. Must run before any host-side
+        state mutation that the carry would shadow (single-step decode,
+        retire, batch-membership change) — rows that later rejoin a wave
+        batch are rebuilt from `st.dev_logits`."""
+        prev = getattr(self, "_wave_state", None)
+        if prev is not None:
+            for j, old_sid in enumerate(prev["sig"][0]):
+                if old_sid in self.seqs:
+                    self.seqs[old_sid].dev_logits = prev["logits"][j]
+        self._wave_state = None
+
     def step(self) -> int:
         """Sample one token for every active sequence, run one batched paged
         decode step. Returns the number of sequences still active."""
+        self._flush_wave_state()  # single-step path mutates pos/seen on host
         active = [(sid, st) for sid, st in self.seqs.items() if not st.done]
         if not active:
             return 0
@@ -186,6 +270,7 @@ class ServingEngine:
             st.vals = vals[i]
             st.ids = ids[i]
             st.pos += 1
+            st.dev_logits = None  # device copy is stale; host top-k is fresh
         return sum(1 for _, st in self.seqs.items() if not st.done)
 
     def run(self, max_steps: Optional[int] = None) -> Dict[object, List[int]]:
@@ -203,6 +288,9 @@ class ServingEngine:
 
     def retire(self, seq_id) -> List[int]:
         """Free a finished sequence's pages and return its tokens."""
+        # flush first: surviving rows keep their current logits, and a later
+        # add_request reusing this seq_id can't inherit the old carry
+        self._flush_wave_state()
         st = self.seqs.pop(seq_id)
         self.cache.free(seq_id)
         return list(st.out)
@@ -313,139 +401,229 @@ class _WaveMixin:
     sequence keys. Greedy decoding is exactly equal to the single-step
     engine."""
 
-    def _wave_impl(self, params, logits0, key0, seen0, done0, emitted0, pos0,
-                   temps, rps, max_new, pages_step, slots_step, page_idx,
-                   trash_page, eos_arr, k_pages, v_pages, *, steps: int):
-        B = logits0.shape[0]
-        out0 = jnp.full((B, steps), -1, jnp.int32)
-
-        def body(s, carry):
-            (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
-            penal = jnp.where(logits > 0, logits / rps[:, None],
-                              logits * rps[:, None])
-            lg = jnp.where(seen & (rps != 1.0)[:, None], penal, logits)
-            key, sub = jax.random.split(key)
-            sampled = jax.random.categorical(
-                sub, lg / jnp.maximum(temps, 1e-6)[:, None])
-            tok = jnp.where(temps > 0, sampled,
-                            jnp.argmax(lg, axis=1)).astype(jnp.int32)
-            is_eos = jnp.any(tok[:, None] == eos_arr[None, :], axis=1)
-            emit = (~done) & (~is_eos) & (emitted < max_new)
-            out = out.at[:, s].set(jnp.where(emit, tok, -1))
-            rows = jnp.arange(B)
-            seen = seen.at[rows, tok].set(seen[rows, tok] | emit)
-            done = done | is_eos | (emitted >= max_new)
-            emitted = emitted + emit
-            w_pages = jnp.where(emit, pages_step[:, s], trash_page)
-            w_slots = jnp.where(emit, slots_step[:, s], 0)
-            lengths = pos + 1
-            tok_in = jnp.where(emit, tok, 0)
-            mout = self.llm.model.apply(
-                {"params": params}, tok_in[:, None], positions=pos[:, None],
-                paged_caches=list(zip(k_p, v_p)),
-                paged_meta=(page_idx, lengths, w_pages, w_slots))
-            k_p = [kp for kp, _ in mout["paged_caches"]]
-            v_p = [vp for _, vp in mout["paged_caches"]]
-            logits = mout["logits"][:, 0]
-            pos = pos + emit
-            return (logits, key, seen, done, emitted, pos, out, k_p, v_p)
-
-        carry = (logits0, key0, seen0, done0, emitted0, pos0, out0,
-                 list(k_pages), list(v_pages))
-        carry = jax.lax.fori_loop(0, steps, body, carry)
-        (logits, key, seen, done, emitted, pos, out, k_p, v_p) = carry
-        return out, logits, key, seen, done, emitted, pos, k_p, v_p
-
     def wave_once(self, steps: int = 8, seed: int = 0) -> int:
         """One wave dispatch: decode up to `steps` tokens for every active
         sequence in a single device round-trip. Join-friendly — the active
-        set may change between calls. Returns sequences still active."""
+        set may change between calls. Returns sequences still active.
+
+        Steady-state dispatch cost: the wave carry (logits / seen / done /
+        emitted / pos and the per-row sampling params) stays DEVICE-RESIDENT
+        between calls; while the active set is unchanged, the only
+        host→device transfer is ONE packed int32 page-table array and the
+        only device→host transfer is the packed token matrix. Host-side
+        state is rebuilt (and per-seq logits rows flushed back) only when a
+        sequence joins, finishes, or rotates through `max_batch`."""
+        entry = self._wave_dispatch(steps, seed, allow_rebuild=True)
+        if entry is None:
+            return 0
+        return self._wave_collect(entry)
+
+    def _wave_dispatch(self, steps: int, seed: int, allow_rebuild: bool):
+        """Dispatch one wave without waiting for its tokens. Returns an
+        in-flight entry for _wave_collect, None when nothing is active, or
+        the string "drain" when the batch membership changed but rebuilding
+        is not allowed yet (in-flight waves must be collected first so host
+        state is current).
+
+        Supports optimistic pipelining: a row either advances exactly
+        `steps` positions or goes permanently done on device (finished rows
+        write to the trash page), so page tables for wave N+1 can be built
+        from host bookkeeping before wave N's tokens arrive."""
+        import time as _time
+        timings = getattr(self, "wave_timings", None)  # opt-in observability
+        _t0 = _time.perf_counter()
         active = [(sid, st) for sid, st in self.seqs.items()
                   if not st.done][:self.max_batch]
         if not active:
-            return 0
-        if not hasattr(self, "_wave_jit"):
-            self._wave_jit = jax.jit(self._wave_impl,
-                                     static_argnames=("steps",),
-                                     donate_argnums=(15, 16))
+            return None
+        # cached on the shared llm — a fresh engine must not re-trace
+        if not hasattr(self.llm, "_wave_jit"):
+            self.llm._wave_jit = jax.jit(
+                functools.partial(_wave_program, self.llm.model),
+                static_argnames=("steps",),
+                donate_argnums=(1, 3, 4, 5, 6, 13, 14))
+        self._wave_jit = self.llm._wave_jit
         B = _next_pow2_int(len(active))
         V = self.llm.cfg.vocab_size
         trash = self.cache.seq_pages["__pad__"][0]
-        eos = sorted(self.llm.eos_ids) or [-1]
         limit = self.max_pages_per_seq * self.page_size
+        mpp = self.max_pages_per_seq
+        sig = (tuple(sid for sid, _ in active), B, steps)
+        prev = getattr(self, "_wave_state", None)
+        infl = getattr(self, "_infl_steps", None)
+        if infl is None:
+            infl = self._infl_steps = {}
+        if (prev is None or prev["sig"] != sig) and not allow_rebuild:
+            return "drain"
 
-        logits = jnp.zeros((B, V), jnp.float32)
-        seen = np.zeros((B, V), bool)
-        pos = np.zeros(B, np.int32)
-        emitted = np.zeros(B, np.int32)
-        done = np.ones(B, bool)  # pad rows permanently done
-        temps = np.zeros(B, np.float32)
-        rps = np.ones(B, np.float32)
-        max_new = np.zeros(B, np.int32)
-        pages_step = np.full((B, steps), trash, np.int32)
-        slots_step = np.zeros((B, steps), np.int32)
-        page_idx = np.zeros((B, self.max_pages_per_seq), np.int32)
-        page_idx[:, 0] = trash
+        # per-step (page, slot) tables + page index from HOST bookkeeping (a
+        # device fetch of pos/done would add ~26ms round-trips per dispatch),
+        # packed into one upload: [pages_step | slots_step | page_idx]
+        tables = np.zeros((B, 2 * steps + mpp), np.int32)
+        tables[:, :steps] = trash
+        tables[:, 2 * steps] = trash
         for i, (sid, st) in enumerate(active):
-            logits = logits.at[i].set(st.dev_logits)
-            if st.seen:
-                seen[i, np.fromiter(st.seen, dtype=np.int64)] = True
-            pos[i] = st.pos
-            emitted[i] = len(st.out)
-            done[i] = False
-            temps[i] = st.temperature
-            rps[i] = st.rep_penalty
-            max_new[i] = st.max_new
-            # pre-reserve pages + per-step (page, slot) tables from HOST
-            # bookkeeping (a device fetch of pos/done would add ~26ms
-            # round-trips per dispatch in this environment)
-            p0 = int(st.pos)
+            p0 = int(st.pos) + infl.get(sid, 0)  # optimistic when pipelined
             room = min(steps, limit - 1 - p0)
             if room > 0:
+                self.cache.seq_len[sid] = p0
                 self.cache.extend(sid, room)
-                self.cache.seq_len[sid] = p0  # trimmed after the wave
+                self.cache.seq_len[sid] = int(st.pos)  # truth kept on host
             plist = self.cache.seq_pages[sid]
-            page_idx[i, :len(plist)] = plist
+            tables[i, 2 * steps:2 * steps + len(plist)] = plist
             for ss in range(steps):
                 tp = p0 + ss
                 if tp < limit and tp // self.page_size < len(plist):
-                    pages_step[i, ss] = plist[tp // self.page_size]
-                    slots_step[i, ss] = tp % self.page_size
+                    tables[i, ss] = plist[tp // self.page_size]
+                    tables[i, steps + ss] = tp % self.page_size
 
+        if prev is not None and prev["sig"] == sig:
+            logits, seen, done, emitted, pos = (
+                prev["logits"], prev["seen"], prev["done"], prev["emitted"],
+                prev["pos"])
+            temps_d, rps_d, max_new_d = (prev["temps"], prev["rps"],
+                                         prev["max_new"])
+        else:
+            self._flush_wave_state()
+            logits = jnp.zeros((B, V), jnp.float32)
+            seen = np.zeros((B, V), bool)
+            pos = np.zeros(B, np.int32)
+            emitted = np.zeros(B, np.int32)
+            done = np.ones(B, bool)  # pad rows permanently done
+            temps = np.zeros(B, np.float32)
+            rps = np.ones(B, np.float32)
+            max_new = np.zeros(B, np.int32)
+            for i, (sid, st) in enumerate(active):
+                if st.dev_logits is None:
+                    # row last advanced by the single-step path: reconstruct
+                    # from the host top-K support (matches _sample semantics
+                    # for this row's next token; later tokens use true
+                    # full-vocab logits)
+                    full = np.full(V, -1e30, np.float32)
+                    full[np.asarray(st.ids)] = st.vals
+                    logits = logits.at[i].set(jnp.asarray(full))
+                else:
+                    logits = logits.at[i].set(st.dev_logits)
+                if st.seen:
+                    seen[i, np.fromiter(st.seen, dtype=np.int64)] = True
+                pos[i] = st.pos
+                emitted[i] = len(st.out)
+                done[i] = False
+                temps[i] = st.temperature
+                rps[i] = st.rep_penalty
+                max_new[i] = st.max_new
+            seen = jnp.asarray(seen)
+            done = jnp.asarray(done)
+            emitted = jnp.asarray(emitted)
+            pos = jnp.asarray(pos)
+            temps_d = jnp.asarray(temps)
+            rps_d = jnp.asarray(rps)
+            max_new_d = jnp.asarray(max_new)
+        if not hasattr(self, "_eos_dev"):
+            self._eos_dev = jnp.asarray(
+                sorted(self.llm.eos_ids) or [-1], jnp.int32)
+
+        _t1 = _time.perf_counter()
         key = jax.random.fold_in(jax.random.PRNGKey(seed), self._wave_counter)
         self._wave_counter += 1
-        out, logits, _key, _seen, _done, _emitted, _pos, k_p, v_p = \
-            self._wave_jit(self.llm.params, logits, key, jnp.asarray(seen),
-                           jnp.asarray(done), jnp.asarray(emitted),
-                           jnp.asarray(pos), jnp.asarray(temps),
-                           jnp.asarray(rps), jnp.asarray(max_new),
-                           jnp.asarray(pages_step), jnp.asarray(slots_step),
-                           jnp.asarray(page_idx), jnp.int32(trash),
-                           jnp.asarray(eos, jnp.int32),
+        out, logits, _key, seen, done, emitted, pos, k_p, v_p = \
+            self._wave_jit(self.llm.params, logits, key, seen, done, emitted,
+                           pos, temps_d, rps_d, max_new_d,
+                           jnp.asarray(tables), jnp.int32(trash),
+                           self._eos_dev,
                            self.cache.k_pages, self.cache.v_pages,
                            steps=steps)
         self.cache.k_pages = list(k_p)
         self.cache.v_pages = list(v_p)
-        toks = np.asarray(out)  # ONE fetch per `steps` tokens
-        for i, (sid, st) in enumerate(active):
+        _t2 = _time.perf_counter()
+        self._wave_state = {"sig": sig, "logits": logits, "seen": seen,
+                            "done": done, "emitted": emitted, "pos": pos,
+                            "temps": temps_d, "rps": rps_d,
+                            "max_new": max_new_d}
+        for sid, _ in active:
+            infl[sid] = infl.get(sid, 0) + steps
+        if timings is not None:
+            timings.append({"prep": _t1 - _t0, "dispatch": _t2 - _t1})
+        return {"active": active, "out": out, "steps": steps}
+
+    def _wave_collect(self, entry) -> int:
+        """Fetch one in-flight wave's token matrix and update host state.
+        Returns the number of sequences still active."""
+        import time as _time
+        timings = getattr(self, "wave_timings", None)
+        _t0 = _time.perf_counter()
+        steps = entry["steps"]
+        limit = self.max_pages_per_seq * self.page_size
+        infl = self._infl_steps
+        toks = np.asarray(entry["out"])  # ONE fetch per B*`steps` tokens
+        if timings is not None:
+            timings.append({"fetch": _time.perf_counter() - _t0})
+        for i, (sid, st) in enumerate(entry["active"]):
             row = [int(t) for t in toks[i] if t >= 0]
             st.out.extend(row)
             st.seen.update(row)
             st.pos += len(row)
-            self.cache.seq_len[sid] = st.pos
-            st.dev_logits = logits[i]  # stays on device
+            if sid in self.seqs:  # not retired while in flight
+                self.cache.seq_len[sid] = st.pos
+            left = infl.get(sid, 0) - steps
+            if left > 0:
+                infl[sid] = left
+            else:
+                infl.pop(sid, None)
+            st.vals = None  # host top-k snapshot is now stale (see _sample)
             if len(row) < steps or len(st.out) >= st.max_new or \
                     st.pos + 1 >= limit:
                 st.done = True
         return sum(1 for _, st in self.seqs.items() if not st.done)
 
-    def run_wave(self, steps_per_dispatch: int = 8,
-                 seed: int = 0) -> Dict[object, List[int]]:
-        """Decode all currently-active sequences to completion in waves."""
-        while self.wave_once(steps=steps_per_dispatch, seed=seed) > 0:
-            pass
+    def run_wave(self, steps_per_dispatch: int = 8, seed: int = 0,
+                 pipeline: bool = True) -> Dict[object, List[int]]:
+        """Decode all currently-active sequences to completion in waves.
+
+        With pipeline=True (default), wave N+1 is dispatched BEFORE wave N's
+        token matrix is fetched, overlapping the device→host round-trip and
+        host bookkeeping with device compute. Sound because an active row
+        either advances exactly `steps` positions per wave or goes
+        permanently done on device; membership changes force a drain before
+        the next dispatch (host state must be current to rebuild). Token
+        streams are identical to the unpipelined path (the PRNG key depends
+        only on the dispatch counter)."""
+        limit = self.max_pages_per_seq * self.page_size
+        if not pipeline:
+            while self.wave_once(steps=steps_per_dispatch, seed=seed) > 0:
+                pass
+            return self.results()
+        from collections import deque
+        q: deque = deque()
+        infl = getattr(self, "_infl_steps", None)
+        if infl is None:
+            infl = self._infl_steps = {}
+        while True:
+            # rows that could still emit something in a new wave (host
+            # prediction; EOS is unpredictable and just wastes one wave)
+            more = any(
+                not st.done
+                and len(st.out) + infl.get(sid, 0) < st.max_new
+                and st.pos + infl.get(sid, 0) + 1 < limit
+                for sid, st in self.seqs.items())
+            if more:
+                entry = self._wave_dispatch(steps_per_dispatch, seed,
+                                            allow_rebuild=not q)
+                if entry == "drain":
+                    self._wave_collect(q.popleft())
+                    continue
+                if entry is None:
+                    break
+                q.append(entry)
+                if len(q) >= 2:
+                    self._wave_collect(q.popleft())
+            elif q:
+                self._wave_collect(q.popleft())
+            else:
+                break
         return self.results()
 
-ServingEngine._wave_impl = _WaveMixin._wave_impl
 ServingEngine.wave_once = _WaveMixin.wave_once
+ServingEngine._wave_dispatch = _WaveMixin._wave_dispatch
+ServingEngine._wave_collect = _WaveMixin._wave_collect
 ServingEngine.run_wave = _WaveMixin.run_wave

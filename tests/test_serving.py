@@ -197,3 +197,75 @@ def test_batched_backend_wave_mode(llm):
     for t in ts:
         t.join(timeout=120)
     assert got == want
+
+
+def test_wave_rotation_through_max_batch(llm):
+    """More active sequences than max_batch: rows rotate out of the wave
+    batch and rejoin later. The device-resident carry must flush per-row
+    logits back on every membership change (greedy == solo runs)."""
+    prompts = {"a": [5, 17, 101], "b": [9, 8, 7, 6], "c": [200, 300, 40],
+               "d": [11, 12, 13]}
+    want = {k: llm.generate(v, max_new_tokens=6, temperature=0.0,
+                            repetition_penalty=1.0)
+            for k, v in prompts.items()}
+    eng = _engine(llm, max_batch=2)  # only 2 of 4 decode per wave
+    for k, v in prompts.items():
+        eng.add_request(k, v, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0)
+    got = eng.run_wave(steps_per_dispatch=2)
+    assert got == want
+
+
+def test_wave_retire_between_dispatches(llm):
+    """retire() between waves must flush the carry so survivors keep their
+    current logits, and a reused seq_id must not inherit the old carry."""
+    want_a = llm.generate([5, 17, 101], max_new_tokens=8, temperature=0.0,
+                          repetition_penalty=1.0)
+    want_b = llm.generate([9, 8, 7], max_new_tokens=2, temperature=0.0,
+                          repetition_penalty=1.0)
+    eng = _engine(llm)
+    eng.add_request("a", [5, 17, 101], max_new_tokens=8, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.add_request("b", [9, 8, 7], max_new_tokens=2, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.wave_once(steps=2)  # b finishes inside this wave
+    assert eng.seqs["b"].done
+    assert eng.retire("b") == want_b
+    # reuse the retired id mid-flight with a different prompt
+    want_b2 = llm.generate([42, 43], max_new_tokens=3, temperature=0.0,
+                           repetition_penalty=1.0)
+    eng.add_request("b", [42, 43], max_new_tokens=3, temperature=0.0,
+                    repetition_penalty=1.0)
+    got = eng.run_wave(steps_per_dispatch=2)
+    assert got["a"] == want_a
+    assert got["b"] == want_b2
+
+
+def test_wave_then_step_consistency(llm):
+    """Interleaving wave dispatches with the single-step path must not read
+    a stale device carry."""
+    want = llm.generate([5, 17, 101], max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0)
+    eng = _engine(llm)
+    eng.add_request("a", [5, 17, 101], max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.wave_once(steps=2)
+    eng.step()  # host-side single-step in between
+    got = eng.run_wave(steps_per_dispatch=2)["a"]
+    assert got == want
+
+
+def test_wave_pipeline_matches_unpipelined_sampling(llm):
+    """Pipelined run_wave must produce byte-identical token streams to the
+    unpipelined path, including under temperature sampling (the wave PRNG
+    key depends only on the dispatch counter) and staggered lengths."""
+    def build():
+        eng = _engine(llm)
+        eng.add_request("a", [5, 17, 101], max_new_tokens=7, temperature=0.7,
+                        repetition_penalty=1.1, seed=3)
+        eng.add_request("b", [9, 8, 7, 6], max_new_tokens=3, temperature=0.7,
+                        repetition_penalty=1.1, seed=3)
+        return eng
+    want = build().run_wave(steps_per_dispatch=2, pipeline=False)
+    got = build().run_wave(steps_per_dispatch=2, pipeline=True)
+    assert got == want
