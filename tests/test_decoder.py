@@ -227,3 +227,50 @@ def test_fused_projections_identical(rng):
                        repetition_penalty=1.0) == \
         l2.generate(prompt, max_new_tokens=5, temperature=0.0,
                     repetition_penalty=1.0)
+
+
+def test_speculative_matches_greedy(llm):
+    """Fused speculative decoding (on-device prompt-lookup drafts) must be
+    byte-identical to plain greedy generation, with and without penalty."""
+    prompts = [[5, 17, 101, 42], [9, 8, 7, 6, 5, 4, 3, 2],
+               [200, 300, 200, 300, 200, 300]]
+    for rp in (1.0, 1.1):
+        for p in prompts:
+            want = llm.generate(p, max_new_tokens=10, temperature=0.0,
+                                repetition_penalty=rp)
+            got = llm.generate_speculative(p, max_new_tokens=10,
+                                           repetition_penalty=rp,
+                                           draft_len=4)
+            assert got == want, (rp, p)
+
+
+def test_speculative_accepts_on_repetition():
+    """A constant-output model (zero weights -> argmax always token 0) makes
+    every 2-gram draft correct: the loop must emit draft_len tokens per
+    forward, not one."""
+    cfg = LlamaConfig.tiny(dtype="float32")
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    zeros = jax.tree_util.tree_map(lambda a: a * 0, llm.params)
+    zllm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=zeros)
+    prompt = [0, 0, 0, 0, 0, 0, 0, 0]
+    out, stats = zllm.generate_speculative(prompt, max_new_tokens=16,
+                                           repetition_penalty=1.0,
+                                           draft_len=8, return_stats=True)
+    assert out == [0] * 16
+    assert stats["iters"] <= 3  # 16 tokens in <=3 forwards, not 16
+    assert stats["accepted"] >= 13
+
+
+def test_speculative_eos(llm):
+    """EOS inside an accepted draft or bonus token stops generation at the
+    same point as plain greedy."""
+    g_free = llm.generate([5, 6], max_new_tokens=8, temperature=0.0,
+                          repetition_penalty=1.0)
+    eos_tok = g_free[3]
+    llm_eos = LocalLLM(llm.cfg, SimpleTokenizer(llm.cfg.vocab_size), seed=0,
+                       eos_ids=[eos_tok])
+    want = llm_eos.generate([5, 6], max_new_tokens=8, temperature=0.0,
+                            repetition_penalty=1.0)
+    got = llm_eos.generate_speculative([5, 6], max_new_tokens=8,
+                                       repetition_penalty=1.0, draft_len=4)
+    assert got == want == g_free[:3]
