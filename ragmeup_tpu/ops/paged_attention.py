@@ -166,20 +166,24 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
 def _paged_kernel(lengths_ref, page_idx_ref,
                   q_ref, k_hbm, v_hbm, o_ref,
                   k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
-                  *, page_size: int, blocks: int, pages_per_block: int):
+                  *, page_size: int, blocks: int, pages_per_block: int,
+                  nkv: int):
+    """Grid (b, blocks); every DMA copies one page for ALL kv heads (a
+    strided (nkv, ps, hd) rectangle). The previous (b, nkv, blocks) grid
+    issued nkv× more, nkv× smaller copies and was DMA-issue bound on the
+    scalar core (~7 ms/step at 8B batch-8; this layout ≈1 ms)."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    blk = pl.program_id(2)
+    blk = pl.program_id(1)
     nb = pl.num_programs(0)
-    nh_ = pl.num_programs(1)
+    nblk = pl.num_programs(1)
     length = lengths_ref[b]
     blk_tokens = page_size * pages_per_block
 
-    def dma(b_, h_, blk_, slot, which):
+    def dma(b_, blk_, slot, which):
         """One async copy per page (pages are non-contiguous in HBM)."""
         hbm, buf = (k_hbm, k_buf) if which == 0 else (v_hbm, v_buf)
         return [pltpu.make_async_copy(
-                    hbm.at[h_, page_idx_ref[b_, blk_ * pages_per_block + i]],
+                    hbm.at[:, page_idx_ref[b_, blk_ * pages_per_block + i]],
                     buf.at[slot, i], sems.at[slot, which])
                 for i in range(pages_per_block)]
 
@@ -192,59 +196,61 @@ def _paged_kernel(lengths_ref, page_idx_ref,
     # -- double buffering: every grid cell consumes one buffer slot; the
     # very first cell primes slot 0, every cell prefetches its successor
     # into the other slot, so DMA overlaps compute (guide §11 pattern)
-    is_first = (b == 0) & (h == 0) & (blk == 0)
+    is_first = (b == 0) & (blk == 0)
 
     @pl.when(is_first)
     def _prime():
         buf_idx[0] = 0
-        for c in dma(b, h, blk, 0, 0) + dma(b, h, blk, 0, 1):
+        for c in dma(b, blk, 0, 0) + dma(b, blk, 0, 1):
             c.start()
 
     cur = buf_idx[0]
-    cell = (b * nh_ + h) * pl.num_programs(2) + blk
-    total = nb * nh_ * pl.num_programs(2)
+    cell = b * nblk + blk
+    total = nb * nblk
     nxt = cell + 1
-    nxt_b = nxt // (nh_ * pl.num_programs(2))
-    rem = nxt % (nh_ * pl.num_programs(2))
-    nxt_h = rem // pl.num_programs(2)
-    nxt_blk = rem % pl.num_programs(2)
+    nxt_b = nxt // nblk
+    nxt_blk = nxt % nblk
 
     @pl.when(nxt < total)
     def _prefetch():
-        for c in dma(nxt_b, nxt_h, nxt_blk, 1 - cur, 0) + \
-                 dma(nxt_b, nxt_h, nxt_blk, 1 - cur, 1):
+        for c in dma(nxt_b, nxt_blk, 1 - cur, 0) + \
+                 dma(nxt_b, nxt_blk, 1 - cur, 1):
             c.start()
 
-    for c in dma(b, h, blk, cur, 0) + dma(b, h, blk, cur, 1):
+    for c in dma(b, blk, cur, 0) + dma(b, blk, cur, 1):
         c.wait()
     buf_idx[0] = 1 - cur
 
     @pl.when(blk * blk_tokens < length)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)  # (g, hd) — this kv head's q group
-        hd = q.shape[-1]
-        k = k_buf[cur].reshape(blk_tokens, hd).astype(jnp.float32)
-        v = v_buf[cur].reshape(blk_tokens, hd).astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
-            jnp.float32(hd))
-        tok = blk * blk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(tok < length, s, MASK_VALUE)
-        m_prev, l_prev = m_scr[:], l_scr[:]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[:] = m_next
-        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+        tok = None
+        for h in range(nkv):  # static unroll over kv heads
+            q = q_ref[0, h].astype(jnp.float32)   # (g, hd) q group of head h
+            hd = q.shape[-1]
+            # buf (ppb, nkv, ps, hd) → this head's (ppb*ps, hd) token block
+            k = k_buf[cur, :, h].reshape(blk_tokens, hd).astype(jnp.float32)
+            v = v_buf[cur, :, h].reshape(blk_tokens, hd).astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / \
+                jnp.sqrt(jnp.float32(hd))
+            if tok is None:
+                tok = blk * blk_tokens + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+            s = jnp.where(tok < length, s, MASK_VALUE)
+            m_prev, l_prev = m_scr[h], l_scr[h]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_scr[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[h] = m_next
+            acc_scr[h] = acc_scr[h] * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32)
 
     @pl.when(blk == blocks - 1)
     def _emit():
         l = l_scr[:]
         linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[:] * linv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] * linv).astype(o_ref.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths,
@@ -286,26 +292,26 @@ def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
     # q regrouped per kv head: (b, nkv, g, hd)
     qg = q.reshape(b, nkv, g, hd)
     kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
-                             pages_per_block=pages_per_block)
+                             pages_per_block=pages_per_block, nkv=nkv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, nkv, blocks),
+        grid=(b, blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
+            pl.BlockSpec((1, nkv, g, hd), lambda b_, k_, *_: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, g, hd), lambda b_, h_, k_, *_: (b_, h_, 0, 0),
+        out_specs=pl.BlockSpec((1, nkv, g, hd), lambda b_, k_, *_: (b_, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, rows, cols), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, rows, cols), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, nkv, rows, cols), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, nkv, rows, cols), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),  # (slot, k/v)
             pltpu.SMEM((1,), jnp.int32),      # active buffer slot
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, hd), jnp.float32),
+            pltpu.VMEM((nkv, g, 1), jnp.float32),
+            pltpu.VMEM((nkv, g, 1), jnp.float32),
+            pltpu.VMEM((nkv, g, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
