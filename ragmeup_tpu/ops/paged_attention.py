@@ -159,6 +159,35 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
     return jnp.einsum("bht,bthd->bhd", w, v.astype(jnp.float32)).astype(q.dtype)
 
 
+def paged_attention_chunk_ref(q, k_pages, v_pages, page_indices, lengths,
+                              sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """Multi-query (chunk-append) variant: q (b, s, nh, hd); lengths counts
+    tokens INCLUDING the s-token chunk; query i attends key positions
+    <= lengths - s + i (causal within the chunk, full prefix before it).
+    Returns (b, s, nh, hd)."""
+    b, s_, nh, hd = q.shape
+    nkv, P, ps, _ = k_pages.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(hd))
+    g = nh // nkv
+    mp = page_indices.shape[1]
+    k = k_pages[:, page_indices]
+    v = v_pages[:, page_indices]
+    k = jnp.transpose(k.reshape(nkv, b, mp * ps, hd), (1, 2, 0, 3))
+    v = jnp.transpose(v.reshape(nkv, b, mp * ps, hd), (1, 2, 0, 3))
+    k = jnp.repeat(k, g, axis=2)  # (b, T, nh, hd)
+    v = jnp.repeat(v, g, axis=2)
+    sc = jnp.einsum("bqhd,bthd->bhqt", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * sm_scale
+    limit = (lengths[:, None] - s_ + jnp.arange(s_)[None, :] + 1)  # (b, s)
+    valid = (jnp.arange(mp * ps)[None, None, :]
+             < limit[:, :, None])                                  # (b, s, T)
+    sc = jnp.where(valid[:, None, :, :], sc, MASK_VALUE)
+    w = jax.nn.softmax(sc, axis=-1)
+    out = jnp.einsum("bhqt,bthd->bqhd", w, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
@@ -167,11 +196,15 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                   q_ref, k_hbm, v_hbm, o_ref,
                   k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
                   *, page_size: int, blocks: int, pages_per_block: int,
-                  nkv: int):
+                  nkv: int, q_len: int, g: int):
     """Grid (b, blocks); every DMA copies one page for ALL kv heads (a
     strided (nkv, ps, hd) rectangle). The previous (b, nkv, blocks) grid
     issued nkv× more, nkv× smaller copies and was DMA-issue bound on the
-    scalar core (~7 ms/step at 8B batch-8; this layout ≈1 ms)."""
+    scalar core (~7 ms/step at 8B batch-8; this layout ≈1 ms).
+
+    q_len > 1 appends a chunk (speculative verify / chunked prefill): per
+    kv head the q block holds q_len*g rows ordered (qpos, group); query row
+    r attends key positions <= length - q_len + r//g."""
     b = pl.program_id(0)
     blk = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -223,19 +256,25 @@ def _paged_kernel(lengths_ref, page_idx_ref,
 
     @pl.when(blk * blk_tokens < length)
     def _run():
-        tok = None
+        limit = None
         for h in range(nkv):  # static unroll over kv heads
-            q = q_ref[0, h].astype(jnp.float32)   # (g, hd) q group of head h
+            q = q_ref[0, h].astype(jnp.float32)  # (q_len*g, hd) rows of head h
             hd = q.shape[-1]
             # buf (ppb, nkv, ps, hd) → this head's (ppb*ps, hd) token block
             k = k_buf[cur, :, h].reshape(blk_tokens, hd).astype(jnp.float32)
             v = v_buf[cur, :, h].reshape(blk_tokens, hd).astype(jnp.float32)
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / \
                 jnp.sqrt(jnp.float32(hd))
-            if tok is None:
+            if limit is None:
                 tok = blk * blk_tokens + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1)
-            s = jnp.where(tok < length, s, MASK_VALUE)
+                if q_len == 1:
+                    limit = length
+                else:
+                    qpos = jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, 0) // g
+                    limit = length - q_len + qpos + 1
+            s = jnp.where(tok < limit, s, MASK_VALUE)
             m_prev, l_prev = m_scr[h], l_scr[h]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
@@ -274,52 +313,82 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
-    return _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
-                                 pages_per_block, interpret, ps)
+    b, nh, _ = q.shape
+    g = nh // nkv
+    out = _paged_attention_call(q.reshape(b, nkv, g, hd), k_pages, v_pages,
+                                page_indices, lengths, pages_per_block,
+                                interpret, ps, 1)
+    return out.reshape(b, nh, hd)
+
+
+def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
+                          pages_per_block: int = 4,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Chunk-append paged attention (speculative verify / chunked prefill):
+    q (b, s, nh, hd); lengths counts tokens INCLUDING the chunk; query i
+    attends key positions <= lengths - s + i. Returns (b, s, nh, hd)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, s_, nh, hd = q.shape
+    nkv, P, ps, _ = k_pages.shape
+    if not interpret and (hd % 128 != 0 or ps % 8 != 0):
+        return paged_attention_chunk_ref(q, k_pages, v_pages, page_indices,
+                                         lengths)
+    mp = page_indices.shape[1]
+    if mp % pages_per_block != 0:
+        pad = pages_per_block - mp % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+    g = nh // nkv
+    # rows per kv head ordered (qpos, group) — matches the kernel's r//g
+    qg = jnp.transpose(q.reshape(b, s_, nkv, g, hd),
+                       (0, 2, 1, 3, 4)).reshape(b, nkv, s_ * g, hd)
+    out = _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
+                                pages_per_block, interpret, ps, s_)
+    out = out.reshape(b, nkv, s_, g, hd)
+    return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, s_, nh, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret",
-                                             "page_size"))
-def _paged_attention_call(q, k_pages, v_pages, page_indices, lengths,
+                                             "page_size", "q_len"))
+def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int, interpret: bool,
-                          page_size: int) -> jnp.ndarray:
-    b, nh, hd = q.shape
-    nkv, P, rows, cols = k_pages.shape  # logical (ps, hd) or flat (R, 128)
+                          page_size: int, q_len: int) -> jnp.ndarray:
+    b, nkv, qrows, hd = qg.shape  # qrows = q_len * g
+    _, P, rows, cols = k_pages.shape
     ps = page_size
     mp = page_indices.shape[1]
-    g = nh // nkv
+    g = qrows // q_len
     blocks = mp // pages_per_block
-    # q regrouped per kv head: (b, nkv, g, hd)
-    qg = q.reshape(b, nkv, g, hd)
     kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
-                             pages_per_block=pages_per_block, nkv=nkv)
+                             pages_per_block=pages_per_block, nkv=nkv,
+                             q_len=q_len, g=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, blocks),
         in_specs=[
-            pl.BlockSpec((1, nkv, g, hd), lambda b_, k_, *_: (b_, 0, 0, 0),
+            pl.BlockSpec((1, nkv, qrows, hd), lambda b_, k_, *_: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, nkv, g, hd), lambda b_, k_, *_: (b_, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, nkv, qrows, hd),
+                               lambda b_, k_, *_: (b_, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_block, nkv, rows, cols), k_pages.dtype),
             pltpu.VMEM((2, pages_per_block, nkv, rows, cols), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),  # (slot, k/v)
             pltpu.SMEM((1,), jnp.int32),      # active buffer slot
-            pltpu.VMEM((nkv, g, 1), jnp.float32),
-            pltpu.VMEM((nkv, g, 1), jnp.float32),
-            pltpu.VMEM((nkv, g, hd), jnp.float32),
+            pltpu.VMEM((nkv, qrows, 1), jnp.float32),
+            pltpu.VMEM((nkv, qrows, 1), jnp.float32),
+            pltpu.VMEM((nkv, qrows, hd), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, qrows, hd), qg.dtype),
         interpret=interpret,
     )(jnp.asarray(lengths, jnp.int32),
       jnp.asarray(page_indices, jnp.int32),
       qg, k_pages, v_pages)
-    return out.reshape(b, nh, hd)

@@ -96,3 +96,57 @@ def test_paged_cache_write_and_attend(rng):
     w = jax.nn.softmax(s, axis=-1)
     want = jnp.einsum("bht,thd->bhd", w, vf)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def test_paged_attention_chunk_matches_ref():
+    """Multi-query (chunk-append) kernel == XLA reference == dense oracle:
+    query i attends the prefix plus chunk tokens <= i."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ragmeup_tpu.ops.paged_attention import (paged_attention_chunk,
+                                                 paged_attention_chunk_ref)
+    rng = np.random.default_rng(3)
+    B, S, NH, NKV, HD, PS, P, MP = 2, 4, 8, 4, 128, 16, 33, 8
+    q = jnp.asarray(rng.standard_normal((B, S, NH, HD)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((NKV, P, PS, HD)).astype(np.float32))
+    vp = jnp.asarray(rng.standard_normal((NKV, P, PS, HD)).astype(np.float32))
+    pidx = jnp.asarray(rng.integers(1, P, (B, MP)).astype(np.int32))
+    lens = jnp.asarray([37, 101], np.int32)  # INCLUDING the 4-token chunk
+    got = np.array(paged_attention_chunk(q, kp, vp, pidx, lens), np.float32)
+    want = np.array(paged_attention_chunk_ref(q, kp, vp, pidx, lens),
+                    np.float32)
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+    # dense oracle for one (b, query, head)
+    for b in range(B):
+        T = int(lens[b])
+        ks = np.zeros((T, NKV, HD), np.float32)
+        vs = np.zeros((T, NKV, HD), np.float32)
+        for t in range(T):
+            pg = int(pidx[b, t // PS])
+            ks[t] = np.array(kp[:, pg, t % PS])
+            vs[t] = np.array(vp[:, pg, t % PS])
+        for qi in range(S):
+            n = T - S + qi + 1
+            for h in range(NH):
+                s = np.array(q[b, qi, h], np.float32) @ ks[:n, h // (NH // NKV)].T
+                s = s / np.sqrt(HD)
+                w = np.exp(s - s.max()); w /= w.sum()
+                o = w @ vs[:n, h // (NH // NKV)]
+                assert np.allclose(got[b, qi, h], o, atol=2e-4)
+
+
+def test_paged_attention_chunk_s1_equals_single():
+    import numpy as np
+    import jax.numpy as jnp
+    from ragmeup_tpu.ops.paged_attention import (paged_attention,
+                                                 paged_attention_chunk)
+    rng = np.random.default_rng(5)
+    B, NH, NKV, HD, PS, P, MP = 3, 8, 4, 128, 16, 17, 4
+    q = jnp.asarray(rng.standard_normal((B, NH, HD)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((NKV, P, PS, HD)).astype(np.float32))
+    vp = jnp.asarray(rng.standard_normal((NKV, P, PS, HD)).astype(np.float32))
+    pidx = jnp.asarray(rng.integers(1, P, (B, MP)).astype(np.int32))
+    lens = jnp.asarray([5, 20, 63], np.int32)
+    a = np.array(paged_attention(q, kp, vp, pidx, lens))
+    b = np.array(paged_attention_chunk(q[:, None], kp, vp, pidx, lens)[:, 0])
+    assert np.allclose(a, b, atol=1e-5)
