@@ -107,7 +107,7 @@ def _wave_program(model, params, logits0, key0, seen0, done0, emitted0, pos0,
 class _SeqState:
     __slots__ = ("prompt_len", "pos", "out", "vals", "ids", "key", "seen",
                  "max_new", "temperature", "rep_penalty", "done",
-                 "dev_logits")
+                 "dev_logits", "reserved_pages")
 
     def __init__(self, prompt_len, vals, ids, key, seen, max_new,
                  temperature, rep_penalty):
@@ -157,6 +157,30 @@ class ServingEngine:
                 donate_argnums=(2, 3))
             llm._paged_decode_jits[self.topk_support] = self._decode
 
+    # -- admission control --------------------------------------------------------
+
+    def _lifetime_pages(self, n_prompt: int, max_new: int) -> int:
+        """Worst-case page count a request will ever hold (after the same
+        prompt truncation add_request applies)."""
+        max_prompt = self.max_pages_per_seq * self.page_size - max_new
+        n = min(n_prompt, max(max_prompt, 8))
+        toks = min(n + max_new, self.max_pages_per_seq * self.page_size)
+        return -(-toks // self.page_size)
+
+    def can_admit(self, n_prompt: int, max_new: int) -> bool:
+        """True if the page pool can cover this request's FULL lifetime on
+        top of every active sequence's outstanding reservation — admitting
+        only under this invariant means a mid-decode ``extend`` can never
+        hit MemoryError and kill the serving worker."""
+        need = self._lifetime_pages(n_prompt, max_new)
+        outstanding = 0
+        for sid, st in self.seqs.items():
+            if st.done:
+                continue
+            held = len(self.cache.seq_pages.get(sid, []))
+            outstanding += max(0, getattr(st, "reserved_pages", held) - held)
+        return len(self.cache._free) - outstanding >= need
+
     # -- request lifecycle -------------------------------------------------------
 
     def add_request(self, seq_id, prompt_ids: Sequence[int],
@@ -185,6 +209,7 @@ class ServingEngine:
             jax.random.PRNGKey(seed), seen,
             max_new_tokens, temperature, repetition_penalty)
         st.dev_logits = logits  # stays on device (wave mode)
+        st.reserved_pages = self._lifetime_pages(n, max_new_tokens)
         self.seqs[seq_id] = st
 
     def _sample(self, st: _SeqState) -> int:
@@ -330,35 +355,87 @@ class BatchedChatBackend(ChatBackend):
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
+    @staticmethod
+    def _fail(req, exc) -> None:
+        req["error"] = exc
+        req["event"].set()
+
     def _loop(self):
-        pending = {}  # seq_id → Event-carrying dict
+        """Worker loop. Invariants: (a) this thread never exits — every
+        exception is converted into an error on the affected request(s);
+        (b) a request is only admitted to the engine when the page pool can
+        cover its full lifetime (see ServingEngine.can_admit), so decoding
+        never dies on pool exhaustion — excess requests wait in FIFO order
+        until pages free up."""
+        from collections import deque
+        pending = {}          # seq_id → Event-carrying dict (in engine)
+        waiting = deque()     # admitted later, FIFO
         while True:
-            # drain new requests (block when idle)
             try:
-                block = not pending
-                while True:
-                    req = self._submit.get(block=block, timeout=None if block else 0)
-                    self.engine.add_request(req["id"], req["prompt_ids"],
-                                            max_new_tokens=req["max_new"],
-                                            temperature=req["temperature"],
-                                            repetition_penalty=req["rp"],
-                                            seed=self.seed)
-                    pending[req["id"]] = req
-                    block = False
-            except queue.Empty:
-                pass
-            if not pending:
-                continue
-            if self.wave_steps > 0:
-                self.engine.wave_once(steps=self.wave_steps, seed=self.seed)
-            else:
-                self.engine.step()
-            done = [sid for sid in pending
-                    if self.engine.seqs[sid].done]
-            for sid in done:
-                req = pending.pop(sid)
-                req["tokens"] = self.engine.retire(sid)
-                req["event"].set()
+                # drain new requests (block when fully idle)
+                try:
+                    block = not pending and not waiting
+                    while True:
+                        req = self._submit.get(
+                            block=block, timeout=None if block else 0)
+                        waiting.append(req)
+                        block = False
+                except queue.Empty:
+                    pass
+                # admission: FIFO while the pool covers the full lifetime
+                while waiting:
+                    req = waiting[0]
+                    n = len(req["prompt_ids"])
+                    need = self.engine._lifetime_pages(n, req["max_new"])
+                    if need > self.engine.cache.num_pages - 1:  # -1: pad page
+                        waiting.popleft()
+                        self._fail(req, MemoryError(
+                            f"request needs {need} KV pages; pool has "
+                            f"{self.engine.cache.num_pages - 1}"))
+                        continue
+                    if not self.engine.can_admit(n, req["max_new"]):
+                        break  # wait for active sequences to retire
+                    waiting.popleft()
+                    try:
+                        self.engine.add_request(
+                            req["id"], req["prompt_ids"],
+                            max_new_tokens=req["max_new"],
+                            temperature=req["temperature"],
+                            repetition_penalty=req["rp"], seed=self.seed)
+                        pending[req["id"]] = req
+                    except Exception as exc:  # prefill/alloc failure
+                        self.engine.cache.free(req["id"])
+                        self.engine.seqs.pop(req["id"], None)
+                        self._fail(req, exc)
+                if not pending:
+                    continue
+                try:
+                    if self.wave_steps > 0:
+                        self.engine.wave_once(steps=self.wave_steps,
+                                              seed=self.seed)
+                    else:
+                        self.engine.step()
+                except Exception as exc:  # fail in-flight, keep serving
+                    for sid, req in list(pending.items()):
+                        self._fail(req, exc)
+                        try:
+                            self.engine.retire(sid)
+                        except Exception:
+                            self.engine.cache.free(sid)
+                            self.engine.seqs.pop(sid, None)
+                    pending.clear()
+                    continue
+                done = [sid for sid in pending
+                        if self.engine.seqs[sid].done]
+                for sid in done:
+                    req = pending.pop(sid)
+                    req["tokens"] = self.engine.retire(sid)
+                    req["event"].set()
+            except Exception as exc:  # last resort: never die silently
+                for req in list(pending.values()) + list(waiting):
+                    self._fail(req, exc)
+                pending.clear()
+                waiting.clear()
 
     def chat(self, messages, max_new_tokens: int = 1000,
              temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
@@ -372,6 +449,9 @@ class BatchedChatBackend(ChatBackend):
                "event": threading.Event()}
         self._submit.put(req)
         req["event"].wait()
+        if "error" in req:
+            raise RuntimeError(
+                f"generation failed for {sid}") from req["error"]
         toks = req["tokens"]
         if hasattr(self.llm.tokenizer, "decode"):
             reply = self.llm.tokenizer.decode(toks)

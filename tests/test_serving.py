@@ -269,3 +269,62 @@ def test_wave_pipeline_matches_unpipelined_sampling(llm):
     want = build().run_wave(steps_per_dispatch=2, pipeline=False)
     got = build().run_wave(steps_per_dispatch=2, pipeline=True)
     assert got == want
+
+
+def test_backend_admission_control_under_page_pressure(llm):
+    """More concurrent requests than the page pool can hold at once: the
+    worker must queue the excess (never die on MemoryError) and every
+    chat() must still complete with the solo-greedy output.
+
+    Round-1 ADVICE: pool exhaustion killed the daemon thread silently and
+    every pending chat() blocked forever."""
+    import threading
+    from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    solo = LocalChatBackend(llm)
+    # pool of 8 usable pages (1 reserved for padding); each request needs
+    # ~4 pages for prompt+max_new, so only ~2 fit at a time and the rest
+    # must queue. Per-seq capacity stays large so prompts are NOT truncated
+    # (truncation would legitimately change the output).
+    batched = BatchedChatBackend(llm, num_pages=9, page_size=16,
+                                 max_pages_per_seq=8)
+    messages = [
+        [{"role": "user", "content": "hello there"}],
+        [{"role": "user", "content": "tell me about foxes please"}],
+        [{"role": "user", "content": "what is a tpu"}],
+        [{"role": "user", "content": "list three animals"}],
+    ]
+    want = [solo.chat(m, max_new_tokens=12, temperature=0.0,
+                      repetition_penalty=1.0) for m in messages]
+    got = [None] * len(messages)
+
+    def run(i):
+        got[i] = batched.chat(messages[i], max_new_tokens=12,
+                              temperature=0.0, repetition_penalty=1.0)
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(messages))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert batched._worker.is_alive()
+    assert got == want
+
+
+def test_backend_oversized_request_errors_not_hangs(llm):
+    """A request whose lifetime can never fit the pool raises in chat()
+    instead of deadlocking the queue, and the worker keeps serving."""
+    import pytest as _pytest
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    batched = BatchedChatBackend(llm, num_pages=8, page_size=16,
+                                 max_pages_per_seq=64)
+    msgs = [{"role": "user", "content": "hi"}]
+    with _pytest.raises(RuntimeError):
+        batched.chat(msgs, max_new_tokens=1000, temperature=0.0,
+                     repetition_penalty=1.0)
+    assert batched._worker.is_alive()
+    # a small request still works afterwards
+    out = batched.chat(msgs, max_new_tokens=4, temperature=0.0,
+                       repetition_penalty=1.0)
+    assert isinstance(out, str)
