@@ -58,6 +58,14 @@ class LlamaConfig:
     # Pallas flash-attention for prefill (causal; scores never hit HBM).
     use_flash: bool = False
     flash_block: int = 128
+    # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
+    # rope_scaling block in config.json (rope_type "llama3"); without the
+    # transform, logits diverge from HF at every context length.
+    rope_scaling_type: str = "none"  # none | llama3 | linear
+    rope_scaling_factor: float = 1.0
+    rope_scaling_low_freq_factor: float = 1.0
+    rope_scaling_high_freq_factor: float = 4.0
+    rope_scaling_original_max_position: int = 8192
 
     @property
     def head_dim(self) -> int:
@@ -76,8 +84,34 @@ class LlamaConfig:
         return LlamaConfig(**base)
 
 
-def rope_freqs(head_dim: int, max_len: int, theta: float) -> Tuple[np.ndarray, np.ndarray]:
+def scale_inv_freq_llama3(inv: np.ndarray, factor: float,
+                          low_freq_factor: float, high_freq_factor: float,
+                          original_max_position: int) -> np.ndarray:
+    """Llama-3.1 rope scaling (matches HF _compute_llama3_parameters):
+    long wavelengths divided by `factor`, short ones untouched, smooth
+    interpolation between the two wavelength thresholds."""
+    low_wavelen = original_max_position / low_freq_factor
+    high_wavelen = original_max_position / high_freq_factor
+    wavelen = 2.0 * np.pi / inv
+    smooth = (original_max_position / wavelen - low_freq_factor) / \
+        max(high_freq_factor - low_freq_factor, 1e-9)
+    interp = (1.0 - smooth) * inv / factor + smooth * inv
+    out = np.where(wavelen > low_wavelen, inv / factor, inv)
+    mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+    return np.where(mid, interp, out)
+
+
+def rope_freqs(head_dim: int, max_len: int, theta: float,
+               cfg: "LlamaConfig | None" = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
     inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    if cfg is not None and cfg.rope_scaling_type == "llama3":
+        inv = scale_inv_freq_llama3(
+            inv, cfg.rope_scaling_factor, cfg.rope_scaling_low_freq_factor,
+            cfg.rope_scaling_high_freq_factor,
+            cfg.rope_scaling_original_max_position)
+    elif cfg is not None and cfg.rope_scaling_type == "linear":
+        inv = inv / cfg.rope_scaling_factor
     t = np.arange(max_len, dtype=np.float64)
     ang = np.outer(t, inv)  # (L, hd/2)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
@@ -302,7 +336,8 @@ class LlamaModel(nn.Module):
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
         x = emb[input_ids].astype(c.jdtype)
-        cos_t, sin_t = rope_freqs(c.head_dim, c.max_seq_len, c.rope_theta)
+        cos_t, sin_t = rope_freqs(c.head_dim, c.max_seq_len, c.rope_theta,
+                                  cfg=c)
         cos = jnp.asarray(cos_t)[positions]
         sin = jnp.asarray(sin_t)[positions]
         new_caches, all_w = [], []

@@ -175,7 +175,28 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none"):
     from ragmeup_tpu.models.decoder import LlamaConfig
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         c = json.load(f)
+    # rope_scaling: Meta-Llama-3.1+ ships {"rope_type": "llama3", ...}
+    # (older checkpoints use the key "type"). Silently dropping it makes
+    # logits diverge from HF at all context lengths (round-1 ADVICE).
+    rs = c.get("rope_scaling") or {}
+    rs_type = rs.get("rope_type", rs.get("type", "none")) if rs else "none"
+    rs_kw = {}
+    if rs_type in ("llama3", "linear"):
+        rs_kw = dict(
+            rope_scaling_type=rs_type,
+            rope_scaling_factor=float(rs.get("factor", 1.0)),
+            rope_scaling_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_scaling_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_scaling_original_max_position=int(
+                rs.get("original_max_position_embeddings",
+                       c.get("max_position_embeddings", 8192))),
+        )
+    elif rs_type not in ("none", "default"):
+        raise ValueError(
+            f"unsupported rope_scaling type {rs_type!r} in "
+            f"{checkpoint_dir}/config.json (supported: llama3, linear)")
     return LlamaConfig(
+        **rs_kw,
         vocab_size=c["vocab_size"],
         hidden_size=c["hidden_size"],
         num_layers=c["num_hidden_layers"],

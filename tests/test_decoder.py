@@ -274,3 +274,69 @@ def test_speculative_eos(llm):
     got = llm_eos.generate_speculative([5, 6], max_new_tokens=8,
                                        repetition_penalty=1.0, draft_len=4)
     assert got == want == g_free[:3]
+
+
+def test_rope_scaling_llama3(tmp_path):
+    """rope_scaling parsing + llama3 frequency transform (round-1 ADVICE:
+    Meta-Llama-3.1 checkpoints were silently loaded unscaled).
+
+    Reference behavior: HF transformers _compute_llama3_parameters —
+    wavelengths longer than original_max/low_freq_factor are divided by
+    `factor`, shorter than original_max/high_freq_factor are untouched,
+    smooth interpolation in between."""
+    import json
+    from ragmeup_tpu.models.decoder import rope_freqs, scale_inv_freq_llama3
+    from ragmeup_tpu.models.hf_loader import llama_config_from_hf
+
+    cj = dict(vocab_size=512, hidden_size=64, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2,
+              intermediate_size=128, rope_theta=500000.0,
+              max_position_embeddings=131072, rms_norm_eps=1e-5,
+              rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                            "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                            "original_max_position_embeddings": 8192})
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    cfg = llama_config_from_hf(str(tmp_path))
+    assert cfg.rope_scaling_type == "llama3"
+    assert cfg.rope_scaling_factor == 8.0
+    assert cfg.rope_scaling_original_max_position == 8192
+
+    hd = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2) / hd))
+    scaled = scale_inv_freq_llama3(inv, 8.0, 1.0, 4.0, 8192)
+    wavelen = 2 * np.pi / inv
+    # long wavelengths: divided by factor; short: untouched
+    assert np.allclose(scaled[wavelen > 8192 / 1.0],
+                       inv[wavelen > 8192 / 1.0] / 8.0)
+    assert np.allclose(scaled[wavelen < 8192 / 4.0],
+                       inv[wavelen < 8192 / 4.0])
+    # mid-band strictly between the two extremes
+    mid = (wavelen <= 8192) & (wavelen >= 8192 / 4.0)
+    if mid.any():
+        assert np.all(scaled[mid] > inv[mid] / 8.0 - 1e-12)
+        assert np.all(scaled[mid] < inv[mid] + 1e-12)
+
+    # rope_freqs threads the scaling through cos/sin
+    c_scaled, _ = rope_freqs(hd, 32, cfg.rope_theta, cfg=cfg)
+    c_plain, _ = rope_freqs(hd, 32, cfg.rope_theta)
+    assert not np.allclose(c_scaled, c_plain)
+
+    # unsupported types raise instead of silently dropping
+    cj["rope_scaling"] = {"rope_type": "yarn", "factor": 4.0}
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    with pytest.raises(ValueError, match="yarn"):
+        llama_config_from_hf(str(tmp_path))
+
+
+def test_rope_scaling_linear_and_none(tmp_path):
+    import json
+    from ragmeup_tpu.models.hf_loader import llama_config_from_hf
+    cj = dict(vocab_size=512, hidden_size=64, num_hidden_layers=2,
+              num_attention_heads=4, intermediate_size=128)
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    assert llama_config_from_hf(str(tmp_path)).rope_scaling_type == "none"
+    cj["rope_scaling"] = {"type": "linear", "factor": 2.0}
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    cfg = llama_config_from_hf(str(tmp_path))
+    assert cfg.rope_scaling_type == "linear"
+    assert cfg.rope_scaling_factor == 2.0
