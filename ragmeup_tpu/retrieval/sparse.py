@@ -5,7 +5,8 @@ The TPU-native replacement for both of the reference's sparse paths
 (``RAGHelper.py:436-443``) and ParadeDB pg_search / Tantivy behind
 ``PostgresBM25Retriever`` (``PostgresBM25Retriever.py:84-107``). One
 implementation serves both reference modes; scoring is exact Okapi BM25
-(``rank_bm25`` semantics, +1-inside-log idf), verified against
+with ``rank_bm25.BM25Okapi`` idf semantics — ``log((N-df+0.5)/(df+0.5))``
+with negative idfs floored to ``0.25 · average_idf`` — verified against
 ``bm25_oracle``.
 
 Design (SURVEY.md §7 hard part #3 — BM25 on a dense-matrix machine, without
@@ -64,6 +65,24 @@ def sanitize_query(query: str, re2_prompt: Optional[str] = None) -> str:
         if pos >= 0:
             query = query[:pos]
     return query.translate(str.maketrans("", "", "():'"))
+
+
+BM25_EPSILON = 0.25  # rank_bm25 BM25Okapi default
+
+
+def _okapi_idf(df: np.ndarray, n_live: int) -> np.ndarray:
+    """Exact rank_bm25 BM25Okapi idf: log((N-df+0.5)/(df+0.5)); negative
+    values floored to epsilon * average_idf, where the average runs over
+    the corpus vocabulary (terms with df > 0, negatives included)."""
+    df = np.asarray(df, np.float64)
+    present = df > 0
+    raw = np.zeros_like(df)
+    raw[present] = (np.log(n_live - df[present] + 0.5)
+                    - np.log(df[present] + 0.5))
+    if present.any():
+        eps = BM25_EPSILON * raw[present].mean()
+        raw[present & (raw < 0)] = eps
+    return raw
 
 
 def _next_pow2(x: int) -> int:
@@ -222,9 +241,12 @@ class BM25Index:
         n_live = max(self.live_count, 1)
         dl = np.asarray(self._doc_len, np.float64) if self.n else np.zeros(0)
         avgdl = float(dl[live_mask_rows[:self.n]].mean()) if n_live and self.n else 1.0
-        # live df per term, rank_bm25 idf
+        # live df per term; exact rank_bm25 BM25Okapi idf:
+        # log((N-df+0.5)/(df+0.5)) with negatives floored to
+        # epsilon * average_idf (epsilon = 0.25), averaging over the
+        # corpus vocabulary (terms with df > 0) — rank_bm25 _calc_idf.
         df = np.bincount(t_all[live_post], minlength=V).astype(np.float64)
-        idf = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
+        idf = _okapi_idf(df, n_live)
         # per-posting contribution (only live postings matter; dead rows are
         # masked at query time, but their contribs must not pollute idf —
         # they are excluded above; contribs for dead rows are still computed,
@@ -398,13 +420,19 @@ def bm25_oracle(corpus_texts: Sequence[str], query: str, k1: float = 1.5,
     n = len(live)
     dl = np.array([len(docs[i]) for i in live], np.float64)
     avgdl = dl.mean() if n else 1.0
+    # rank_bm25 BM25Okapi idf over the WHOLE live vocabulary (the epsilon
+    # floor depends on the corpus-wide average idf, not just query terms)
+    vocab = sorted({t for i in live for t in docs[i]})
+    df = np.array([sum(1 for i in live if term in docs[i]) for term in vocab],
+                  np.float64)
+    idf_arr = _okapi_idf(df, n)
+    idf_of = {term: idf_arr[j] for j, term in enumerate(vocab)}
     qterms = set(analyze(query))
     scores = np.zeros(len(docs), np.float64)
     for term in qterms:
-        df = sum(1 for i in live if term in docs[i])
-        if df == 0:
+        if term not in idf_of:
             continue
-        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf = idf_of[term]
         for pos, i in enumerate(live):
             tf = docs[i].count(term)
             if tf:

@@ -594,3 +594,53 @@ def test_int8_matmul_kernel_parity(rng):
     assert err / float(jnp.abs(want.astype(jnp.float32)).max()) < 0.02
     # unaligned shapes fall back to dequant-dot
     assert int8_matmul(x[:, :1000], wq[:1000], sc).shape == (m, n)
+
+
+def test_bm25_negative_idf_epsilon_floor():
+    """Terms with df > N/2 have negative raw idf; rank_bm25 BM25Okapi
+    floors them to 0.25 * average_idf (round-1 ADVICE: we previously used
+    the +1-inside-log variant, which ranks differently for such terms).
+
+    Expected scores computed by an independent transliteration of
+    rank_bm25's algorithm (not by the module under test)."""
+    texts = [
+        "apple apple banana",
+        "apple cherry",
+        "apple banana date",
+        "elderberry fig",
+    ]
+    query = "apple elderberry"
+    import math
+    docs = [t.split() for t in texts]
+    N = len(docs)
+    # independent idf computation (rank_bm25 _calc_idf)
+    vocab = sorted({w for d in docs for w in d})
+    df = {w: sum(1 for d in docs if w in d) for w in vocab}
+    raw = {w: math.log(N - df[w] + 0.5) - math.log(df[w] + 0.5) for w in vocab}
+    avg = sum(raw.values()) / len(raw)
+    idf = {w: (0.25 * avg if r < 0 else r) for w, r in raw.items()}
+    assert raw["apple"] < 0  # df=3 of 4 → negative, must be floored
+    k1, b = 1.5, 0.75
+    dl = [len(d) for d in docs]
+    avgdl = sum(dl) / N
+    expected = []
+    for i, d in enumerate(docs):
+        s = 0.0
+        for w in set(query.split()):
+            tf = d.count(w)
+            if tf:
+                s += idf[w] * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl[i] / avgdl))
+        expected.append(s)
+
+    from ragmeup_tpu.retrieval.sparse import BM25Index, bm25_oracle
+    got_oracle = bm25_oracle(texts, query, k1=k1, b=b)
+    assert np.allclose(got_oracle, expected, atol=1e-9)
+
+    idx = BM25Index(k1=k1, b=b)
+    idx.add(texts)
+    hits = idx.search([query], k=4)[0]
+    by_row = {r: s for r, s in hits}
+    for i, e in enumerate(expected):
+        if e > 0:
+            assert abs(by_row[i] - e) < 1e-4, (i, by_row.get(i), e)
