@@ -42,6 +42,84 @@ def llama3_template(messages: List[Message]) -> str:
     return "".join(parts)
 
 
+def _special_token(value) -> str:
+    """tokenizer_config special tokens are either strings or
+    {"content": ..., ...} AddedToken dicts."""
+    if isinstance(value, dict):
+        return str(value.get("content", ""))
+    return str(value) if value is not None else ""
+
+
+def hf_chat_template(checkpoint_dir: Optional[str]) -> Optional[Callable]:
+    """Build a chat-template callable from a checkpoint's own template,
+    exactly as ``tokenizer.apply_chat_template`` would (parity with the
+    reference's prompt assembly, RAGHelper_local.py:246-249). Sources, in
+    precedence order: ``chat_template.jinja``, ``chat_template.json``,
+    ``tokenizer_config.json``'s ``chat_template`` (string or named list).
+    Returns None when the checkpoint ships no template (caller falls back
+    to ``llama3_template``)."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    source = None
+    cfg = {}
+    tc = os.path.join(checkpoint_dir, "tokenizer_config.json")
+    if os.path.exists(tc):
+        with open(tc) as f:
+            cfg = json.load(f)
+    jinja_file = os.path.join(checkpoint_dir, "chat_template.jinja")
+    json_file = os.path.join(checkpoint_dir, "chat_template.json")
+    if os.path.exists(jinja_file):
+        with open(jinja_file) as f:
+            source = f.read()
+    elif os.path.exists(json_file):
+        with open(json_file) as f:
+            source = json.load(f).get("chat_template")
+    else:
+        source = cfg.get("chat_template")
+    if isinstance(source, list):  # named templates: use "default"
+        by_name = {d.get("name"): d.get("template") for d in source}
+        source = by_name.get("default") or next(iter(by_name.values()), None)
+    if not source:
+        return None
+
+    import datetime
+    import jinja2
+    import jinja2.ext
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    def raise_exception(message):
+        raise jinja2.exceptions.TemplateError(message)
+
+    def strftime_now(fmt):
+        return datetime.datetime.now().strftime(fmt)
+
+    env = ImmutableSandboxedEnvironment(
+        trim_blocks=True, lstrip_blocks=True,
+        extensions=[jinja2.ext.loopcontrols])
+    env.filters["tojson"] = lambda x, **kw: json.dumps(x, **kw)
+    env.globals["raise_exception"] = raise_exception
+    env.globals["strftime_now"] = strftime_now
+    compiled = env.from_string(source)
+    special = {
+        "bos_token": _special_token(cfg.get("bos_token")),
+        "eos_token": _special_token(cfg.get("eos_token")),
+        "unk_token": _special_token(cfg.get("unk_token")),
+        "pad_token": _special_token(cfg.get("pad_token")),
+    }
+
+    def template(messages: List[Message]) -> str:
+        return compiled.render(messages=messages, add_generation_prompt=True,
+                               tools=None, **special)
+
+    return template
+
+
+def resolve_chat_template(checkpoint_dir: Optional[str]) -> Callable:
+    """The checkpoint's own chat template when it ships one, else the
+    generic Llama-3-style fallback."""
+    return hf_chat_template(checkpoint_dir) or llama3_template
+
+
 class LocalChatBackend(ChatBackend):
     def __init__(self, llm, template: Callable[[List[Message]], str] = llama3_template,
                  assistant_token: Optional[str] = None, seed: int = 0):

@@ -61,16 +61,22 @@ class RagSystem:
                 if self.llm is None:
                     self.llm = load_local_llm(cfg.model.llm_checkpoint,
                                               quantization=cfg.model.quantization)
+                # prompt assembly uses the checkpoint's own chat template
+                # when it ships one (tokenizer.apply_chat_template parity,
+                # RAGHelper_local.py:246-249); generic Llama-3-style otherwise
+                from ragmeup_tpu.pipeline.llm_backends import resolve_chat_template
+                template = resolve_chat_template(cfg.model.llm_checkpoint)
                 if cfg.server.batched_llm:
                     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
                     backend = BatchedChatBackend(
-                        self.llm,
+                        self.llm, template=template,
                         assistant_token=cfg.model.llm_assistant_token,
                         num_pages=cfg.server.kv_pages,
                         page_size=cfg.server.kv_page_size)
                 else:
                     backend = LocalChatBackend(
-                        self.llm, assistant_token=cfg.model.llm_assistant_token)
+                        self.llm, template=template,
+                        assistant_token=cfg.model.llm_assistant_token)
         self.backend = backend
         self.extra_retrievers = list(extra_retrievers)
         # GraphRAG wiring (cloud helper's graph_retriever hook,

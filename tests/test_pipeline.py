@@ -375,3 +375,91 @@ def test_stage_timer_and_trace():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# HF chat-template parity (reference: tokenizer.apply_chat_template,
+# RAGHelper_local.py:246-249)
+# ---------------------------------------------------------------------------
+
+LLAMA31_TEMPLATE = (
+    "{{- bos_token }}{%- for message in messages %}"
+    "{{- '<|start_header_id|>' + message['role'] + '<|end_header_id|>\n\n' "
+    "+ message['content'] | trim + '<|eot_id|>' }}{%- endfor %}"
+    "{%- if add_generation_prompt %}"
+    "{{- '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{%- endif %}")
+
+CHATML_TEMPLATE = (
+    "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n' "
+    "+ message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+    "{% endif %}")
+
+MESSAGES = [
+    {"role": "system", "content": "You are helpful."},
+    {"role": "user", "content": "What is a TPU?"},
+]
+
+
+def _write_ckpt(tmp_path, template, bos="<|begin_of_text|>"):
+    import json as _json
+    (tmp_path / "tokenizer_config.json").write_text(_json.dumps(
+        {"chat_template": template, "bos_token": bos,
+         "eos_token": "<|eot_id|>"}))
+    return str(tmp_path)
+
+
+def _hf_render(template, messages, bos, eos):
+    """Ground truth: transformers' own jinja compilation."""
+    from transformers.utils.chat_template_utils import _compile_jinja_template
+    return _compile_jinja_template(template).render(
+        messages=messages, add_generation_prompt=True, tools=None,
+        bos_token=bos, eos_token=eos)
+
+
+@pytest.mark.parametrize("template,bos", [
+    (LLAMA31_TEMPLATE, "<|begin_of_text|>"),
+    (CHATML_TEMPLATE, ""),
+])
+def test_hf_chat_template_matches_transformers(tmp_path, template, bos):
+    from ragmeup_tpu.pipeline.llm_backends import hf_chat_template
+    d = _write_ckpt(tmp_path, template, bos=bos)
+    fn = hf_chat_template(d)
+    assert fn is not None
+    got = fn(MESSAGES)
+    want = _hf_render(template, MESSAGES, bos, "<|eot_id|>")
+    assert got == want
+    assert got.endswith("assistant<|end_header_id|>\n\n") or \
+        got.endswith("<|im_start|>assistant\n")
+
+
+def test_hf_chat_template_jinja_file_precedence(tmp_path):
+    from ragmeup_tpu.pipeline.llm_backends import hf_chat_template
+    _write_ckpt(tmp_path, CHATML_TEMPLATE)
+    (tmp_path / "chat_template.jinja").write_text(LLAMA31_TEMPLATE)
+    out = hf_chat_template(str(tmp_path))(MESSAGES)
+    assert out.startswith("<|begin_of_text|>")  # jinja file won
+
+
+def test_resolve_chat_template_fallback(tmp_path):
+    from ragmeup_tpu.pipeline.llm_backends import (
+        llama3_template, resolve_chat_template)
+    # no checkpoint → generic template
+    assert resolve_chat_template(None) is llama3_template
+    # checkpoint without chat_template → generic template
+    (tmp_path / "tokenizer_config.json").write_text("{}")
+    assert resolve_chat_template(str(tmp_path)) is llama3_template
+
+
+def test_hf_chat_template_named_list_and_added_tokens(tmp_path):
+    import json as _json
+    from ragmeup_tpu.pipeline.llm_backends import hf_chat_template
+    (tmp_path / "tokenizer_config.json").write_text(_json.dumps({
+        "chat_template": [
+            {"name": "default", "template": "{{ bos_token }}{{ messages[-1]['content'] }}"},
+            {"name": "tool_use", "template": "XX"},
+        ],
+        "bos_token": {"content": "<s>", "lstrip": False},
+    }))
+    out = hf_chat_template(str(tmp_path))(MESSAGES)
+    assert out == "<s>What is a TPU?"
