@@ -56,8 +56,12 @@ class LlamaConfig:
     # decode vs XLA dequant; may win at larger batches)
     quant_kernel: bool = False
     # Pallas flash-attention for prefill (causal; scores never hit HBM).
+    # Block sizes are chosen adaptively up to (512, 1024) — measured on
+    # v5e at 8B shapes: bq=512/bk=1024 is 4.6x faster than XLA attention
+    # at seq 4096, while the old fixed 128 blocks were 1.2x SLOWER
+    # (docs/BENCH_NOTES.md "flash prefill").
     use_flash: bool = False
-    flash_block: int = 128
+    flash_block: int = 128  # minimum/granularity; kept for test overrides
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -238,15 +242,24 @@ class LlamaAttention(nn.Module):
         if use_flash:
             # prefill fast path: causal flash kernel; any padded keys sit at
             # positions > every real query row, so the causal mask subsumes
-            # the padding mask for the rows that are read
+            # the padding mask for the rows that are read. Blocks scale up
+            # with seq (measured: large blocks are the whole win on v5e).
             from ragmeup_tpu.ops.attention import flash_attention
+
+            def _blk(n, cap):
+                blk = c.flash_block
+                while blk * 2 <= min(n, cap) and n % (blk * 2) == 0:
+                    blk *= 2
+                return blk
+
             kr = jnp.repeat(k, rep, axis=2)
             vr = jnp.repeat(v, rep, axis=2)
             qf = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
             kf = kr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
             vf = vr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
             of = flash_attention(qf, kf, vf, causal=True, sm_scale=scale,
-                                 block_q=c.flash_block, block_k=c.flash_block)
+                                 block_q=_blk(s, 512),
+                                 block_k=_blk(kv_len, 1024))
             out = of.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
             weights = None
         else:

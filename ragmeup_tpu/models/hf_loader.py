@@ -307,6 +307,13 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
     from ragmeup_tpu.models.tokenizer import load_tokenizer
     if checkpoint_dir and os.path.isdir(checkpoint_dir):
         cfg = llama_config_from_hf(checkpoint_dir, quantization)
+        # flash-attention prefill when the head dim maps cleanly onto the
+        # MXU lane width (Llama-8B-class: hd=128); decode (s=1) and
+        # non-multiple shapes fall back inside LlamaBlock automatically.
+        # Measured on v5e: see docs/BENCH_NOTES.md "flash prefill".
+        if cfg.head_dim % 128 == 0:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, use_flash=True)
         tensors = load_safetensors(checkpoint_dir)
         params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
         if quantization in ("int8", "int4"):
