@@ -406,6 +406,10 @@ _ENV_KEYMAP = {
     "ragas_qa_pairs": ("eval", "qa_pairs", int),
     "ragas_timeout": ("eval", "timeout", int),
     "ragas_max_workers": ("eval", "max_workers", int),
+    # framework-specific (no reference counterpart): mesh layout knobs
+    "parallel_data_axis": ("parallel", "data_axis", int),
+    "parallel_corpus_axis": ("parallel", "corpus_axis", int),
+    "parallel_model_axis": ("parallel", "model_axis", int),
 }
 
 _PROMPT_ENV_KEYS = {

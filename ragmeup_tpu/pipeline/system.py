@@ -99,6 +99,22 @@ class RagSystem:
         # (SURVEY.md §5.2 — the reference shares a psycopg2 cursor across
         # Flask threads instead)
         self._mutation_lock = threading.RLock()
+        # corpus-sharded mode (SURVEY.md §2.4): one config knob
+        # (parallel.corpus_axis > 1) shards the indexes over an ICI mesh
+        # with bit-identical retrieval (round-1 verdict #3)
+        self.mesh = None
+        if cfg.parallel.corpus_axis > 1:
+            import jax
+            from ragmeup_tpu.parallel.mesh import make_mesh
+            p = cfg.parallel
+            devs = jax.devices()
+            if len(devs) < p.total_devices:
+                raise ValueError(
+                    f"parallel config needs {p.total_devices} devices "
+                    f"(data={p.data_axis} corpus={p.corpus_axis} "
+                    f"model={p.model_axis}); have {len(devs)}")
+            self.mesh = make_mesh((p.data_axis, p.corpus_axis, p.model_axis),
+                                  devices=devs[:p.total_devices])
         self.store: ChunkStore = ChunkStore(cfg.data.index_directory)
         self.dense: Optional[DenseIndex] = None
         self.sparse: Optional[BM25Index] = None
@@ -112,6 +128,29 @@ class RagSystem:
     def _splitter(self):
         return make_splitter(self.cfg, embed_fn=self.encoder.encode)
 
+    def _make_dense(self):
+        r = self.cfg.retrieval
+        if self.mesh is not None:
+            from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
+            dtype = r.dense_dtype if r.dense_dtype != "int8" else "bfloat16"
+            return ShardedDenseIndex(self.mesh, self.cfg.model.embedding_dim,
+                                     dtype=dtype)
+        return DenseIndex(self.cfg.model.embedding_dim, dtype=r.dense_dtype)
+
+    def _load_dense(self, idx_dir: str):
+        if self.mesh is not None:
+            from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
+            return ShardedDenseIndex.load(idx_dir, self.mesh)
+        return DenseIndex.load(idx_dir)
+
+    def _make_sparse(self) -> BM25Index:
+        r = self.cfg.retrieval
+        sparse = BM25Index(k1=r.bm25_k1, b=r.bm25_b)
+        if self.mesh is not None:
+            from ragmeup_tpu.parallel.sharded_index import make_shard_placer
+            sparse.shard_placer = make_shard_placer(self.mesh)
+        return sparse
+
     def load_data(self) -> None:
         """Artifact cache hit → mmap-load; miss → ingest + embed + persist
         (reference load_data flow, RAGHelper.py:551-566)."""
@@ -121,8 +160,11 @@ class RagSystem:
                 and BM25Index.exists(idx_dir):
             logger.info("loading index artifact from %s", idx_dir)
             self.store = ChunkStore.load(idx_dir)
-            self.dense = DenseIndex.load(idx_dir)
+            self.dense = self._load_dense(idx_dir)
             self.sparse = BM25Index.load(idx_dir)
+            if self.mesh is not None:
+                from ragmeup_tpu.parallel.sharded_index import make_shard_placer
+                self.sparse.shard_placer = make_shard_placer(self.mesh)
         else:
             logger.info("building index from data dir %s", d.data_directory)
             self.store = ChunkStore(idx_dir)
@@ -136,10 +178,8 @@ class RagSystem:
                     on_error=lambda p, e: logger.warning("load failed %s: %s", p, e))
             chunks = filter_metadata(self._splitter().split_chunks(raw))
             self.store.add(chunks)
-            r = self.cfg.retrieval
-            self.dense = DenseIndex(self.cfg.model.embedding_dim,
-                                    dtype=r.dense_dtype)
-            self.sparse = BM25Index(k1=r.bm25_k1, b=r.bm25_b)
+            self.dense = self._make_dense()
+            self.sparse = self._make_sparse()
             live = self.store.live_chunks()
             if live:
                 # the corpus-embedding hot loop: one batched device run
@@ -159,7 +199,8 @@ class RagSystem:
             mmr_lambda=r.mmr_lambda,
             reranker=self.cross_encoder if r.rerank else None,
             rerank_k=r.rerank_k,
-            re2_prompt=self.cfg.prompts.re2_prompt if self.cfg.pipeline.use_re2 else None)
+            re2_prompt=self.cfg.prompts.re2_prompt if self.cfg.pipeline.use_re2 else None,
+            mesh=self.mesh)
         self.pipeline = RAGPipeline(
             self.cfg, self.retriever, self.backend,
             cross_encoder=self.cross_encoder, encoder=self.encoder,

@@ -29,7 +29,7 @@ class HybridRetriever:
                  rrf_c: int = 60, search_type: str = "mmr",
                  mmr_fetch_k: int = 20, mmr_lambda: float = 0.5,
                  reranker=None, rerank_k: int = 3,
-                 re2_prompt: Optional[str] = None):
+                 re2_prompt: Optional[str] = None, mesh=None):
         self.store = store
         self.dense = dense
         self.sparse = sparse
@@ -43,6 +43,10 @@ class HybridRetriever:
         self.reranker = reranker
         self.rerank_k = rerank_k
         self.re2_prompt = re2_prompt
+        # corpus-sharded mode: dense is a ShardedDenseIndex over mesh's
+        # 'corpus' axis and retrieval runs the sharded one-dispatch program
+        # (SURVEY.md §2.4; round-1 verdict #3 — one knob, identical top-k)
+        self.mesh = mesh
 
     # -- stages -----------------------------------------------------------------
 
@@ -56,6 +60,13 @@ class HybridRetriever:
         in one program, one packed fetch)."""
         k = k or self.k
         qv = np.asarray(self.embed_query_fn([query]))
+        if self.mesh is not None:
+            from ragmeup_tpu.parallel.sharded_index import sharded_hybrid_search
+            return sharded_hybrid_search(
+                self.mesh, self.dense, self.sparse, [query], qv, k,
+                weights=self.weights, rrf_c=self.rrf_c,
+                re2_prompt=self.re2_prompt, search_type=self.search_type,
+                fetch_k=self.mmr_fetch_k, mmr_lambda=self.mmr_lambda)[0]
         return hybrid_fused_search(
             self.dense, self.sparse, [query], qv, k,
             weights=self.weights, rrf_c=self.rrf_c,

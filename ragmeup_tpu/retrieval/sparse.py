@@ -136,6 +136,10 @@ class BM25Index:
         # uses it when the toolchain-built library is available
         self.use_native = use_native
         self._native = None
+        # optional placement hook: (name, array) -> device array. The
+        # sharded hybrid path sets this so the flushed head matrix / mask
+        # land column-sharded over the mesh instead of on one chip.
+        self.shard_placer = None
 
     def _native_analyzer(self):
         if self.use_native == "off":
@@ -271,12 +275,15 @@ class BM25Index:
             for hrow, tid in enumerate(head_terms):
                 lo, hi = offsets[tid], offsets[tid + 1]
                 H[hrow, r_s[lo:hi]] = c_s[lo:hi]
-            head_dev = jnp.asarray(H)
         else:
-            head_dev = jnp.zeros((0, cap), jnp.float32)
+            H = np.zeros((0, cap), np.float32)
+        head_dev = (self.shard_placer("head", H) if self.shard_placer
+                    else jnp.asarray(H))
         mask = np.full(cap, NEG_INF, np.float32)
         live_rows = np.nonzero(live_mask_rows[:self.n])[0]
         mask[live_rows] = 0.0
+        mask_dev = (self.shard_placer("mask", mask) if self.shard_placer
+                    else jnp.asarray(mask))
         self._device = {
             "cap": cap,
             "offsets": offsets,
@@ -287,7 +294,7 @@ class BM25Index:
             "head_terms": head_terms,
             "head_row_of": head_row_of,
             "head": head_dev,
-            "mask": jnp.asarray(mask),
+            "mask": mask_dev,
             "avgdl": avgdl,
         }
         return self._device

@@ -268,3 +268,140 @@ def test_sharded_bm25_matches_single_device():
         b = [(round(float(s), 5), int(i))
              for s, i in zip(np.asarray(sh_s)[r], np.asarray(sh_i)[r])]
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Mesh-backed product path (round-1 verdict #3): one config knob turns an
+# existing RagSystem multi-chip with identical retrieval.
+# ---------------------------------------------------------------------------
+
+def _product_corpus(tmp_path, n=40):
+    import os
+    d = tmp_path / "data"
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(120)]
+    for i in range(n):
+        toks = rng.choice(words, size=30)
+        (d / f"doc{i}.txt").write_text(" ".join(toks) + f" special{i % 7}")
+    return str(d)
+
+
+def _mk_system(tmp_path, tag, corpus_axis):
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+    from ragmeup_tpu.pipeline.system import RagSystem
+    from ragmeup_tpu.retrieval.sparse import analyze
+
+    def hash_embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(
+            np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    class Enc:
+        encode = staticmethod(hash_embed)
+
+    cfg = RagConfig()
+    cfg.data.data_directory = _product_corpus(tmp_path)
+    cfg.data.index_directory = str(tmp_path / f"index_{tag}")
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.dense_dtype = "bfloat16"
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+    cfg.parallel.corpus_axis = corpus_axis
+    return RagSystem(cfg, encoder=Enc(),
+                     backend=StaticChatBackend(default="answer."))
+
+
+def test_mesh_backed_ragsystem_matches_single_chip(tmp_path):
+    single = _mk_system(tmp_path, "single", 1)
+    single.load_data()
+    sharded = _mk_system(tmp_path, "sharded", 4)
+    sharded.load_data()
+    from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
+    assert isinstance(sharded.dense, ShardedDenseIndex)
+    assert single.retriever.mesh is None and sharded.retriever.mesh is not None
+    queries = ["w3 w17 special2", "special5 w40", "w1 w2 w3 w4"]
+    for q in queries:
+        a = single.retriever.retrieve_rows(q, k=5)
+        b = sharded.retriever.retrieve_rows(q, k=5)
+        assert [r for r, _ in a] == [r for r, _ in b], q
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
+                                   rtol=1e-5)
+    # chat: whole product path end-to-end
+    ra = single.chat("w3 w17 special2")
+    rb = sharded.chat("w3 w17 special2")
+    assert [d["pk"] for d in ra["documents"]] == \
+        [d["pk"] for d in rb["documents"]]
+
+
+def test_mesh_backed_crud_matches_single_chip(tmp_path):
+    single = _mk_system(tmp_path, "s2", 1)
+    single.load_data()
+    sharded = _mk_system(tmp_path, "m2", 4)
+    sharded.load_data()
+    import os
+    newdoc = os.path.join(single.cfg.data.data_directory, "extra.txt")
+    with open(newdoc, "w") as f:
+        f.write("zebra quokka axolotl special3 w9")
+    n1 = single.add_document(newdoc)
+    n2 = sharded.add_document(newdoc)
+    assert n1 == n2 > 0
+    a = single.retriever.retrieve_rows("zebra quokka", k=5)
+    b = sharded.retriever.retrieve_rows("zebra quokka", k=5)
+    assert [r for r, _ in a] == [r for r, _ in b]
+    # delete and re-check
+    single.delete_document(newdoc)
+    sharded.delete_document(newdoc)
+    a = single.retriever.retrieve_rows("zebra quokka", k=5)
+    b = sharded.retriever.retrieve_rows("zebra quokka", k=5)
+    assert [r for r, _ in a] == [r for r, _ in b]
+
+
+def test_mesh_backed_artifact_reload(tmp_path):
+    sharded = _mk_system(tmp_path, "m3", 4)
+    sharded.load_data()
+    want = sharded.retriever.retrieve_rows("w3 special2", k=5)
+    # a fresh system over the same index dir loads the artifact sharded
+    again = _mk_system(tmp_path, "m3", 4)
+    again.cfg.data.index_directory = sharded.cfg.data.index_directory
+    again.load_data()
+    got = again.retriever.retrieve_rows("w3 special2", k=5)
+    assert [r for r, _ in want] == [r for r, _ in got]
+
+
+def test_sharded_mmr_search_matches_single_chip(rng):
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    mesh = make_mesh((1, 8, 1))
+    c = _corpus(rng, 512, 32)
+    sh = ShardedDenseIndex(mesh, 32, tile_n=64, dtype="float32")
+    si = DenseIndex(32, dtype="float32", tile_n=64)
+    sh.add(c)
+    si.add(c)
+    q = _corpus(rng, 3, 32)
+    a = si.search(q, 5, search_type="mmr", fetch_k=16)
+    b = sh.search(q, 5, search_type="mmr", fetch_k=16)
+    for x, y in zip(a, b):
+        assert [r for r, _ in x] == [r for r, _ in y]
+
+
+def test_sharded_incremental_add_in_place(rng):
+    """Adds after the first must go through dynamic_update_slice (no full
+    host re-upload): results identical to a fresh build at every step."""
+    mesh = make_mesh((1, 8, 1))
+    c = _corpus(rng, 256, 16)
+    inc = ShardedDenseIndex(mesh, 16, tile_n=32, dtype="float32")
+    inc.add(c[:100])
+    inc.add(c[100:130])   # in-capacity: pure device write
+    inc.add(c[130:256])   # forces growth then device write
+    ref = ShardedDenseIndex(mesh, 16, tile_n=32, dtype="float32")
+    ref.add(c)
+    q = _corpus(rng, 2, 16)
+    assert inc.search(q, 7) == ref.search(q, 7)
+    _, oi = topk_oracle(q, c, 7)
+    got = np.array([[r for r, _ in row] for row in inc.search(q, 7)])
+    assert np.array_equal(got, oi)
