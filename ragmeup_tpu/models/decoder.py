@@ -149,11 +149,28 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         d_in = x.shape[-1]
+        if self.quantize and self.bits == 4:
+            # packed int4 + group-wise scales (the TPU-native nf4; see
+            # ops/quant_matmul.py — native jnp.int4 arrays can't cross jit
+            # boundaries under the axon plugin, hence explicit packing)
+            from ragmeup_tpu.ops.quant_matmul import int4_matmul, int4_tiling
+            _, group = int4_tiling(d_in)
+            w = self.param("kernel_p", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), self.names),
+                (d_in // 2, self.features), jnp.int8)
+            s = self.param("gscale", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), self.names),
+                (d_in // group, self.features), jnp.float32)
+            lead = x.shape[:-1]
+            rows = 1
+            for dim in lead:
+                rows *= dim
+            out = int4_matmul(x.reshape(rows, d_in).astype(self.dtype), w, s)
+            return out.reshape(lead + (self.features,))
         if self.quantize:
-            qdtype = jnp.int4 if self.bits == 4 else jnp.int8
             w = self.param("kernel_q", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), self.names),
-                (d_in, self.features), qdtype)
+                (d_in, self.features), jnp.int8)
             s = self.param("scale", nn.with_logical_partitioning(
                 nn.initializers.ones_init(), (self.names[1],)),
                 (self.features,), jnp.float32)
@@ -161,7 +178,7 @@ class QuantDense(nn.Module):
             rows = 1
             for dim in lead:
                 rows *= dim
-            if (self.use_kernel and self.bits == 8 and rows <= 8
+            if (self.use_kernel and rows <= 8
                     and d_in % 512 == 0 and self.features % 512 == 0):
                 # decode-time fast path: fused dequant matmul reads int8
                 # weights once (XLA otherwise materializes bf16 weights)

@@ -264,28 +264,31 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
 
 def quantize_decoder_params(params: dict, bits: int = 8,
                             embeddings_bf16: bool = True) -> dict:
-    """Post-load weight-only int8/int4 quantization (per-output-channel
-    scales). Transforms every QuantDense 'kernel' into ('kernel_q',
-    'scale') so the tree matches a LlamaConfig with quantization='int8' /
-    'int4'; token_embedding/lm_head convert to bf16 (their f32 reads
-    dominate per-token decode bandwidth at 8B scale). The TPU-native
-    replacement for bitsandbytes nf4 (reference RAGHelper_local.py:76-89)."""
+    """Post-load weight-only quantization. int8: per-output-channel scales
+    → ('kernel_q', 'scale'). int4: packed two-per-byte with GROUP-WISE
+    scales → ('kernel_p', 'gscale') — the TPU-native equivalent of
+    bitsandbytes nf4's blockwise 4-bit (reference RAGHelper_local.py:76-89;
+    see ops/quant_matmul.py for the packing layout and why native jnp.int4
+    is avoided). token_embedding/lm_head convert to bf16 (their f32 reads
+    dominate per-token decode bandwidth at 8B scale)."""
     import jax.numpy as jnp
-    qmax = 7 if bits == 4 else 127
 
-    def quant(w: np.ndarray):
+    def quant8(w: np.ndarray):
         amax = np.abs(w).max(axis=0, keepdims=True)
-        scale = np.maximum(amax, 1e-8) / qmax
-        q = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
-        if bits == 4:
-            import jax.numpy as jnp
-            q = jnp.asarray(q, jnp.int4)
+        scale = np.maximum(amax, 1e-8) / 127
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
         return q, scale[0].astype(np.float32)
 
     def walk(node):
         if isinstance(node, dict):
             if set(node.keys()) == {"kernel"} and getattr(node["kernel"], "ndim", 0) == 2:
-                q, s = quant(np.asarray(node["kernel"], np.float32))
+                w = np.asarray(node["kernel"], np.float32)
+                if bits == 4:
+                    from ragmeup_tpu.ops.quant_matmul import (
+                        quantize_int4_groupwise)
+                    p, gs = quantize_int4_groupwise(w)
+                    return {"kernel_p": p, "gscale": gs}
+                q, s = quant8(w)
                 return {"kernel_q": q, "scale": s}
             return {k: walk(v) for k, v in node.items()}
         return node
