@@ -438,17 +438,43 @@ class LocalLLM:
     PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
 
     def __init__(self, cfg: LlamaConfig, tokenizer, params=None, seed: int = 0,
-                 eos_ids: Sequence[int] = ()):
+                 eos_ids: Sequence[int] = (), mesh=None):
+        """With ``mesh`` (a ('data','corpus','model') jax Mesh): tensor-
+        parallel inference. Params are placed per the flax logical rules
+        (qkv/kv/mlp dims over the ``model`` axis — Megatron column/row
+        parallel; SURVEY.md §2.4 "TP for model forwards"), the KV cache is
+        sharded over its kv-head dim, and XLA inserts the psum after
+        o_proj/down_proj from the shardings. Generation loops are unchanged
+        — the sharded cache flows through the fused while_loop carries.
+        Prefill uses XLA attention under TP (the pallas flash kernel has no
+        partitioning rule; sharding it needs shard_map — future work)."""
+        if mesh is not None and cfg.use_flash:
+            cfg = dataclasses.replace(cfg, use_flash=False)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.model = LlamaModel(cfg)
         self.eos_ids = set(int(e) for e in eos_ids)
+        self.mesh = mesh
+        self._cache_sharding = None
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, 8), jnp.int32),
                 positions=jnp.arange(8),
             )["params"]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ragmeup_tpu.parallel.tp import model_param_shardings
+            assert cfg.num_kv_heads % mesh.shape["model"] == 0, (
+                f"num_kv_heads={cfg.num_kv_heads} not divisible by model "
+                f"axis {mesh.shape['model']}")
+            shardings = model_param_shardings(
+                self.model, mesh, (jnp.zeros((1, 8), jnp.int32),),
+                {"positions": jnp.arange(8)})
+            params = jax.device_put(params, shardings)
+            # KV cache (b, L, nkv, hd): kv heads over 'model'
+            self._cache_sharding = NamedSharding(
+                mesh, P(None, None, "model", None))
         self.params = params
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("cache_len",))
         self._decode = jax.jit(self._decode_impl)
@@ -468,6 +494,10 @@ class LocalLLM:
         caches = [(jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype),
                    jnp.zeros((1, cache_len, c.num_kv_heads, c.head_dim), c.jdtype))
                   for _ in range(c.num_layers)]
+        if self._cache_sharding is not None:
+            caches = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, self._cache_sharding), caches)
         # place prompt K/V at cache[0:L]
         out = self.model.apply({"params": params}, ids,
                                positions=positions, attn_bias=bias + kmask,

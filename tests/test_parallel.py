@@ -405,3 +405,63 @@ def test_sharded_incremental_add_in_place(rng):
     _, oi = topk_oracle(q, c, 7)
     got = np.array([[r for r, _ in row] for row in inc.search(q, 7)])
     assert np.array_equal(got, oi)
+
+
+def test_tp_llm_generate_identical():
+    """Mesh-aware LocalLLM (TP over 'model', sharded KV cache) must produce
+    byte-identical greedy tokens and matching logits vs single-device
+    (SURVEY.md §2.4 'TP for model forwards' — the LLM motivation)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32")
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=3)
+    mesh = make_mesh((1, 4, 2))
+    from flax import linen as nn
+    params = nn.meta.unbox(base.params)
+    tp = LocalLLM(cfg, tok, params=params, mesh=mesh)
+
+    # param placement actually sharded over 'model'
+    qk = tp.params["layer_0"]["attention"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+
+    prompt = [3, 9, 4, 17, 251]
+    lg1 = base.forward_logits(prompt)
+    lg2 = tp.forward_logits(prompt)
+    np.testing.assert_allclose(lg2, lg1, rtol=2e-4, atol=2e-4)
+
+    g1 = base.generate(prompt, max_new_tokens=10, temperature=0.0,
+                       speculative="off")
+    g2 = tp.generate(prompt, max_new_tokens=10, temperature=0.0,
+                     speculative="off")
+    assert g1 == g2
+    # speculative path carries the sharded cache through its while_loop too
+    s2 = tp.generate(prompt, max_new_tokens=10, temperature=0.0)
+    assert s2 == g1
+
+
+def test_tp_llm_quantized_int8():
+    """TP + int8 weight-only: per-channel scales shard with their output
+    dim; generation stays deterministic and matches single-device int8."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.models.hf_loader import quantize_decoder_params
+    from flax import linen as nn
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32")
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=3)
+    params = nn.meta.unbox(base.params)
+    qcfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32",
+                            quantization="int8")
+    qparams = quantize_decoder_params(params, bits=8)
+    q1 = LocalLLM(qcfg, tok, params=qparams)
+    mesh = make_mesh((1, 4, 2))
+    q2 = LocalLLM(qcfg, tok, params=qparams, mesh=mesh)
+    prompt = [5, 2, 88, 31]
+    g1 = q1.generate(prompt, max_new_tokens=8, temperature=0.0,
+                     speculative="off")
+    g2 = q2.generate(prompt, max_new_tokens=8, temperature=0.0,
+                     speculative="off")
+    assert g1 == g2
