@@ -230,12 +230,13 @@ class LlamaAttention(nn.Module):
         if paged_state is not None:
             # batched paged decode (s == 1): write the new token's K/V into
             # the page pool, then paged attention over the pool
-            from ragmeup_tpu.ops.paged_attention import paged_attention
+            from ragmeup_tpu.ops.paged_attention import (paged_attention,
+                                                         paged_update_token)
             k_pages, v_pages, page_idx, lengths, pages, slots = paged_state
-            kp = k_pages.at[:, pages, slots].set(
-                jnp.transpose(k[:, 0], (1, 0, 2)).astype(k_pages.dtype))
-            vp = v_pages.at[:, pages, slots].set(
-                jnp.transpose(v[:, 0], (1, 0, 2)).astype(v_pages.dtype))
+            kp = paged_update_token(k_pages, jnp.transpose(k[:, 0], (1, 0, 2)),
+                                    pages, slots, hd)
+            vp = paged_update_token(v_pages, jnp.transpose(v[:, 0], (1, 0, 2)),
+                                    pages, slots, hd)
             attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
             out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
