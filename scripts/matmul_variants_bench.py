@@ -40,12 +40,21 @@ def main():
         float(jnp.asarray(r.reshape(-1)[0], jnp.float32))
 
     def timeit(fn):
+        """Slope timing: run N1 and N2 dispatch-chained iterations with one
+        fetch each; (t2-t1)/(N2-N1) cancels the constant ~26 ms D2H fetch
+        RTT that would otherwise inflate every op by RTT/iters."""
         sync(fn())
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            r = fn()
-        sync(r)
-        return (time.perf_counter() - t0) / args.iters * 1e3
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            sync(r)
+            return time.perf_counter() - t0
+
+        n1, n2 = args.iters, args.iters * 4
+        t1, t2 = run(n1), run(n2)
+        return (t2 - t1) / (n2 - n1) * 1e3
 
     for (k, n) in [(4096, 4096), (4096, 14336), (14336, 4096)]:
         x = jnp.asarray(rng.standard_normal((args.m, k)), jnp.bfloat16)
