@@ -46,7 +46,8 @@ class LlamaConfig:
     max_seq_len: int = 8192
     rms_eps: float = 1e-5
     dtype: str = "bfloat16"
-    quantization: str = "none"  # none | int8
+    quantization: str = "none"  # none | int8 | int4
+    head_quantization: str = "none"  # none | int8 (untied lm_head only)
     tie_embeddings: bool = True  # Llama-3.1-8B+ uses an untied lm_head
     # store Q/K/V as one projection and gate/up as one (column-concatenated
     # kernels; numerically identical, ~40% fewer matmul ops per token -
@@ -200,11 +201,12 @@ class QuantDense(nn.Module):
 
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
+    sp_mesh: Optional[object] = None  # sequence-parallel prefill mesh
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias=None, cache=None,
                  cache_pos=None, capture_weights: bool = False,
-                 paged_state=None):
+                 paged_state=None, ring: bool = False):
         c = self.cfg
         b, s, _ = x.shape
         hd, nh, nkv = c.head_dim, c.num_heads, c.num_kv_heads
@@ -254,10 +256,37 @@ class LlamaAttention(nn.Module):
         rep = nh // nkv
         scale = 1.0 / np.sqrt(hd)
         kv_len = k.shape[1]
+        ring_n = (self.sp_mesh.shape["corpus"]
+                  if self.sp_mesh is not None else 0)
+        # `ring` is only set by the full prefill (queries at absolute
+        # positions 0..s-1 — the ring derives positions from shard index,
+        # so offset chunks like the speculative verify must not take it)
+        use_ring = (ring and ring_n > 1 and s > 1 and b == 1
+                    and capture_weights in (False, None)
+                    and s % ring_n == 0 and kv_len % ring_n == 0)
         use_flash = (c.use_flash and capture_weights in (False, None, "qk")
                      and s > 1 and s % c.flash_block == 0
                      and kv_len % c.flash_block == 0)
-        if use_flash:
+        if use_ring:
+            # sequence-parallel prefill: the long RAG prompt shards over
+            # the 'corpus' axis and KV blocks rotate over ICI (ring
+            # attention), composing with TP (each chip rings only its own
+            # heads). Padded keys sit past every real query row, so the
+            # ring's causal mask subsumes the padding mask for the rows
+            # that are read (same argument as the flash path). Raises the
+            # practical max_document_limit instead of truncating — the
+            # reference's avoidance (RAGHelper_cloud.py:188-195).
+            from ragmeup_tpu.ops.attention import ring_attention
+            kr = jnp.repeat(k, rep, axis=2)
+            vr = jnp.repeat(v, rep, axis=2)
+            qf = q.transpose(0, 2, 1, 3).reshape(nh, s, hd)
+            kf = kr.transpose(0, 2, 1, 3).reshape(nh, kv_len, hd)
+            vf = vr.transpose(0, 2, 1, 3).reshape(nh, kv_len, hd)
+            of = ring_attention(self.sp_mesh, qf, kf, vf,
+                                axis_name="corpus", head_axis="model")
+            out = of.reshape(1, nh, s, hd).transpose(0, 2, 1, 3)
+            weights = None
+        elif use_flash:
             # prefill fast path: causal flash kernel; any padded keys sit at
             # positions > every real query row, so the causal mask subsumes
             # the padding mask for the rows that are read. Blocks scale up
@@ -334,15 +363,17 @@ class LlamaMlp(nn.Module):
 
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
+    sp_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias, cache, cache_pos,
-                 capture_weights: bool = False, paged_state=None):
+                 capture_weights: bool = False, paged_state=None,
+                 ring: bool = False):
         c = self.cfg
-        h, new_cache, w = LlamaAttention(c, name="attention")(
+        h, new_cache, w = LlamaAttention(c, self.sp_mesh, name="attention")(
             RMSNorm(c.rms_eps, c.jdtype, name="input_norm")(x),
             cos, sin, attn_bias, cache, cache_pos, capture_weights,
-            paged_state)
+            paged_state, ring)
         x = x + h
         x = x + LlamaMlp(c, name="mlp")(
             RMSNorm(c.rms_eps, c.jdtype, name="post_attn_norm")(x))
@@ -357,12 +388,13 @@ class LlamaModel(nn.Module):
     """
 
     cfg: LlamaConfig
+    sp_mesh: Optional[object] = None  # sequence-parallel prefill (ring)
 
     @nn.compact
     def __call__(self, input_ids, *, positions, attn_bias=None,
                  caches: Optional[list] = None, cache_pos=None,
                  capture_weights: bool = False, capture_qk_last: bool = False,
-                 paged_caches=None, paged_meta=None):
+                 paged_caches=None, paged_meta=None, ring: bool = False):
         c = self.cfg
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
@@ -383,8 +415,8 @@ class LlamaModel(nn.Module):
             if paged_caches is not None:
                 kp, vp = paged_caches[i]
                 pstate = (kp, vp) + tuple(paged_meta)
-            x, nc, w = LlamaBlock(c, name=f"layer_{i}")(
-                x, cos, sin, attn_bias, cache, cache_pos, cap, pstate)
+            x, nc, w = LlamaBlock(c, self.sp_mesh, name=f"layer_{i}")(
+                x, cos, sin, attn_bias, cache, cache_pos, cap, pstate, ring)
             if paged_caches is not None:
                 new_paged.append(nc)
                 nc = None
@@ -394,16 +426,33 @@ class LlamaModel(nn.Module):
             elif capture_weights:
                 all_w.append(w)
         x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
-        if c.tie_embeddings:
-            head = emb.T
+        if c.head_quantization == "int8" and not c.tie_embeddings:
+            # int8 lm_head: the head read is the single largest tensor per
+            # decode step (1.05 GB bf16 at 8B) — per-channel int8 halves it.
+            # Logit error is bounded by the per-channel scale (≤0.4% of the
+            # channel amax), far below sampling noise.
+            hq = self.param("lm_head_q", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("embed", "vocab")),
+                (c.hidden_size, c.vocab_size), jnp.int8)
+            hs = self.param("lm_head_scale", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("vocab",)),
+                (c.vocab_size,), jnp.float32)
+            hd_ = hq.astype(c.jdtype) * hs.astype(c.jdtype)[None, :]
+            logits = jnp.dot(x.astype(c.jdtype), hd_,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.float32)
         else:
-            head = self.param("lm_head", dense_init(("embed", "vocab")),
-                              (c.hidden_size, c.vocab_size), jnp.float32)
-        # storing embeddings/head in bf16 halves their HBM traffic (the
-        # lm_head read dominates per-token decode bandwidth at 8B scale);
-        # accumulate in f32 either way
-        logits = jnp.dot(x.astype(head.dtype), head,
-                         preferred_element_type=jnp.float32).astype(jnp.float32)
+            if c.tie_embeddings:
+                head = emb.T
+            else:
+                head = self.param("lm_head", dense_init(("embed", "vocab")),
+                                  (c.hidden_size, c.vocab_size), jnp.float32)
+            # storing embeddings/head in bf16 halves their HBM traffic (the
+            # lm_head read dominates per-token decode bandwidth at 8B
+            # scale); accumulate in f32 either way
+            logits = jnp.dot(x.astype(head.dtype), head,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.float32)
         out = {"logits": logits}
         if caches is not None:
             out["caches"] = new_caches
@@ -453,7 +502,8 @@ class LocalLLM:
             cfg = dataclasses.replace(cfg, use_flash=False)
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.model = LlamaModel(cfg)
+        sp = mesh if (mesh is not None and mesh.shape["corpus"] > 1) else None
+        self.model = LlamaModel(cfg, sp_mesh=sp)
         self.eos_ids = set(int(e) for e in eos_ids)
         self.mesh = mesh
         self._cache_sharding = None
@@ -502,7 +552,7 @@ class LocalLLM:
         # place prompt K/V at cache[0:L]
         out = self.model.apply({"params": params}, ids,
                                positions=positions, attn_bias=bias + kmask,
-                               caches=caches, cache_pos=0)
+                               caches=caches, cache_pos=0, ring=True)
         last_logits = out["logits"][0, length - 1]
         return last_logits, out["caches"]
 

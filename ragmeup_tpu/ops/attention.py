@@ -220,21 +220,26 @@ def ring_attention_local(q, k_local, v_local, axis_name: str,
 
 
 def ring_attention(mesh, q, k, v, axis_name: str = "corpus",
-                   causal: bool = True) -> jnp.ndarray:
+                   causal: bool = True,
+                   head_axis: Optional[str] = None) -> jnp.ndarray:
     """Full-array entry: q/k/v (bh, seq, d) get sequence-sharded over
-    `axis_name`; output matches single-device attention exactly."""
+    `axis_name`; output matches single-device attention exactly.
+
+    ``head_axis`` additionally shards dim 0 (the folded batch×head dim)
+    over that mesh axis — composes SP with TP when the head projections
+    are already model-sharded (each chip rings only its own heads)."""
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
+    spec = P(head_axis, axis_name, None)
     fn = shard_map(
         functools.partial(ring_attention_local, axis_name=axis_name,
                           causal=causal),
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P(None, axis_name, None),
-                  P(None, axis_name, None)),
-        out_specs=P(None, axis_name, None),
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
         check_vma=False)
     return fn(q, k, v)
 

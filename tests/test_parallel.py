@@ -465,3 +465,33 @@ def test_tp_llm_quantized_int8():
     g2 = q2.generate(prompt, max_new_tokens=8, temperature=0.0,
                      speculative="off")
     assert g1 == g2
+
+
+def test_ring_prefill_long_prompt_matches_single_device():
+    """Sequence-parallel (ring) prefill in the product prompt path: a
+    prompt spanning multiple corpus shards produces identical logits and
+    greedy continuation vs single-device (round-1 verdict #9 — long RAG
+    prompts used to always run single-device)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32",
+                           max_seq_len=512)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=7)
+    from flax import linen as nn
+    params = nn.meta.unbox(base.params)
+    mesh = make_mesh((1, 4, 2))
+    tp = LocalLLM(cfg, tok, params=params, mesh=mesh)
+    assert tp.model.sp_mesh is mesh  # ring prefill active
+
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(2, cfg.vocab_size, 300).tolist()  # > one bucket
+    lg1 = base.forward_logits(prompt)
+    lg2 = tp.forward_logits(prompt)
+    np.testing.assert_allclose(lg2, lg1, rtol=3e-4, atol=3e-4)
+    g1 = base.generate(prompt, max_new_tokens=8, temperature=0.0,
+                       speculative="off")
+    g2 = tp.generate(prompt, max_new_tokens=8, temperature=0.0,
+                     speculative="off")
+    assert g1 == g2
