@@ -143,10 +143,18 @@ def load_sentence_encoder(checkpoint_dir: Optional[str], dim: int = 384,
 
 
 def load_cross_encoder(checkpoint_dir: Optional[str], seed: int = 1,
-                       batch_size: int = 64):
+                       batch_size: int = 64, kind: str = "cross-encoder"):
+    """Rerank model factory. ``kind`` mirrors the reference's
+    ``rerank_model`` knob (``.env.template:43``, default ``flashrank``):
+    'flashrank'/'tiny'/'fast' builds a FlashRank-class small cross-encoder
+    (ms-marco-TinyBERT-L-2 dims: 2 layers, hidden 128) with short pair
+    truncation and a large device batch — measured ~8x faster per rerank
+    wave than the base cross-encoder (docs/BENCH_NOTES.md). A checkpoint
+    dir (TinyBERT is BERT-shaped) loads through the same HF path."""
     from ragmeup_tpu.models.encoder import BertConfig
     from ragmeup_tpu.models.cross_encoder import CrossEncoder
     from ragmeup_tpu.models.tokenizer import load_tokenizer
+    fast = kind in ("flashrank", "tiny", "fast")
     if checkpoint_dir and os.path.isdir(checkpoint_dir):
         cfg = bert_config_from_hf(checkpoint_dir)
         tensors = load_safetensors(checkpoint_dir)
@@ -161,7 +169,16 @@ def load_cross_encoder(checkpoint_dir: Optional[str], seed: int = 1,
                           jnp.zeros((1, 8), jnp.int32))["params"]
         for k, v in init.items():
             params.setdefault(k, v)
+        if fast:
+            return CrossEncoder(cfg, tok, params=params,
+                                batch_size=max(batch_size, 128), max_len=128)
         return CrossEncoder(cfg, tok, params=params, batch_size=batch_size)
+    if fast:
+        cfg = BertConfig(vocab_size=30522, hidden_size=128, num_layers=2,
+                         num_heads=2, intermediate_size=512, max_position=512)
+        tok = load_tokenizer(None, cfg.vocab_size)
+        return CrossEncoder(cfg, tok, seed=seed,
+                            batch_size=max(batch_size, 128), max_len=128)
     cfg = BertConfig.tiny()
     tok = load_tokenizer(None, cfg.vocab_size)
     return CrossEncoder(cfg, tok, seed=seed, batch_size=batch_size)
@@ -263,7 +280,8 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
 
 
 def quantize_decoder_params(params: dict, bits: int = 8,
-                            embeddings_bf16: bool = True) -> dict:
+                            embeddings_bf16: bool = True,
+                            head_bits: int = 0) -> dict:
     """Post-load weight-only quantization. int8: per-output-channel scales
     → ('kernel_q', 'scale'). int4: packed two-per-byte with GROUP-WISE
     scales → ('kernel_p', 'gscale') — the TPU-native equivalent of
@@ -294,6 +312,11 @@ def quantize_decoder_params(params: dict, bits: int = 8,
         return node
 
     out = walk(params)
+    if head_bits == 8 and "lm_head" in out:
+        # per-channel int8 head (pair with LlamaConfig.head_quantization)
+        q, s = quant8(np.asarray(out.pop("lm_head"), np.float32))
+        out["lm_head_q"] = q
+        out["lm_head_scale"] = s
     if embeddings_bf16:
         for name in ("token_embedding", "lm_head"):
             if name in out:

@@ -73,8 +73,21 @@ def _int8_matmul_call(x, w_q, scale, tile_k: int, tile_n: int,
     )(x, w_q, scale)
 
 
+def pick_int8_tiles(k: int, n: int) -> tuple:
+    """Measured-best tiles on v5e decode shapes (scripts/int8_tile_sweep.py,
+    slope-timed): (1024, 1024) streams 746-1074 GB/s on the 8B shapes vs
+    533-596 for the old fixed (512, 512); the down-projection (k > n)
+    prefers a wider n tile."""
+    tk = 1024 if k % 1024 == 0 else 512 if k % 512 == 0 else k
+    if k > n and n % 2048 == 0:
+        tn = 2048
+    else:
+        tn = 1024 if n % 1024 == 0 else 512 if n % 512 == 0 else n
+    return tk, tn
+
+
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
-                tile_k: int = 512, tile_n: int = 512,
+                tile_k: Optional[int] = None, tile_n: Optional[int] = None,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """x (m, k) bf16/f32 @ (w_q (k, n) int8 · scale (n,)) → (m, n) x.dtype.
 
@@ -83,6 +96,9 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         interpret = not _on_tpu()
     m, k = x.shape
     n = w_q.shape[1]
+    auto_tk, auto_tn = pick_int8_tiles(k, n)
+    tile_k = tile_k or auto_tk
+    tile_n = tile_n or auto_tn
     if k % tile_k != 0 or n % tile_n != 0:
         wd = w_q.astype(x.dtype) * scale.astype(x.dtype)[None, :]
         return jnp.dot(x, wd, preferred_element_type=x.dtype)

@@ -340,3 +340,24 @@ def test_rope_scaling_linear_and_none(tmp_path):
     cfg = llama_config_from_hf(str(tmp_path))
     assert cfg.rope_scaling_type == "linear"
     assert cfg.rope_scaling_factor == 2.0
+
+
+def test_int8_lm_head(rng):
+    """head_quantization='int8': per-channel int8 lm_head halves the
+    largest per-token read; logits stay rank-faithful vs the f32 head."""
+    cfg = LlamaConfig.tiny(tie_embeddings=False)
+    tensors = _fake_hf_llama(cfg, rng)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=params)
+    logits = llm.forward_logits([3, 4, 5])
+
+    hcfg = LlamaConfig.tiny(tie_embeddings=False, quantization="int8",
+                            head_quantization="int8")
+    hparams = quantize_decoder_params(params, bits=8, head_bits=8,
+                                      embeddings_bf16=False)
+    assert "lm_head_q" in hparams and "lm_head" not in hparams
+    hllm = LocalLLM(hcfg, SimpleTokenizer(hcfg.vocab_size), params=hparams)
+    hlogits = hllm.forward_logits([3, 4, 5])
+    corr = np.corrcoef(logits, hlogits)[0, 1]
+    assert corr > 0.999
+    assert int(np.argmax(hlogits)) == int(np.argmax(logits))
