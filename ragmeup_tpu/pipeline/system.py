@@ -52,7 +52,8 @@ class RagSystem:
         self.cross_encoder = cross_encoder
         if cross_encoder is None and cfg.retrieval.rerank:
             self.cross_encoder = load_cross_encoder(
-                cfg.model.cross_encoder_checkpoint)
+                cfg.model.cross_encoder_checkpoint,
+                kind=cfg.retrieval.rerank_model)
         self.llm = llm
         if backend is None:
             if cfg.model.use_cloud:

@@ -205,3 +205,26 @@ def test_bert_prefix_stripping(rng):
     tensors = {("bert." + k): v for k, v in _fake_hf_bert(cfg, rng).items()}
     params = bert_params_from_hf(tensors, cfg.num_layers)
     assert params["token_embedding"].shape == (cfg.vocab_size, cfg.hidden_size)
+
+
+def test_flashrank_class_reranker():
+    """rerank_model='flashrank' (.env.template:43 parity) builds a
+    distinct TinyBERT-class fast cross-encoder: 2 layers, hidden 128,
+    short pair truncation, same rerank contract."""
+    from ragmeup_tpu.models.hf_loader import load_cross_encoder
+    from ragmeup_tpu.data.documents import Chunk
+
+    fast = load_cross_encoder(None, kind="flashrank")
+    assert fast.cfg.num_layers == 2
+    assert fast.cfg.hidden_size == 128
+    assert fast.max_len == 128
+    base = load_cross_encoder(None)
+    assert base.cfg.hidden_size != fast.cfg.hidden_size
+
+    chunks = [Chunk(id=str(i), content=f"document {i} about topic",
+                    metadata={}) for i in range(5)]
+    out = fast.rerank("which topic", chunks, top_n=3)
+    assert len(out) == 3
+    assert all("relevance_score" in c.metadata for c in out)
+    scores = [c.metadata["relevance_score"] for c in out]
+    assert scores == sorted(scores, reverse=True)

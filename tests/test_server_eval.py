@@ -330,3 +330,25 @@ def test_content_disposition_sanitized(client):
     r = c.post("/get_document", json={"filename": 'we"ird.txt'})
     assert r.status_code == 200
     assert '"' not in r.headers["Content-Disposition"].split("filename=")[1].strip('"')
+
+
+def test_metric_calibration_floor():
+    """Calibrated scores: unrelated text lands near 0 (the old (cos+1)/2
+    mapping floored at ~0.5), identical text at ~1, and the cached
+    baseline is measured once per encoder instance."""
+    from ragmeup_tpu import eval as _  # noqa: F401
+    import ragmeup_tpu.eval.metrics as M
+    from ragmeup_tpu.models.hf_loader import load_sentence_encoder
+
+    enc = load_sentence_encoder(None, dim=64)
+    b = M.calibrate_baseline(enc)
+    assert -0.5 <= b <= 0.9
+    assert getattr(enc, "_metric_cos_baseline") == b
+
+    same = M.answer_relevancy(enc, "the cat sat on the mat",
+                              "the cat sat on the mat")
+    assert same > 0.95
+    diff = M.answer_relevancy(enc, "the cat sat on the mat",
+                              "quarterly bond yields fell in tokyo trading")
+    assert diff < 0.45, f"unrelated pair should score near 0, got {diff}"
+    assert same > diff
