@@ -202,6 +202,8 @@ class ModelConfig:
     # Weight quantization for the local LLM (reference: 4-bit nf4 bitsandbytes,
     # RAGHelper_local.py:76-89). TPU-native: int8/int4 weight-only.
     quantization: str = "int8"  # none | int8 | int4
+    # int8 lm_head (untied checkpoints): halves the largest per-token read
+    head_quantization: str = "none"  # none | int8
     # Cloud adapters (RAGHelper_cloud.py:60-88)
     use_openai: bool = False
     openai_model_name: str = "gpt-3.5-turbo"
@@ -388,6 +390,7 @@ _ENV_KEYMAP = {
     "rerank": ("retrieval", "rerank", _parse_bool),
     "rerank_k": ("retrieval", "rerank_k", int),
     "rerank_model": ("retrieval", "rerank_model", str),
+    "llm_head_quantization": ("model", "head_quantization", str),
     "max_document_limit": ("retrieval", "max_document_limit", int),
     "temperature": ("generation", "temperature", float),
     "repetition_penalty": ("generation", "repetition_penalty", float),

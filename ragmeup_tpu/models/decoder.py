@@ -53,8 +53,12 @@ class LlamaConfig:
     # kernels; numerically identical, ~40% fewer matmul ops per token -
     # batch-1 decode here is per-op latency bound)
     fused_projections: bool = False
-    # opt-in pallas int8 dequant-matmul (measured net-negative at batch-1
-    # decode vs XLA dequant; may win at larger batches)
+    # pallas fused int8 dequant-matmul for small-row (decode) matmuls.
+    # Slope-timed truth (scripts/int8_tile_sweep.py, round 2): with
+    # (1024,1024) tiles it streams 746-1074 GB/s vs XLA dequant-dot's
+    # 534-677 -> 91.5 vs 83.8 tok/s single-stream at 8B. (Round 1 called
+    # it net-negative from fetch-RTT-contaminated timings.) load_local_llm
+    # enables it for int8 checkpoints; off under a mesh (no GSPMD rule).
     quant_kernel: bool = False
     # Pallas flash-attention for prefill (causal; scores never hit HBM).
     # Block sizes are chosen adaptively up to (512, 1024) — measured on
@@ -498,8 +502,11 @@ class LocalLLM:
         — the sharded cache flows through the fused while_loop carries.
         Prefill uses XLA attention under TP (the pallas flash kernel has no
         partitioning rule; sharding it needs shard_map — future work)."""
-        if mesh is not None and cfg.use_flash:
-            cfg = dataclasses.replace(cfg, use_flash=False)
+        if mesh is not None and (cfg.use_flash or cfg.quant_kernel):
+            # pallas calls have no partitioning rule under GSPMD — the
+            # sharded paths use XLA ops (flash/ring handled separately)
+            cfg = dataclasses.replace(cfg, use_flash=False,
+                                      quant_kernel=False)
         self.cfg = cfg
         self.tokenizer = tokenizer
         sp = mesh if (mesh is not None and mesh.shape["corpus"] > 1) else None

@@ -325,7 +325,7 @@ def quantize_decoder_params(params: dict, bits: int = 8,
 
 
 def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
-                   seed: int = 0):
+                   seed: int = 0, head_quantization: str = "none"):
     """Factory for the local chat LLM: real Llama checkpoint if given (with
     optional int8 weight-only quantization), else a tiny deterministic
     random-init model so the pipeline runs self-contained."""
@@ -337,14 +337,21 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
         # MXU lane width (Llama-8B-class: hd=128); decode (s=1) and
         # non-multiple shapes fall back inside LlamaBlock automatically.
         # Measured on v5e: see docs/BENCH_NOTES.md "flash prefill".
+        import dataclasses as _dc
         if cfg.head_dim % 128 == 0:
-            import dataclasses as _dc
             cfg = _dc.replace(cfg, use_flash=True)
+        if quantization == "int8":
+            # fused dequant matmul on the decode path (see LlamaConfig)
+            cfg = _dc.replace(cfg, quant_kernel=True)
         tensors = load_safetensors(checkpoint_dir)
         params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+        if head_quantization == "int8" and not cfg.tie_embeddings:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, head_quantization="int8")
         if quantization in ("int8", "int4"):
             params = quantize_decoder_params(
-                params, bits=4 if quantization == "int4" else 8)
+                params, bits=4 if quantization == "int4" else 8,
+                head_bits=8 if cfg.head_quantization == "int8" else 0)
         tok = load_tokenizer(checkpoint_dir, cfg.vocab_size)
         eos = []
         gen_cfg = os.path.join(checkpoint_dir, "generation_config.json")

@@ -60,8 +60,10 @@ class RagSystem:
                 backend = CloudChatBackend.from_config(cfg.model)
             else:
                 if self.llm is None:
-                    self.llm = load_local_llm(cfg.model.llm_checkpoint,
-                                              quantization=cfg.model.quantization)
+                    self.llm = load_local_llm(
+                        cfg.model.llm_checkpoint,
+                        quantization=cfg.model.quantization,
+                        head_quantization=cfg.model.head_quantization)
                 # prompt assembly uses the checkpoint's own chat template
                 # when it ships one (tokenizer.apply_chat_template parity,
                 # RAGHelper_local.py:246-249); generic Llama-3-style otherwise

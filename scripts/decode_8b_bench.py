@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_llm(quant_kernel: bool):
+def build_llm(quant_kernel: bool, int8_head: bool = False):
     import jax
     import jax.numpy as jnp
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
@@ -30,7 +30,8 @@ def build_llm(quant_kernel: bool):
 
     cfg = LlamaConfig(quantization="int8", tie_embeddings=False,
                       use_flash=True, max_seq_len=2048,
-                      quant_kernel=quant_kernel)
+                      quant_kernel=quant_kernel,
+                      head_quantization="int8" if int8_head else "none")
     h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     kvh = cfg.num_kv_heads * cfg.head_dim
 
@@ -39,8 +40,12 @@ def build_llm(quant_kernel: bool):
                 "scale": np.full(d_out, 1e-3, np.float32)}
 
     params = {"token_embedding": jnp.zeros((v, h), jnp.bfloat16),
-              "lm_head": jnp.zeros((h, v), jnp.bfloat16),
               "final_norm": {"scale": np.ones(h, np.float32)}}
+    if int8_head:
+        params["lm_head_q"] = np.zeros((h, v), np.int8)
+        params["lm_head_scale"] = np.full(v, 1e-3, np.float32)
+    else:
+        params["lm_head"] = jnp.zeros((h, v), jnp.bfloat16)
     for i in range(cfg.num_layers):
         params[f"layer_{i}"] = {
             "attention": {"q_proj": qlin(h, h), "k_proj": qlin(h, kvh),
@@ -59,6 +64,7 @@ def build_llm(quant_kernel: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant-kernel", action="store_true")
+    ap.add_argument("--int8-head", action="store_true")
     ap.add_argument("--n1", type=int, default=64)
     ap.add_argument("--n2", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
@@ -67,10 +73,10 @@ def main():
 
     from ragmeup_tpu.utils.platform import ensure_platform
     backend = ensure_platform(args.platform)
-    print(f"backend: {backend} quant_kernel={args.quant_kernel}",
-          file=sys.stderr)
+    print(f"backend: {backend} quant_kernel={args.quant_kernel} "
+          f"int8_head={args.int8_head}", file=sys.stderr)
 
-    llm = build_llm(args.quant_kernel)
+    llm = build_llm(args.quant_kernel, args.int8_head)
     rng = np.random.default_rng(0)
     # prompt length chosen so both token counts land in the SAME cache-len
     # bucket (300+64 -> 512, 300+128 -> 512): the slope then compares
@@ -97,7 +103,8 @@ def main():
     per_tok = min(slopes)
     print("8B int8 single-stream decode: %.2f ms/token -> %.1f tok/s "
           "(quant_kernel=%s, slope over %d/%d tokens, best of %d)"
-          % (per_tok * 1e3, 1.0 / per_tok, args.quant_kernel,
+          % (per_tok * 1e3, 1.0 / per_tok,
+             f"{args.quant_kernel} int8_head={args.int8_head}",
              args.n1, args.n2, args.repeat))
 
 

@@ -26,14 +26,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_llm():
+def build_llm(quant_kernel: bool = False):
     import jax
     import jax.numpy as jnp
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
     from ragmeup_tpu.models.tokenizer import SimpleTokenizer
 
     cfg = LlamaConfig(quantization="int8", tie_embeddings=False,
-                      use_flash=True, max_seq_len=2048)
+                      use_flash=True, max_seq_len=2048,
+                      quant_kernel=quant_kernel)
     h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     kvh = cfg.num_kv_heads * cfg.head_dim
 
@@ -64,6 +65,7 @@ def main():
     parser.add_argument("--seqs", type=int, default=8)
     parser.add_argument("--new-tokens", type=int, default=128)
     parser.add_argument("--steps-per-dispatch", type=int, default=8)
+    parser.add_argument("--quant-kernel", action="store_true")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -73,7 +75,7 @@ def main():
 
     from ragmeup_tpu.pipeline.serving import ServingEngine
 
-    llm = build_llm()
+    llm = build_llm(args.quant_kernel)
 
     def fresh(new_tok):
         e = ServingEngine(llm, num_pages=64, page_size=128,
