@@ -148,9 +148,10 @@ def load_cross_encoder(checkpoint_dir: Optional[str], seed: int = 1,
     ``rerank_model`` knob (``.env.template:43``, default ``flashrank``):
     'flashrank'/'tiny'/'fast' builds a FlashRank-class small cross-encoder
     (ms-marco-TinyBERT-L-2 dims: 2 layers, hidden 128) with short pair
-    truncation and a large device batch — measured ~8x faster per rerank
-    wave than the base cross-encoder (docs/BENCH_NOTES.md). A checkpoint
-    dir (TinyBERT is BERT-shaped) loads through the same HF path."""
+    truncation and a large device batch — measured 6.4x faster device-side
+    per 100-pair rerank wave than a MiniLM-class base (23 vs 147 ms;
+    docs/BENCH_NOTES.md "fast reranker"). A checkpoint dir (TinyBERT is
+    BERT-shaped) loads through the same HF path."""
     from ragmeup_tpu.models.encoder import BertConfig
     from ragmeup_tpu.models.cross_encoder import CrossEncoder
     from ragmeup_tpu.models.tokenizer import load_tokenizer
