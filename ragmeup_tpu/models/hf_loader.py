@@ -326,10 +326,14 @@ def quantize_decoder_params(params: dict, bits: int = 8,
 
 
 def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
-                   seed: int = 0, head_quantization: str = "none"):
+                   seed: int = 0, head_quantization: str = "none",
+                   mesh=None):
     """Factory for the local chat LLM: real Llama checkpoint if given (with
     optional int8 weight-only quantization), else a tiny deterministic
-    random-init model so the pipeline runs self-contained."""
+    random-init model so the pipeline runs self-contained. With ``mesh``
+    (model axis > 1): tensor-parallel inference — params shard per the
+    logical rules, the KV cache over its head dim, long prefills ring over
+    the corpus axis (models/decoder.py LocalLLM)."""
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
     from ragmeup_tpu.models.tokenizer import load_tokenizer
     if checkpoint_dir and os.path.isdir(checkpoint_dir):
@@ -361,7 +365,12 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
                 g = json.load(f)
             e = g.get("eos_token_id", [])
             eos = e if isinstance(e, list) else [e]
-        return LocalLLM(cfg, tok, params=params, eos_ids=eos)
+        return LocalLLM(cfg, tok, params=params, eos_ids=eos, mesh=mesh)
     cfg = LlamaConfig.tiny()
     tok = load_tokenizer(None, cfg.vocab_size)
-    return LocalLLM(cfg, tok, seed=seed)
+    llm = LocalLLM(cfg, tok, seed=seed)
+    if mesh is not None:
+        from flax import linen as fnn
+        return LocalLLM(cfg, tok, params=fnn.meta.unbox(llm.params),
+                        mesh=mesh)
+    return llm

@@ -47,6 +47,23 @@ class RagSystem:
         from ragmeup_tpu.models.hf_loader import (
             load_cross_encoder, load_local_llm, load_sentence_encoder,
         )
+        # mesh mode (SURVEY.md §2.4): one config knob set shards the
+        # indexes over the 'corpus' axis (bit-identical retrieval, round-1
+        # verdict #3) and/or the local LLM over the 'model' axis (TP
+        # inference with sharded KV cache and ring prefill)
+        self.mesh = None
+        if cfg.parallel.corpus_axis > 1 or cfg.parallel.model_axis > 1:
+            import jax
+            from ragmeup_tpu.parallel.mesh import make_mesh
+            p = cfg.parallel
+            devs = jax.devices()
+            if len(devs) < p.total_devices:
+                raise ValueError(
+                    f"parallel config needs {p.total_devices} devices "
+                    f"(data={p.data_axis} corpus={p.corpus_axis} "
+                    f"model={p.model_axis}); have {len(devs)}")
+            self.mesh = make_mesh((p.data_axis, p.corpus_axis, p.model_axis),
+                                  devices=devs[:p.total_devices])
         self.encoder = encoder or load_sentence_encoder(
             cfg.model.embedding_checkpoint, dim=cfg.model.embedding_dim)
         self.cross_encoder = cross_encoder
@@ -63,7 +80,9 @@ class RagSystem:
                     self.llm = load_local_llm(
                         cfg.model.llm_checkpoint,
                         quantization=cfg.model.quantization,
-                        head_quantization=cfg.model.head_quantization)
+                        head_quantization=cfg.model.head_quantization,
+                        mesh=(self.mesh
+                              if cfg.parallel.model_axis > 1 else None))
                 # prompt assembly uses the checkpoint's own chat template
                 # when it ships one (tokenizer.apply_chat_template parity,
                 # RAGHelper_local.py:246-249); generic Llama-3-style otherwise
@@ -102,22 +121,6 @@ class RagSystem:
         # (SURVEY.md §5.2 — the reference shares a psycopg2 cursor across
         # Flask threads instead)
         self._mutation_lock = threading.RLock()
-        # corpus-sharded mode (SURVEY.md §2.4): one config knob
-        # (parallel.corpus_axis > 1) shards the indexes over an ICI mesh
-        # with bit-identical retrieval (round-1 verdict #3)
-        self.mesh = None
-        if cfg.parallel.corpus_axis > 1:
-            import jax
-            from ragmeup_tpu.parallel.mesh import make_mesh
-            p = cfg.parallel
-            devs = jax.devices()
-            if len(devs) < p.total_devices:
-                raise ValueError(
-                    f"parallel config needs {p.total_devices} devices "
-                    f"(data={p.data_axis} corpus={p.corpus_axis} "
-                    f"model={p.model_axis}); have {len(devs)}")
-            self.mesh = make_mesh((p.data_axis, p.corpus_axis, p.model_axis),
-                                  devices=devs[:p.total_devices])
         self.store: ChunkStore = ChunkStore(cfg.data.index_directory)
         self.dense: Optional[DenseIndex] = None
         self.sparse: Optional[BM25Index] = None
@@ -131,9 +134,13 @@ class RagSystem:
     def _splitter(self):
         return make_splitter(self.cfg, embed_fn=self.encoder.encode)
 
+    @property
+    def _corpus_sharded(self):
+        return self.mesh is not None and self.cfg.parallel.corpus_axis > 1
+
     def _make_dense(self):
         r = self.cfg.retrieval
-        if self.mesh is not None:
+        if self._corpus_sharded:
             from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
             dtype = r.dense_dtype if r.dense_dtype != "int8" else "bfloat16"
             return ShardedDenseIndex(self.mesh, self.cfg.model.embedding_dim,
@@ -141,7 +148,7 @@ class RagSystem:
         return DenseIndex(self.cfg.model.embedding_dim, dtype=r.dense_dtype)
 
     def _load_dense(self, idx_dir: str):
-        if self.mesh is not None:
+        if self._corpus_sharded:
             from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
             return ShardedDenseIndex.load(idx_dir, self.mesh)
         return DenseIndex.load(idx_dir)
@@ -149,7 +156,7 @@ class RagSystem:
     def _make_sparse(self) -> BM25Index:
         r = self.cfg.retrieval
         sparse = BM25Index(k1=r.bm25_k1, b=r.bm25_b)
-        if self.mesh is not None:
+        if self._corpus_sharded:
             from ragmeup_tpu.parallel.sharded_index import make_shard_placer
             sparse.shard_placer = make_shard_placer(self.mesh)
         return sparse
@@ -165,7 +172,7 @@ class RagSystem:
             self.store = ChunkStore.load(idx_dir)
             self.dense = self._load_dense(idx_dir)
             self.sparse = BM25Index.load(idx_dir)
-            if self.mesh is not None:
+            if self._corpus_sharded:
                 from ragmeup_tpu.parallel.sharded_index import make_shard_placer
                 self.sparse.shard_placer = make_shard_placer(self.mesh)
         else:

@@ -495,3 +495,45 @@ def test_ring_prefill_long_prompt_matches_single_device():
     g2 = tp.generate(prompt, max_new_tokens=8, temperature=0.0,
                      speculative="off")
     assert g1 == g2
+
+
+def test_ragsystem_tp_llm_knob(tmp_path):
+    """parallel.model_axis > 1 makes RagSystem load the local LLM in TP
+    mode (sharded params + KV cache) while chat still works end-to-end —
+    mesh inference as a product knob, not just a library."""
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.pipeline.system import RagSystem
+    from ragmeup_tpu.retrieval.sparse import analyze
+
+    def hash_embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(
+            np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    class Enc:
+        encode = staticmethod(hash_embed)
+
+    data = tmp_path / "docs"
+    data.mkdir()
+    (data / "a.txt").write_text("alpha beta gamma delta")
+    cfg = RagConfig()
+    cfg.data.data_directory = str(data)
+    cfg.data.index_directory = str(tmp_path / "idx")
+    cfg.model.embedding_dim = 64
+    cfg.retrieval.rerank = False
+    cfg.pipeline.use_provenance = False
+    cfg.pipeline.use_rewrite_loop = False
+    cfg.parallel.corpus_axis = 4
+    cfg.parallel.model_axis = 2
+    cfg.server.batched_llm = False
+    system = RagSystem(cfg, encoder=Enc())
+    assert system.mesh is not None
+    assert system.llm.mesh is system.mesh
+    # params actually placed with a model-axis sharding
+    qk = system.llm.params["layer_0"]["attention"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+    out = system.chat("alpha beta")
+    assert isinstance(out["reply"], str) and out["reply"]
