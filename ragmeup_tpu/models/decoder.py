@@ -295,7 +295,8 @@ class LlamaAttention(nn.Module):
             # positions > every real query row, so the causal mask subsumes
             # the padding mask for the rows that are read. Blocks scale up
             # with seq (measured: large blocks are the whole win on v5e).
-            from ragmeup_tpu.ops.attention import flash_attention
+            from ragmeup_tpu.ops.attention import (flash_attention,
+                                                   flash_attention_gqa)
 
             def _blk(n, cap):
                 blk = c.flash_block
@@ -303,15 +304,26 @@ class LlamaAttention(nn.Module):
                     blk *= 2
                 return blk
 
-            kr = jnp.repeat(k, rep, axis=2)
-            vr = jnp.repeat(v, rep, axis=2)
-            qf = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
-            kf = kr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
-            vf = vr.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
-            of = flash_attention(qf, kf, vf, causal=True, sm_scale=scale,
-                                 block_q=_blk(s, 512),
-                                 block_k=_blk(kv_len, 1024))
-            out = of.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
+            if rep > 1:
+                # GQA kernel: K/V stream at native kv-head count (one DMA
+                # per block instead of rep; q heads of a kv head share the
+                # grid cell). q heads are kv-grouped: head h uses kv h//rep
+                qg = q.transpose(0, 2, 1, 3).reshape(b * nkv, rep, s, hd)
+                kf = k.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
+                vf = v.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
+                og = flash_attention_gqa(qg, kf, vf, causal=True,
+                                         sm_scale=scale,
+                                         block_q=_blk(s, 512),
+                                         block_k=_blk(kv_len, 1024))
+                out = og.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
+            else:
+                qf = q.transpose(0, 2, 1, 3).reshape(b * nh, s, hd)
+                kf = k.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+                vf = v.transpose(0, 2, 1, 3).reshape(b * nh, kv_len, hd)
+                of = flash_attention(qf, kf, vf, causal=True, sm_scale=scale,
+                                     block_q=_blk(s, 512),
+                                     block_k=_blk(kv_len, 1024))
+                out = of.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
             weights = None
         else:
             # grouped-query attention WITHOUT materializing the rep-expanded

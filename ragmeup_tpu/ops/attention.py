@@ -149,6 +149,124 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _flash_call(q, k, v, causal, sm_scale, block_q, block_k, interpret)
 
 
+# ---------------------------------------------------------------------------
+# GQA flash: K/V at native kv-head count, no rep-expansion
+# ---------------------------------------------------------------------------
+
+def _flash_gqa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                      *, causal: bool, sm_scale: float, block_q: int,
+                      block_k: int, kv_blocks: int, g: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].reshape(g * block_q, q_ref.shape[-1])  # (g·bq, d)
+        k = k_ref[0]                                        # (bk, d)
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            # row r holds head r // block_q at position r % block_q —
+            # all g heads share the same causal structure
+            rows = qi * block_q + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32,
+                                         (g * block_q, block_k), 0),
+                block_q)
+            cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (g * block_q, block_k), 1)
+            s = jnp.where(cols <= rows, s, MASK_VALUE)
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = m_next
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_blocks - 1)
+    def _emit():
+        l = l_scr[:]
+        linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[:] * linv).reshape(o_ref.shape[1:]).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
+                                             "block_k", "interpret"))
+def _flash_gqa_call(q, k, v, causal: bool, sm_scale: float, block_q: int,
+                    block_k: int, interpret: bool):
+    bkv, g, s, d = q.shape
+    kv_len = k.shape[1]
+    q_blocks = s // block_q
+    kv_blocks = kv_len // block_k
+    kern = functools.partial(_flash_gqa_kernel, causal=causal,
+                             sm_scale=sm_scale, block_q=block_q,
+                             block_k=block_k, kv_blocks=kv_blocks, g=g)
+    return pl.pallas_call(
+        kern,
+        grid=(bkv, q_blocks, kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, g, block_q, d), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, d), lambda b, i, j: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bkv, g, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, 1), jnp.float32),
+            pltpu.VMEM((g * block_q, 1), jnp.float32),
+            pltpu.VMEM((g * block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bkv * g * s * kv_len * d,
+            bytes_accessed=2 * bkv * (g * s + 2 * kv_len) * d,
+            transcendentals=bkv * g * s * kv_len,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_attention_gqa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        causal: bool = True,
+                        sm_scale: Optional[float] = None,
+                        block_q: int = 128, block_k: int = 128,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Grouped-query flash: q (b·nkv, g, seq, hd) — all g query heads of a
+    kv head in one grid cell — against k/v (b·nkv, kv_len, hd) at NATIVE
+    kv-head count. Each K/V block is DMA'd once per q block instead of g
+    times (the rep-expanded path's 4x KV traffic at GQA 32/8; BENCH_NOTES
+    "flash prefill" known waste). Output (b·nkv, g, seq, hd)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    bkv, g, s, d = q.shape
+    if s % block_q or k.shape[1] % block_k:
+        raise ValueError(f"seq lengths ({s}, {k.shape[1]}) must divide block "
+                         f"sizes ({block_q}, {block_k})")
+    return _flash_gqa_call(q, k, v, causal, sm_scale, block_q, block_k,
+                           interpret)
+
+
 def attention_reference(q, k, v, causal: bool = True,
                         sm_scale: Optional[float] = None) -> jnp.ndarray:
     """Naive oracle for tests."""

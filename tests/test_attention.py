@@ -130,3 +130,35 @@ def test_blockwise_attention_provenance_matches_full():
     blk = compute_attention_provenance(llm, "about the fox", "the fox jumps",
                                        docs, blockwise=True)
     assert np.allclose(full, blk, atol=1e-3), (full, blk)
+
+
+def test_flash_gqa_matches_reference():
+    """GQA flash (native kv-head K/V, q heads grouped per grid cell) must
+    equal the rep-expanded reference exactly."""
+    from ragmeup_tpu.ops.attention import attention_reference, flash_attention_gqa
+    rng = np.random.default_rng(4)
+    b, nkv, g, s, d = 2, 3, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b * nkv, g, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b * nkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b * nkv, s, d)).astype(np.float32))
+    out = flash_attention_gqa(q, k, v, causal=True, block_q=64, block_k=128)
+    assert out.shape == (b * nkv, g, s, d)
+    for h in range(b * nkv):
+        for gi in range(g):
+            ref = attention_reference(q[h, gi][None], k[h][None], v[h][None],
+                                      causal=True)[0]
+            np.testing.assert_allclose(np.asarray(out[h, gi]),
+                                       np.asarray(ref), atol=2e-4)
+
+
+def test_flash_gqa_noncausal():
+    from ragmeup_tpu.ops.attention import attention_reference, flash_attention_gqa
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((2, 2, 128, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 128, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 128, 32)).astype(np.float32))
+    out = flash_attention_gqa(q, k, v, causal=False, block_q=64, block_k=64)
+    ref = attention_reference(q[1, 0][None], k[1][None], v[1][None],
+                              causal=False)[0]
+    np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(ref),
+                               atol=2e-4)
