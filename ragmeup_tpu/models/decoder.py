@@ -48,6 +48,11 @@ class LlamaConfig:
     dtype: str = "bfloat16"
     quantization: str = "none"  # none | int8 | int4
     head_quantization: str = "none"  # none | int8 (untied lm_head only)
+    # int4 scale-group size along the input dim. 0 = auto (128-class,
+    # nf4-quality). Setting it to the K-tile (512) selects the kernel's
+    # ~1.5x faster output-scaled path at coarser quant granularity —
+    # measure logit quality on your checkpoint before shipping it.
+    int4_group: int = 0
     tie_embeddings: bool = True  # Llama-3.1-8B+ uses an untied lm_head
     # store Q/K/V as one projection and gate/up as one (column-concatenated
     # kernels; numerically identical, ~40% fewer matmul ops per token -
@@ -150,6 +155,7 @@ class QuantDense(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bits: int = 8
     use_kernel: bool = False
+    q_group: int = 0  # int4 scale-group (0 = auto; see LlamaConfig)
 
     @nn.compact
     def __call__(self, x):
@@ -159,7 +165,9 @@ class QuantDense(nn.Module):
             # ops/quant_matmul.py — native jnp.int4 arrays can't cross jit
             # boundaries under the axon plugin, hence explicit packing)
             from ragmeup_tpu.ops.quant_matmul import int4_matmul, int4_tiling
-            _, group = int4_tiling(d_in)
+            tile_k, group = int4_tiling(d_in)
+            if self.q_group:
+                group = min(self.q_group, tile_k)
             w = self.param("kernel_p", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), self.names),
                 (d_in // 2, self.features), jnp.int8)
@@ -219,14 +227,14 @@ class LlamaAttention(nn.Module):
         if c.fused_projections:
             qkv = QuantDense((nh + 2 * nkv) * hd, ("embed", "qkv"), quant,
                              c.jdtype, bits, c.quant_kernel,
-                             name="qkv_proj")(x)
+                             q_group=c.int4_group, name="qkv_proj")(x)
             q = qkv[..., :nh * hd]
             k = qkv[..., nh * hd:(nh + nkv) * hd]
             v = qkv[..., (nh + nkv) * hd:]
         else:
-            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, name="q_proj")(x)
-            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, name="k_proj")(x)
-            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, name="v_proj")(x)
+            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, name="q_proj")(x)
+            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, name="k_proj")(x)
+            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, name="v_proj")(x)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
@@ -246,7 +254,8 @@ class LlamaAttention(nn.Module):
             attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
             out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
-                             bits, c.quant_kernel, name="o_proj")(out)
+                             bits, c.quant_kernel, q_group=c.int4_group,
+                             name="o_proj")(out)
             return out, (kp, vp), None
 
         new_cache = None
@@ -343,7 +352,8 @@ class LlamaAttention(nn.Module):
             weights = weights.reshape(b, nh, s, kv_len)
         out = out.reshape(b, s, nh * hd)
         out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
-                         bits, c.quant_kernel, name="o_proj")(out)
+                         bits, c.quant_kernel, q_group=c.int4_group,
+                         name="o_proj")(out)
         aux = None
         if capture_weights == "qk":
             # consumers expect k at full head count (provenance blockwise
@@ -365,16 +375,19 @@ class LlamaMlp(nn.Module):
         if c.fused_projections:
             gu = QuantDense(2 * c.intermediate_size, ("embed", "mlp"), quant,
                             c.jdtype, bits, c.quant_kernel,
-                            name="gate_up_proj")(x)
+                            q_group=c.int4_group, name="gate_up_proj")(x)
             g = gu[..., :c.intermediate_size]
             u = gu[..., c.intermediate_size:]
         else:
             g = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                           bits, c.quant_kernel, name="gate_proj")(x)
+                           bits, c.quant_kernel, q_group=c.int4_group,
+                           name="gate_proj")(x)
             u = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                           bits, c.quant_kernel, name="up_proj")(x)
+                           bits, c.quant_kernel, q_group=c.int4_group,
+                           name="up_proj")(x)
         return QuantDense(c.hidden_size, ("mlp", "embed"), quant, c.jdtype,
-                          bits, c.quant_kernel, name="down_proj")(nn.silu(g) * u)
+                          bits, c.quant_kernel, q_group=c.int4_group,
+                          name="down_proj")(nn.silu(g) * u)
 
 
 class LlamaBlock(nn.Module):

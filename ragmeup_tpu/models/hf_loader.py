@@ -282,7 +282,8 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
 
 def quantize_decoder_params(params: dict, bits: int = 8,
                             embeddings_bf16: bool = True,
-                            head_bits: int = 0) -> dict:
+                            head_bits: int = 0,
+                            int4_group: int = 0) -> dict:
     """Post-load weight-only quantization. int8: per-output-channel scales
     → ('kernel_q', 'scale'). int4: packed two-per-byte with GROUP-WISE
     scales → ('kernel_p', 'gscale') — the TPU-native equivalent of
@@ -305,7 +306,8 @@ def quantize_decoder_params(params: dict, bits: int = 8,
                 if bits == 4:
                     from ragmeup_tpu.ops.quant_matmul import (
                         quantize_int4_groupwise)
-                    p, gs = quantize_int4_groupwise(w)
+                    p, gs = quantize_int4_groupwise(
+                        w, group=int4_group or None)
                     return {"kernel_p": p, "gscale": gs}
                 q, s = quant8(w)
                 return {"kernel_q": q, "scale": s}

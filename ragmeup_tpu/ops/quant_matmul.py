@@ -173,13 +173,24 @@ def _kernel4(x_ref, w_ref, s_ref, o_ref, acc, *, k_tiles: int,
     w = jnp.concatenate([lo, hi], axis=0)  # (tile_k, tile_n) int32
     gpt = tile_k // group
     # scales arrive padded to 8 rows per k-tile so the dynamic slice start
-    # (kb * 8) is statically 8-aligned (Mosaic sublane rule). Dequantize
-    # the whole tile with row-broadcast scales and do ONE dot — a group
-    # loop of small dots is MXU-latency bound (measured 3x slower).
+    # (kb * 8) is statically 8-aligned (Mosaic sublane rule).
     s = s_ref[pl.ds(kb * 8, 8), :]                    # (8, tile_n)
-    srep = jnp.repeat(s[:gpt], group, axis=0)         # (tile_k, tile_n)
-    wd = (w.astype(jnp.float32) * srep).astype(x.dtype)
-    acc[:] = acc[:] + jax.lax.dot(x, wd, preferred_element_type=jnp.float32)
+    if gpt == 1:
+        # fast path (group == tile_k): dot the UNSCALED tile, scale the
+        # (m, tile_n) output — skips the whole-tile scale multiply.
+        # Slope-timed 66.8 vs 98.0 us/matmul at (4096,14336) m=1
+        # (scripts/int4_variant_sweep.py variant D).
+        part = jax.lax.dot(x, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+        acc[:] = acc[:] + part * s[0][None, :].astype(jnp.float32)
+    else:
+        # quality path: dequantize the whole tile with row-broadcast
+        # group scales and do ONE dot — a group loop of small dots is
+        # MXU-latency bound (measured 3x slower).
+        srep = jnp.repeat(s[:gpt], group, axis=0)     # (tile_k, tile_n)
+        wd = (w.astype(jnp.float32) * srep).astype(x.dtype)
+        acc[:] = acc[:] + jax.lax.dot(x, wd,
+                                      preferred_element_type=jnp.float32)
 
     @pl.when(kb == k_tiles - 1)
     def _emit():
@@ -235,12 +246,15 @@ def int4_matmul(x: jnp.ndarray, w_p: jnp.ndarray, gscale: jnp.ndarray,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """x (m, k) @ dequant(w_p packed int4 (k//2, n), gscale (k//group, n))
     → (m, n) in x.dtype. Kernel path for tiling shapes and small m;
-    XLA unpack fallback otherwise."""
+    XLA unpack fallback otherwise. The quant group is inferred from
+    gscale's shape: group == tile_k selects the fast output-scaled path
+    (quantize with ``group=tile`` / ``int4_group``)."""
     if interpret is None:
         interpret = not _on_tpu()
     m, k = x.shape
     n = w_p.shape[1]
-    tile_k, group = int4_tiling(k)
+    tile_k, _ = int4_tiling(k)
+    group = k // gscale.shape[0]
     if k % tile_k == 0 and n % tile_n == 0 and m <= 256 \
             and tile_k % group == 0:
         mp = -(-m // 8) * 8
@@ -253,12 +267,21 @@ def int4_matmul(x: jnp.ndarray, w_p: jnp.ndarray, gscale: jnp.ndarray,
     return jnp.dot(x, w * s, preferred_element_type=x.dtype)
 
 
-def quantize_int4_groupwise(w: np.ndarray, k_for_tiling: Optional[int] = None
-                            ) -> tuple:
+def quantize_int4_groupwise(w: np.ndarray, k_for_tiling: Optional[int] = None,
+                            group: Optional[int] = None) -> tuple:
     """f32 (k, n) → (packed (k//2, n) int8, gscale (k//group, n) f32).
-    Group-wise symmetric int4 along the input dim."""
+    Group-wise symmetric int4 along the input dim.
+
+    ``group``: scale granularity. Default 128-class (int4_tiling) matches
+    nf4-class quality; ``group == tile_k`` (512-class) trades ~15% more
+    quant error on gaussian weights (more on outlier-heavy ones — measure
+    on your checkpoint) for the kernel's ~1.5x faster output-scaled path."""
     k, n = w.shape
-    tile_k, group = int4_tiling(k_for_tiling or k)
+    tile_k, auto_group = int4_tiling(k_for_tiling or k)
+    group = group or auto_group
+    if tile_k % group and group % tile_k:
+        raise ValueError(f"group {group} incompatible with tile_k {tile_k}")
+    group = min(group, tile_k)
     wg = w.reshape(k // group, group, n)
     amax = np.abs(wg).max(axis=1, keepdims=True)
     scale = np.maximum(amax, 1e-8) / 7.0

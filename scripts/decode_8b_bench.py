@@ -22,22 +22,34 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_llm(quant_kernel: bool, int8_head: bool = False):
+def build_llm(quant_kernel: bool, int8_head: bool = False,
+              quant: str = "int8", int4_group: int = 0):
     import jax
     import jax.numpy as jnp
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
     from ragmeup_tpu.models.tokenizer import SimpleTokenizer
 
-    cfg = LlamaConfig(quantization="int8", tie_embeddings=False,
+    cfg = LlamaConfig(quantization=quant, tie_embeddings=False,
                       use_flash=True, max_seq_len=2048,
-                      quant_kernel=quant_kernel,
+                      quant_kernel=quant_kernel, int4_group=int4_group,
                       head_quantization="int8" if int8_head else "none")
     h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     kvh = cfg.num_kv_heads * cfg.head_dim
 
-    def qlin(d_in, d_out):
-        return {"kernel_q": np.zeros((d_in, d_out), np.int8),
-                "scale": np.full(d_out, 1e-3, np.float32)}
+    if quant == "int4":
+        from ragmeup_tpu.ops.quant_matmul import int4_tiling
+
+        def qlin(d_in, d_out):
+            tile_k, group = int4_tiling(d_in)
+            if int4_group:
+                group = min(int4_group, tile_k)
+            return {"kernel_p": np.zeros((d_in // 2, d_out), np.int8),
+                    "gscale": np.full((d_in // group, d_out), 1e-3,
+                                      np.float32)}
+    else:
+        def qlin(d_in, d_out):
+            return {"kernel_q": np.zeros((d_in, d_out), np.int8),
+                    "scale": np.full(d_out, 1e-3, np.float32)}
 
     params = {"token_embedding": jnp.zeros((v, h), jnp.bfloat16),
               "final_norm": {"scale": np.ones(h, np.float32)}}
@@ -65,6 +77,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant-kernel", action="store_true")
     ap.add_argument("--int8-head", action="store_true")
+    ap.add_argument("--quant", default="int8", choices=["int8", "int4"])
+    ap.add_argument("--int4-group", type=int, default=0)
     ap.add_argument("--n1", type=int, default=64)
     ap.add_argument("--n2", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
@@ -76,7 +90,8 @@ def main():
     print(f"backend: {backend} quant_kernel={args.quant_kernel} "
           f"int8_head={args.int8_head}", file=sys.stderr)
 
-    llm = build_llm(args.quant_kernel, args.int8_head)
+    llm = build_llm(args.quant_kernel, args.int8_head, args.quant,
+                    args.int4_group)
     rng = np.random.default_rng(0)
     # prompt length chosen so both token counts land in the SAME cache-len
     # bucket (300+64 -> 512, 300+128 -> 512): the slope then compares
@@ -101,7 +116,8 @@ def main():
         t2 = gen(args.n2)
         slopes.append((t2 - t1) / (args.n2 - args.n1))
     per_tok = min(slopes)
-    print("8B int8 single-stream decode: %.2f ms/token -> %.1f tok/s "
+    print("8B " + args.quant
+          + " single-stream decode: %.2f ms/token -> %.1f tok/s "
           "(quant_kernel=%s, slope over %d/%d tokens, best of %d)"
           % (per_tok * 1e3, 1.0 / per_tok,
              f"{args.quant_kernel} int8_head={args.int8_head}",

@@ -70,3 +70,89 @@ def test_groupwise_beats_per_channel_quality(rng):
     w_pc = np.clip(np.round(w / scale_pc), -8, 7) * scale_pc
     pc_err = np.abs(w_pc - w).mean()
     assert g_err < 0.5 * pc_err
+
+
+def test_fused_mlp_int4_parity(rng):
+    """One-pallas_call transformer MLP (RMSNorm → gate/up → SiLU·mul →
+    down → +residual) with packed-int4 weights vs the dequantized oracle.
+    (Kept as an opt-in building block: at batch-1 the per-op savings were
+    eaten by the VPU unpack — see BENCH_NOTES int4 notes.)"""
+    import jax
+    import jax.nn
+    from ragmeup_tpu.ops.quant_matmul import (fused_mlp_int4, int4_tiling,
+                                              quantize_int4_groupwise,
+                                              unpack_int4)
+    m, h, inter = 3, 512, 1024
+    rms_eps = 1e-5
+    x = rng.standard_normal((m, h)).astype(np.float32)
+    nw = rng.standard_normal(h).astype(np.float32) * 0.1 + 1.0
+    wg = rng.standard_normal((h, inter)).astype(np.float32) * 0.05
+    wu = rng.standard_normal((h, inter)).astype(np.float32) * 0.05
+    wd = rng.standard_normal((inter, h)).astype(np.float32) * 0.05
+
+    def deq(w):
+        k = w.shape[0]
+        tile_k, group = int4_tiling(k)
+        p, gs = quantize_int4_groupwise(w)
+        wq = np.asarray(unpack_int4(jnp.asarray(p), tile_k), np.float32)
+        return (jnp.asarray(p), jnp.asarray(gs),
+                wq * np.repeat(gs, group, axis=0))
+
+    pg, sg, wgd = deq(wg)
+    pu, su, wud = deq(wu)
+    pd, sd, wdd = deq(wd)
+
+    xn = x / np.sqrt((x * x).mean(axis=-1, keepdims=True) + rms_eps) * nw
+    act = np.asarray(jax.nn.silu(jnp.asarray(xn @ wgd))) * (xn @ wud)
+    want = x + act @ wdd
+
+    got = np.asarray(fused_mlp_int4(
+        jnp.asarray(x, jnp.float32), jnp.asarray(nw), pg, sg, pu, su,
+        pd, sd, rms_eps=rms_eps), np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_int4_fast_group_parity(rng):
+    """group == tile_k selects the kernel's output-scaled fast path; it
+    must match the dequant oracle for its own (coarser) quantization."""
+    from ragmeup_tpu.ops.quant_matmul import (int4_matmul, int4_tiling,
+                                              quantize_int4_groupwise,
+                                              unpack_int4)
+    k, n, m = 1024, 512, 3
+    tile_k, _ = int4_tiling(k)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    p, gs = quantize_int4_groupwise(w, group=tile_k)
+    assert gs.shape == (k // tile_k, n)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    wd = (np.asarray(unpack_int4(jnp.asarray(p), tile_k), np.float32)
+          * np.repeat(gs, tile_k, axis=0))
+    want = np.asarray(x, np.float32) @ wd
+    got = np.asarray(int4_matmul(x, jnp.asarray(p), jnp.asarray(gs)),
+                     np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_int4_fast_group_decoder_generates(rng):
+    """int4_group=tile through the whole decoder: quantize, load, generate."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.models.hf_loader import quantize_decoder_params
+
+    cfg = LlamaConfig.tiny(tie_embeddings=False, hidden_size=128,
+                           intermediate_size=256)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=3)
+    from flax import linen as nn
+    params = nn.meta.unbox(base.params)
+    qcfg = LlamaConfig.tiny(tie_embeddings=False, hidden_size=128,
+                            intermediate_size=256, quantization="int4",
+                            int4_group=512)
+    # tile_k for these dims is the full dim (d % 512 != 0 -> tile_k = d),
+    # so int4_group clamps to it; quantizer must agree with QuantDense
+    qparams = quantize_decoder_params(params, bits=4, int4_group=512)
+    llm = LocalLLM(qcfg, tok, params=qparams)
+    out = llm.generate([3, 9, 4], max_new_tokens=6, temperature=0.0,
+                       speculative="off")
+    assert len(out) == 6
