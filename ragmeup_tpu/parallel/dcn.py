@@ -22,11 +22,11 @@ a dp-across-slices train step; exactness asserted vs single-process.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
-from ragmeup_tpu.parallel.mesh import AXES, _largest_pow2_factor
+from ragmeup_tpu.parallel.mesh import AXES
 
 
 def initialize_slice(coordinator: str, num_processes: int, process_id: int,

@@ -40,11 +40,16 @@ def bench(cfg: LlamaConfig, seq: int, iters: int = 10) -> float:
 
     r = fwd(params, ids)
     float(r[0])  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fwd(params, ids)
-    float(r[0])  # fetch-sync
-    return (time.perf_counter() - t0) / iters * 1e3
+
+    def run(n):  # slope timing: cancels the ~26 ms fetch RTT (CLAUDE.md)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fwd(params, ids)
+        float(r[0])
+        return time.perf_counter() - t0
+
+    t1, t2 = run(iters), run(iters * 3)
+    return (t2 - t1) / (iters * 2) * 1e3
 
 
 def main():
