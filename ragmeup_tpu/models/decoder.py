@@ -238,8 +238,11 @@ class LlamaAttention(nn.Module):
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        # rope rotates in f32 (cos/sin tables), then back to the model
+        # dtype — matches HF semantics and keeps attention inputs bf16
+        # (f32 q/k doubled the flash kernel's DMA and VMEM footprint)
+        q = apply_rope(q, cos, sin).astype(c.jdtype)
+        k = apply_rope(k, cos, sin).astype(c.jdtype)
 
         if paged_state is not None:
             # batched paged decode (s == 1): write the new token's K/V into
@@ -316,13 +319,17 @@ class LlamaAttention(nn.Module):
             if rep > 1:
                 # GQA kernel: K/V stream at native kv-head count (one DMA
                 # per block instead of rep; q heads of a kv head share the
-                # grid cell). q heads are kv-grouped: head h uses kv h//rep
+                # grid cell). q heads are kv-grouped: head h uses kv h//rep.
+                # The score tile is (rep*block_q, block_k) f32 in VMEM, so
+                # block_q shrinks by rep to keep the same footprint as the
+                # per-head kernel (rep*bq <= 512; bigger OOMs ~16MB VMEM).
                 qg = q.transpose(0, 2, 1, 3).reshape(b * nkv, rep, s, hd)
                 kf = k.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
                 vf = v.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
                 og = flash_attention_gqa(qg, kf, vf, causal=True,
                                          sm_scale=scale,
-                                         block_q=_blk(s, 512),
+                                         block_q=_blk(s, max(
+                                             c.flash_block, 512 // rep)),
                                          block_k=_blk(kv_len, 1024))
                 out = og.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
             else:
