@@ -187,6 +187,9 @@ class PromptLibrary:
     graph_insert_instruction: str = GRAPH_INSERT_INSTRUCTION
     graph_insert_schema: str = GRAPH_INSERT_SCHEMA
     graph_insert_data_only: str = GRAPH_INSERT_DATA_ONLY
+    # few-shot examples appended to the insert instruction
+    # (.env.template neo4j_insert_few_shot)
+    graph_insert_few_shot: str = ""
 
 
 @dataclass
@@ -404,6 +407,13 @@ _ENV_KEYMAP = {
     "file_upload_using_llm": ("graph", "file_upload_using_llm", _parse_bool),
     "dynamic_neo4j_schema": ("graph", "dynamic_schema", _parse_bool),
     "deepeval_sample_size": ("eval", "sample_size", int),
+    "deepeval_answer_relevancy_threshold": ("eval", "answer_relevancy_threshold", float),
+    "deepeval_faithfulness_threshold": ("eval", "faithfulness_threshold", float),
+    "deepeval_contextual_precision_threshold": ("eval", "contextual_precision_threshold", float),
+    "deepeval_contextual_recall_threshold": ("eval", "contextual_recall_threshold", float),
+    "deepeval_contextual_relevancy_threshold": ("eval", "contextual_relevancy_threshold", float),
+    "deepeval_hallucination_threshold": ("eval", "hallucination_threshold", float),
+    "deepeval_correctness_threshold": ("eval", "correctness_threshold", float),
     "deepeval_qa_pairs": ("eval", "qa_pairs", int),
     "ragas_sample_size": ("eval", "sample_size", int),
     "ragas_qa_pairs": ("eval", "qa_pairs", int),
@@ -440,6 +450,7 @@ _PROMPT_ENV_KEYS = {
     "neo4j_insert_instruction": "graph_insert_instruction",
     "neo4j_insert_schema": "graph_insert_schema",
     "neo4j_insert_data_only": "graph_insert_data_only",
+    "neo4j_insert_few_shot": "graph_insert_few_shot",
 }
 
 

@@ -153,7 +153,10 @@ def text_to_graph_llm(graph, backend, prompts, text: str,
                   .replace("{data}", text))
     else:
         prompt = p.graph_insert_data_only.replace("{data}", text)
-    msgs = [{"role": "system", "content": p.graph_insert_instruction},
+    system = p.graph_insert_instruction
+    if getattr(p, "graph_insert_few_shot", ""):
+        system = system + "\n" + p.graph_insert_few_shot
+    msgs = [{"role": "system", "content": system},
             {"role": "user", "content": prompt}]
     reply = backend.chat(msgs, max_new_tokens=1024, temperature=0.0) or ""
     if reply.strip().lower().startswith("none"):
