@@ -560,7 +560,7 @@ class LocalLLM:
                 f"axis {mesh.shape['model']}")
             shardings = model_param_shardings(
                 self.model, mesh, (jnp.zeros((1, 8), jnp.int32),),
-                {"positions": jnp.arange(8)})
+                {"positions": jnp.arange(8)}, shard_vocab=True)
             params = jax.device_put(params, shardings)
             # KV cache (b, L, nkv, hd): kv heads over 'model'
             self._cache_sharding = NamedSharding(

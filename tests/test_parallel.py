@@ -425,6 +425,9 @@ def test_tp_llm_generate_identical():
     # param placement actually sharded over 'model'
     qk = tp.params["layer_0"]["attention"]["q_proj"]["kernel"]
     assert qk.sharding.spec == P(None, "model")
+    # Megatron output-embedding parallelism: vocab shards over 'model'
+    emb = tp.params["token_embedding"]
+    assert emb.sharding.spec == P("model", None)
 
     prompt = [3, 9, 4, 17, 251]
     lg1 = base.forward_logits(prompt)
