@@ -194,6 +194,14 @@ class SimpleTokenizer:
         return self.n_special + h % (self._vocab_size - self.n_special)
 
     def tokenize_ids(self, text: str) -> List[int]:
+        # native fast path (simpletok.cpp): byte-identical ids for ASCII
+        # text, 16x faster than the per-char Python loop + per-token md5
+        # (the hashing fallback was the fast-reranker wave bottleneck —
+        # BENCH_NOTES "fast reranker"); non-ASCII falls back here
+        from ragmeup_tpu.native import simpletok_encode
+        ids = simpletok_encode(text, self._vocab_size, self.n_special)
+        if ids is not None:
+            return ids
         return [self._tok_id(t) for t in basic_tokenize(text)]
 
     def encode(self, text: str, max_len: Optional[int] = None) -> List[int]:

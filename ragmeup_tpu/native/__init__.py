@@ -67,6 +67,10 @@ def _load():
                                       ctypes.POINTER(ctypes.c_int32)]
     lib.analyzer_load_vocab.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_int64]
+    lib.simpletok_encode.restype = ctypes.c_int64
+    lib.simpletok_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
 
@@ -130,3 +134,20 @@ class NativeAnalyzer:
         lib.analyzer_vocab(self._h, out)
         blob = out.raw[:nbytes].decode("utf-8")
         return blob.split("\n")[:-1]
+
+
+def simpletok_encode(text: str, vocab_size: int,
+                     n_special: int) -> Optional[List[int]]:
+    """Native hashing-tokenizer fast path (simpletok.cpp). Returns None
+    when unavailable or when the text needs the Python Unicode path."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = text.encode("utf-8")
+    out = np.empty(max(len(raw), 1), np.int32)
+    n = lib.simpletok_encode(raw, len(raw), vocab_size, n_special,
+                             out.ctypes.data_as(
+                                 ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        return None
+    return out[:n].tolist()

@@ -228,3 +228,30 @@ def test_flashrank_class_reranker():
     assert all("relevance_score" in c.metadata for c in out)
     scores = [c.metadata["relevance_score"] for c in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_native_simpletok_parity():
+    """Native hashing-tokenizer fast path (native/simpletok.cpp) must be
+    byte-identical to the Python md5 path on ASCII and route non-ASCII
+    text to the Python Unicode implementation."""
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer, basic_tokenize
+    from ragmeup_tpu.native import simpletok_encode
+
+    tok = SimpleTokenizer(30522)
+
+    def py_ids(text):
+        return [tok._tok_id(t) for t in basic_tokenize(text)]
+
+    cases = [
+        "Hello, World! This is a TEST of tokenization...",
+        "punct!@#$%^&*()[]{};:'\",.<>/?`~\\|-_=+",
+        "numbers 123 mixed42tokens and\ttabs\nnewlines\r",
+        "  leading and trailing   ",
+        "x" * 300,
+        "",
+    ]
+    for t in cases:
+        assert tok.tokenize_ids(t) == py_ids(t), t[:40]
+    if simpletok_encode("a", 30522, 4) is not None:  # toolchain present
+        assert simpletok_encode("héllo", 30522, 4) is None
+    assert tok.tokenize_ids("héllo wörld") == py_ids("héllo wörld")
