@@ -78,9 +78,14 @@ class ChunkStore:
 
     def delete_source(self, source: str) -> List[int]:
         """Tombstone every live chunk whose metadata.source == source (parity
-        with the reference delete-by-source, server.py:373-377)."""
+        with the reference delete-by-source, server.py:373-377). Paths
+        compare normalized: ingest may record './docs/a.txt' while the
+        server resolves 'docs/a.txt' (round-2 review — the exact-string
+        compare silently deleted the file but kept its chunks)."""
+        want = os.path.normpath(source)
         rows = [i for i, c in enumerate(self.chunks)
-                if i not in self.tombstones and c.source == source]
+                if i not in self.tombstones
+                and os.path.normpath(c.source) == want]
         self.tombstones.update(rows)
         return rows
 

@@ -321,15 +321,19 @@ class LlamaAttention(nn.Module):
                 # per block instead of rep; q heads of a kv head share the
                 # grid cell). q heads are kv-grouped: head h uses kv h//rep.
                 # The score tile is (rep*block_q, block_k) f32 in VMEM, so
-                # block_q shrinks by rep to keep the same footprint as the
-                # per-head kernel (rep*bq <= 512; bigger OOMs ~16MB VMEM).
+                # block_q shrinks by rep — HARD cap rep*bq <= 512 even
+                # below flash_block (rep=8 needs bq=64; 128 OOMs ~16MB
+                # VMEM). s % flash_block == 0 guarantees these smaller
+                # powers of two divide s too.
+                bq_cap = max(8, 512 // rep)
+                bq = min(c.flash_block, bq_cap)
+                while bq * 2 <= min(s, bq_cap) and s % (bq * 2) == 0:
+                    bq *= 2
                 qg = q.transpose(0, 2, 1, 3).reshape(b * nkv, rep, s, hd)
                 kf = k.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
                 vf = v.transpose(0, 2, 1, 3).reshape(b * nkv, kv_len, hd)
                 og = flash_attention_gqa(qg, kf, vf, causal=True,
-                                         sm_scale=scale,
-                                         block_q=_blk(s, max(
-                                             c.flash_block, 512 // rep)),
+                                         sm_scale=scale, block_q=bq,
                                          block_k=_blk(kv_len, 1024))
                 out = og.reshape(b, nh, s, hd).transpose(0, 2, 1, 3)
             else:

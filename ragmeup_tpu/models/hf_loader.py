@@ -300,6 +300,8 @@ def quantize_decoder_params(params: dict, bits: int = 8,
         return q, scale[0].astype(np.float32)
 
     def walk(node):
+        if bits not in (4, 8):  # head-only quantization (bits=0)
+            return node
         if isinstance(node, dict):
             if set(node.keys()) == {"kernel"} and getattr(node["kernel"], "ndim", 0) == 2:
                 w = np.asarray(node["kernel"], np.float32)
@@ -315,6 +317,8 @@ def quantize_decoder_params(params: dict, bits: int = 8,
         return node
 
     out = walk(params)
+    if bits not in (4, 8):
+        out = dict(out)
     if head_bits == 8 and "lm_head" in out:
         # per-channel int8 head (pair with LlamaConfig.head_quantization)
         q, s = quant8(np.asarray(out.pop("lm_head"), np.float32))
@@ -359,6 +363,11 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
             params = quantize_decoder_params(
                 params, bits=4 if quantization == "int4" else 8,
                 head_bits=8 if cfg.head_quantization == "int8" else 0)
+        elif cfg.head_quantization == "int8":
+            # head-only quantization (weights unquantized): bits=0 skips
+            # the kernel walk, head_bits converts lm_head (round-2 review:
+            # this combination used to leave the cfg/params tree mismatched)
+            params = quantize_decoder_params(params, bits=0, head_bits=8)
         tok = load_tokenizer(checkpoint_dir, cfg.vocab_size)
         eos = []
         gen_cfg = os.path.join(checkpoint_dir, "generation_config.json")

@@ -23,10 +23,23 @@ _build_lock = threading.Lock()
 _lib = None
 
 
+def _sources_mtime() -> float:
+    newest = 0.0
+    for name in os.listdir(_DIR):
+        if name.endswith(".cpp") or name == "Makefile":
+            newest = max(newest, os.path.getmtime(os.path.join(_DIR, name)))
+    return newest
+
+
 def ensure_built(force: bool = False) -> Optional[str]:
-    """Build the shared library if needed; returns its path or None."""
+    """Build the shared library if needed; returns its path or None.
+
+    A stale .so (older than any source file — e.g. built before a new
+    symbol was added) rebuilds automatically: round-2 review found a
+    pre-existing library without simpletok_encode made _load() raise on
+    the unguarded symbol lookup."""
     with _build_lock:
-        if os.path.exists(_LIB_PATH) and not force:
+        if os.path.exists(_LIB_PATH) and not force                 and os.path.getmtime(_LIB_PATH) >= _sources_mtime():
             return _LIB_PATH
         try:
             subprocess.run(["make", "-C", _DIR, "-s"] + (["clean", "all"] if force else []),
@@ -44,6 +57,15 @@ def _load():
     if path is None:
         return None
     lib = ctypes.CDLL(path)
+    if not hasattr(lib, "simpletok_encode"):
+        # library predates the newest symbols and mtimes lied (copied
+        # tree): force one rebuild before giving up
+        path = ensure_built(force=True)
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        if not hasattr(lib, "simpletok_encode"):
+            return None
     lib.analyzer_create.restype = ctypes.c_void_p
     lib.analyzer_destroy.argtypes = [ctypes.c_void_p]
     lib.analyzer_add_batch.restype = ctypes.c_int64

@@ -194,11 +194,15 @@ class ShardedDenseIndex:
         keep = [i for i, mp in enumerate(mapping) if mp >= 0]
         vecs = host[keep].astype(np.float32)
         mesh = self.mesh
+        want_norm = self.normalize
         self.__init__(mesh, self.dim, self.tile_n, normalize=False,
                       dtype=self.dtype)
         if len(vecs):
             self.add(vecs)
-        self.normalize = True  # vectors were already normalized on first add
+        # restore the index's own mode: stored vectors were already
+        # normalized on first add iff it was on (round-2 review: this used
+        # to force True and silently change a raw-dot index's scoring)
+        self.normalize = want_norm
 
     def search(self, queries: np.ndarray, k: int,
                search_type: str = "similarity", fetch_k: int = 20,
@@ -236,7 +240,8 @@ class ShardedDenseIndex:
         os.makedirs(directory, exist_ok=True)
         np.save(os.path.join(directory, "vectors.npy"), self.host_vectors())
         meta = {"dim": self.dim, "dtype": self.dtype, "tile_n": self.tile_n,
-                "n": self.n, "dead": sorted(self.dead), "sharded": True}
+                "n": self.n, "dead": sorted(self.dead), "sharded": True,
+                "normalize": self.normalize}
         with open(os.path.join(directory, "dense_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -252,7 +257,7 @@ class ShardedDenseIndex:
                   dtype=meta["dtype"] if meta["dtype"] != "int8" else "bfloat16")
         if len(vecs):
             idx.add(vecs.astype(np.float32))
-        idx.normalize = True
+        idx.normalize = bool(meta.get("normalize", True))
         idx.delete_rows(meta.get("dead", []))
         return idx
 

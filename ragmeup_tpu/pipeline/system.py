@@ -56,6 +56,14 @@ class RagSystem:
             import jax
             from ragmeup_tpu.parallel.mesh import make_mesh
             p = cfg.parallel
+            if p.corpus_axis & (p.corpus_axis - 1):
+                # BM25 head capacities are tile_n * 2^j; the sharded hybrid
+                # program splits them evenly over 'corpus', so the axis
+                # must be a power of two (round-2 review: axis=3 would
+                # crash shard_map on every query)
+                raise ValueError(
+                    f"parallel.corpus_axis must be a power of two for the "
+                    f"sharded retrieval program, got {p.corpus_axis}")
             devs = jax.devices()
             if len(devs) < p.total_devices:
                 raise ValueError(
@@ -210,7 +218,11 @@ class RagSystem:
             reranker=self.cross_encoder if r.rerank else None,
             rerank_k=r.rerank_k,
             re2_prompt=self.cfg.prompts.re2_prompt if self.cfg.pipeline.use_re2 else None,
-            mesh=self.mesh)
+            # the sharded hybrid program expects a ShardedDenseIndex (it
+            # scores _corpus_t WITHOUT int8 scales); a TP-only mesh
+            # (model_axis > 1, corpus_axis == 1) keeps plain single-chip
+            # indexes and must not take that path (round-2 review)
+            mesh=self.mesh if self._corpus_sharded else None)
         self.pipeline = RAGPipeline(
             self.cfg, self.retriever, self.backend,
             cross_encoder=self.cross_encoder, encoder=self.encoder,

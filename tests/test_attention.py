@@ -162,3 +162,22 @@ def test_flash_gqa_noncausal():
                               causal=False)[0]
     np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(ref),
                                atol=2e-4)
+
+
+def test_decoder_flash_prefill_high_gqa_ratio(rng):
+    """rep=8 (70B-class GQA ratio): the GQA flash block_q must shrink so
+    rep*block_q stays within the kernel's VMEM budget, and output must
+    still match the einsum path (round-2 review)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    base = LlamaConfig.tiny(num_heads=8, num_kv_heads=1, max_seq_len=512)
+    flash = LlamaConfig.tiny(num_heads=8, num_kv_heads=1, max_seq_len=512,
+                             use_flash=True)
+    l1 = LocalLLM(base, SimpleTokenizer(base.vocab_size), seed=0)
+    l2 = LocalLLM(flash, SimpleTokenizer(flash.vocab_size), params=l1.params)
+    prompt = list(rng.integers(5, 500, 40))
+    g1 = l1.generate(prompt, max_new_tokens=4, temperature=0.0,
+                     repetition_penalty=1.0)
+    g2 = l2.generate(prompt, max_new_tokens=4, temperature=0.0,
+                     repetition_penalty=1.0)
+    assert g1 == g2

@@ -362,3 +362,18 @@ def test_semantic_splitter_gradient_and_iqr_thresholds():
     with pytest.raises(ValueError):
         SemanticSplitter(_fake_embed,
                          breakpoint_threshold_type="bogus").split_text(text)
+
+
+def test_delete_source_normalizes_paths(tmp_path):
+    """Ingest may record './docs/a.txt' while the server resolves
+    'docs/a.txt'; delete-by-source must match either spelling."""
+    from ragmeup_tpu.data.documents import Chunk
+    from ragmeup_tpu.data.store import ChunkStore
+    store = ChunkStore(str(tmp_path))
+    store.add([
+        Chunk(id="1", content="alpha", metadata={"source": "./docs/a.txt"}),
+        Chunk(id="2", content="beta", metadata={"source": "./docs/b.txt"}),
+    ])
+    rows = store.delete_source("docs/a.txt")
+    assert rows == [0]
+    assert store.delete_source("./docs/b.txt") == [1]

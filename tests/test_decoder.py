@@ -361,3 +361,23 @@ def test_int8_lm_head(rng):
     corr = np.corrcoef(logits, hlogits)[0, 1]
     assert corr > 0.999
     assert int(np.argmax(hlogits)) == int(np.argmax(logits))
+
+
+def test_int8_head_without_weight_quant(rng):
+    """head_quantization='int8' with quantization='none' must produce a
+    consistent cfg/params pair (round-2 review: the head stayed f32 while
+    the model expected lm_head_q)."""
+    cfg = LlamaConfig.tiny(tie_embeddings=False)
+    tensors = _fake_hf_llama(cfg, rng)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    hparams = quantize_decoder_params(params, bits=0, head_bits=8,
+                                      embeddings_bf16=False)
+    assert "lm_head_q" in hparams and "lm_head" not in hparams
+    # kernels untouched
+    assert "kernel" in hparams["layer_0"]["attention"]["q_proj"]
+    hcfg = LlamaConfig.tiny(tie_embeddings=False, head_quantization="int8")
+    llm = LocalLLM(hcfg, SimpleTokenizer(hcfg.vocab_size), params=hparams)
+    base = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), params=params)
+    np.testing.assert_allclose(llm.forward_logits([3, 4, 5]),
+                               base.forward_logits([3, 4, 5]),
+                               rtol=0.05, atol=0.2)

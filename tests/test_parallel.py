@@ -589,3 +589,81 @@ def test_train_to_serve_roundtrip(tmp_path):
     out = llm.generate([3, 9, 4], max_new_tokens=5, temperature=0.0,
                        speculative="off")
     assert len(out) == 5
+
+
+def test_sharded_index_normalize_flag_roundtrip(tmp_path, rng):
+    """normalize=False (raw dot-product scoring) must survive save/load
+    and compact (round-2 review: both forced it back to True)."""
+    from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
+    mesh = make_mesh((1, 8, 1))
+    idx = ShardedDenseIndex(mesh, 16, normalize=False, dtype="float32")
+    vecs = rng.standard_normal((32, 16)).astype(np.float32) * 3.0
+    idx.add(vecs)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    want = idx.search(q, k=3)[0]
+    d = str(tmp_path / "idx")
+    idx.save(d)
+    loaded = ShardedDenseIndex.load(d, mesh)
+    assert loaded.normalize is False
+    got = loaded.search(q, k=3)[0]
+    assert [r for r, _ in got] == [r for r, _ in want]
+    # scores roundtrip through the f16 host mirror
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                               rtol=1e-3)
+    idx.compact(list(range(32)))
+    assert idx.normalize is False
+    got2 = idx.search(q, k=3)[0]
+    assert [r for r, _ in got2] == [r for r, _ in want]
+
+
+def test_tp_only_mesh_keeps_single_chip_retrieval(tmp_path):
+    """model_axis > 1 with corpus_axis == 1: retrieval must stay on the
+    single-chip path (the sharded program scores int8 codes without their
+    scales — round-2 review) and match a no-mesh system exactly."""
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.pipeline.system import RagSystem
+    from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+    from ragmeup_tpu.retrieval.sparse import analyze
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+
+    def hash_embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(
+            np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    class Enc:
+        encode = staticmethod(hash_embed)
+
+    data = tmp_path / "docs"
+    data.mkdir()
+    for i in range(8):
+        (data / f"d{i}.txt").write_text(
+            f"w{i} w{i+1} special{i} theme{i % 3} topic")
+
+    def mk(tag, model_axis):
+        cfg = RagConfig()
+        cfg.data.data_directory = str(data)
+        cfg.data.index_directory = str(tmp_path / f"idx_{tag}")
+        cfg.model.embedding_dim = 64
+        cfg.retrieval.dense_dtype = "int8"
+        cfg.retrieval.rerank = False
+        cfg.pipeline.use_provenance = False
+        cfg.pipeline.use_rewrite_loop = False
+        cfg.parallel.model_axis = model_axis
+        if model_axis > 1:
+            cfg.parallel.corpus_axis = 1
+        return RagSystem(cfg, encoder=Enc(),
+                         backend=StaticChatBackend(default="a."))
+
+    plain = mk("plain", 1)
+    tp = mk("tp", 2)
+    assert tp.mesh is not None
+    assert isinstance(tp.dense, DenseIndex)       # not sharded
+    assert tp.retriever.mesh is None              # single-chip program
+    for q in ("special3 topic", "w5 theme2"):
+        a = plain.retriever.retrieve_rows(q, k=4)
+        b = tp.retriever.retrieve_rows(q, k=4)
+        assert [r for r, _ in a] == [r for r, _ in b], q
