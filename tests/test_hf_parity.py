@@ -164,3 +164,40 @@ def test_cross_encoder_logit_matches_hf(tmp_path):
         np.float32)
     np.testing.assert_allclose(ours.reshape(-1), golden.reshape(-1),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_llama_head_quant_and_int4_fast_close_to_hf(tmp_path):
+    """Round-2 quantization modes on a REAL checkpoint layout vs the torch
+    golden forward: int8 lm_head keeps the same argmax; the int4
+    fast-group (output-scaled) path stays rank-faithful."""
+    import dataclasses as _dc
+    from ragmeup_tpu.models.decoder import LlamaModel, causal_bias
+    d, golden = _save_tiny_llama(tmp_path)
+    g = golden[-1]
+
+    # int8 weights + int8 head
+    cfg = llama_config_from_hf(d)
+    cfg = _dc.replace(cfg, dtype="float32", quantization="int8",
+                      head_quantization="int8")
+    tensors = load_safetensors(d)
+    params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
+    qp = quantize_decoder_params(params, bits=8, head_bits=8,
+                                 embeddings_bf16=False)
+    ids = jnp.asarray([IDS], jnp.int32)
+    out = LlamaModel(cfg).apply({"params": qp}, ids,
+                                positions=jnp.arange(len(IDS)),
+                                attn_bias=causal_bias(len(IDS), len(IDS)))
+    o = np.asarray(out["logits"][0][-1], np.float32)
+    assert np.corrcoef(g, o)[0, 1] > 0.99
+    assert int(np.argmax(o)) == int(np.argmax(g))
+
+    # int4 fast-group (group == tile)
+    cfg4 = _dc.replace(llama_config_from_hf(d), dtype="float32",
+                       quantization="int4", int4_group=512)
+    qp4 = quantize_decoder_params(params, bits=4, int4_group=512,
+                                  embeddings_bf16=False)
+    out4 = LlamaModel(cfg4).apply({"params": qp4}, ids,
+                                  positions=jnp.arange(len(IDS)),
+                                  attn_bias=causal_bias(len(IDS), len(IDS)))
+    o4 = np.asarray(out4["logits"][0][-1], np.float32)
+    assert np.corrcoef(g, o4)[0, 1] > 0.93
