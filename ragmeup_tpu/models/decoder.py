@@ -245,17 +245,36 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin).astype(c.jdtype)
 
         if paged_state is not None:
-            # batched paged decode (s == 1): write the new token's K/V into
-            # the page pool, then paged attention over the pool
-            from ragmeup_tpu.ops.paged_attention import (paged_attention,
-                                                         paged_update_token)
+            # paged-pool attention. s == 1: batched decode (one new token
+            # per sequence). s > 1 (b == 1): CHUNK-APPEND — the chunked
+            # prefill writes s prompt tokens into the pool then attends
+            # them against the full prefix (pages/slots give each token's
+            # destination; padded tail tokens point at a trash page and
+            # sit beyond `lengths`, so no real query row reads them).
+            # Chunk-append requires the one-token-per-row page layout
+            # (hd % 128 == 0): the batched writer scatters rows, and
+            # packed rows shared by two chunk tokens would collide.
+            from ragmeup_tpu.ops.paged_attention import (
+                paged_attention, paged_attention_chunk, paged_update_token)
             k_pages, v_pages, page_idx, lengths, pages, slots = paged_state
-            kp = paged_update_token(k_pages, jnp.transpose(k[:, 0], (1, 0, 2)),
-                                    pages, slots, hd)
-            vp = paged_update_token(v_pages, jnp.transpose(v[:, 0], (1, 0, 2)),
-                                    pages, slots, hd)
-            attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
-            out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
+            if s == 1:
+                kp = paged_update_token(
+                    k_pages, jnp.transpose(k[:, 0], (1, 0, 2)), pages, slots,
+                    hd)
+                vp = paged_update_token(
+                    v_pages, jnp.transpose(v[:, 0], (1, 0, 2)), pages, slots,
+                    hd)
+                attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
+                out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
+            else:
+                kp = paged_update_token(
+                    k_pages, jnp.transpose(k[0], (1, 0, 2)), pages, slots,
+                    hd)
+                vp = paged_update_token(
+                    v_pages, jnp.transpose(v[0], (1, 0, 2)), pages, slots,
+                    hd)
+                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths)
+                out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
                              bits, c.quant_kernel, q_group=c.int4_group,
                              name="o_proj")(out)
@@ -434,7 +453,8 @@ class LlamaModel(nn.Module):
     def __call__(self, input_ids, *, positions, attn_bias=None,
                  caches: Optional[list] = None, cache_pos=None,
                  capture_weights: bool = False, capture_qk_last: bool = False,
-                 paged_caches=None, paged_meta=None, ring: bool = False):
+                 paged_caches=None, paged_meta=None, ring: bool = False,
+                 head_at=None):
         c = self.cfg
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
@@ -466,6 +486,10 @@ class LlamaModel(nn.Module):
             elif capture_weights:
                 all_w.append(w)
         x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
+        if head_at is not None:
+            # lm_head only at one (traced) position — chunked prefill needs
+            # just the last real token's logits, not cs * vocab
+            x = jax.lax.dynamic_slice_in_dim(x, head_at, 1, axis=1)
         if c.head_quantization == "int8" and not c.tie_embeddings:
             # int8 lm_head: the head read is the single largest tensor per
             # decode step (1.05 GB bf16 at 8B) — per-channel int8 halves it.

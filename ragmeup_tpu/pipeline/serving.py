@@ -29,6 +29,25 @@ from ragmeup_tpu.models.decoder import LocalLLM, _next_pow2_int
 from ragmeup_tpu.ops.paged_attention import PagedKVCache
 
 
+def _prefill_chunk_program(model, params, ids, positions, page_idx, length,
+                           pages, slots, head_at, k_pages, v_pages):
+    """One chunked-prefill dispatch: write this chunk's K/V straight into
+    the page pool (no transient dense cache) and attend it against the
+    prefix via the chunk-append paged kernel. Returns the head logits at
+    `head_at` (the chunk's last real token) and the updated pools.
+
+    Padded tail rows write to the trash page, sit past every real row's
+    causal limit, and their outputs are never read."""
+    out = model.apply({"params": params}, ids,
+                      positions=positions,
+                      paged_caches=list(zip(k_pages, v_pages)),
+                      paged_meta=(page_idx, length, pages, slots),
+                      head_at=head_at)
+    new_k = [kp for kp, _ in out["paged_caches"]]
+    new_v = [vp for _, vp in out["paged_caches"]]
+    return out["logits"][0, 0], new_k, new_v
+
+
 def _decode_program(model, topk_support, params, meta, k_pages, v_pages):
     """One batched paged decode step. meta: one packed (B, mp+5) int32
     array — a single host->device transfer per step (each extra device_put
@@ -127,7 +146,8 @@ class _SeqState:
 class ServingEngine:
     def __init__(self, llm: LocalLLM, num_pages: int = 256,
                  page_size: int = 64, max_pages_per_seq: int = 16,
-                 max_batch: int = 16, topk_support: int = 64):
+                 max_batch: int = 16, topk_support: int = 64,
+                 prefill_chunk: int = 256):
         self.llm = llm
         cfg = llm.cfg
         self.page_size = page_size
@@ -156,6 +176,22 @@ class ServingEngine:
                                   self.topk_support),
                 donate_argnums=(2, 3))
             llm._paged_decode_jits[self.topk_support] = self._decode
+        # chunked prefill: ONE fixed-shape program regardless of prompt
+        # length (vs one dense-prefill compile per length bucket), zero
+        # transient dense KV cache, K/V written straight into pages. Needs
+        # the one-token-per-row page layout (hd % 128 == 0): the chunk
+        # writer scatters one row per token.
+        self.prefill_chunk = prefill_chunk
+        self.chunked_prefill = (self.cache.tok_per_row == 1
+                                and cfg.head_dim % 128 == 0)
+        if self.chunked_prefill:
+            key = ("prefill", prefill_chunk, max_pages_per_seq)
+            self._prefill_chunked = llm._paged_decode_jits.get(key)
+            if self._prefill_chunked is None:
+                self._prefill_chunked = jax.jit(
+                    functools.partial(_prefill_chunk_program, llm.model),
+                    donate_argnums=(8, 9))
+                llm._paged_decode_jits[key] = self._prefill_chunked
 
     # -- admission control --------------------------------------------------------
 
@@ -194,14 +230,17 @@ class ServingEngine:
         max_prompt = self.max_pages_per_seq * self.page_size - max_new_tokens
         prompt_ids = list(prompt_ids)[-max(max_prompt, 8):]
         n = len(prompt_ids)
-        L = llm._bucket(n)
-        padded = np.zeros((1, L), np.int32)
-        padded[0, :n] = prompt_ids
-        logits, caches = llm._prefill(llm.params, jnp.asarray(padded),
-                                      jnp.int32(n), cache_len=L)
-        self.cache.allocate(seq_id, n)
-        for layer, (ck, cv) in enumerate(caches):
-            self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
+        if self.chunked_prefill:
+            logits = self._prefill_into_pages(seq_id, prompt_ids)
+        else:
+            L = llm._bucket(n)
+            padded = np.zeros((1, L), np.int32)
+            padded[0, :n] = prompt_ids
+            logits, caches = llm._prefill(llm.params, jnp.asarray(padded),
+                                          jnp.int32(n), cache_len=L)
+            self.cache.allocate(seq_id, n)
+            for layer, (ck, cv) in enumerate(caches):
+                self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
         seen = set(int(t) for t in prompt_ids)
         vals, ids = jax.lax.top_k(logits, self.topk_support)
         st = _SeqState(
@@ -211,6 +250,47 @@ class ServingEngine:
         st.dev_logits = logits  # stays on device (wave mode)
         st.reserved_pages = self._lifetime_pages(n, max_new_tokens)
         self.seqs[seq_id] = st
+
+    def _prefill_into_pages(self, seq_id, prompt_ids):
+        """Chunked paged prefill (see _prefill_chunk_program). Returns the
+        last real token's logits (the same contract as llm._prefill)."""
+        llm = self.llm
+        ps = self.page_size
+        cs = self.prefill_chunk
+        n = len(prompt_ids)
+        self.cache.allocate(seq_id, n)
+        plist = self.cache.seq_pages[seq_id]
+        mp = self.max_pages_per_seq
+        page_idx = np.zeros((1, mp), np.int32)
+        page_idx[0, :len(plist)] = plist
+        page_idx_d = jnp.asarray(page_idx)
+        pad_page = self.cache.seq_pages["__pad__"][0]
+        max_pos = llm.cfg.max_seq_len - 1
+        logits = None
+        for c0 in range(0, n, cs):
+            chunk = prompt_ids[c0:c0 + cs]
+            m = len(chunk)
+            ids = np.zeros((1, cs), np.int32)
+            ids[0, :m] = chunk
+            positions = np.clip(np.arange(c0, c0 + cs), 0, max_pos)
+            pages = np.full(cs, pad_page, np.int32)
+            slots = np.arange(cs, dtype=np.int32) % ps  # pad rows: trash
+            for j in range(m):
+                pos = c0 + j
+                pages[j] = plist[pos // ps]
+                slots[j] = pos % ps
+            # length counts the WHOLE chunk (incl. pad rows): real row j
+            # then gets causal limit c0+j+1; pad rows read garbage that is
+            # never emitted (head_at < m)
+            length = jnp.asarray([c0 + cs], jnp.int32)
+            logits, new_k, new_v = self._prefill_chunked(
+                llm.params, jnp.asarray(ids),
+                jnp.asarray(positions)[None, :], page_idx_d, length,
+                jnp.asarray(pages), jnp.asarray(slots), jnp.int32(m - 1),
+                self.cache.k_pages, self.cache.v_pages)
+            self.cache.k_pages = list(new_k)
+            self.cache.v_pages = list(new_v)
+        return logits
 
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""

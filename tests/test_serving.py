@@ -328,3 +328,40 @@ def test_backend_oversized_request_errors_not_hangs(llm):
     out = batched.chat(msgs, max_new_tokens=4, temperature=0.0,
                        repetition_penalty=1.0)
     assert isinstance(out, str)
+
+
+def test_chunked_prefill_matches_dense_prefill():
+    """Chunked paged prefill (K/V written straight into pages, one
+    fixed-shape program) must generate exactly the same tokens as the
+    dense-prefill + copy path, including prompts that span pages and
+    chunks unevenly."""
+    import jax
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.pipeline.serving import ServingEngine
+
+    cfg = LlamaConfig(vocab_size=512, hidden_size=256, num_layers=2,
+                      num_heads=2, num_kv_heads=1, intermediate_size=256,
+                      max_seq_len=512, rope_theta=10000.0, dtype="float32")
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(5, 500, ln).tolist() for ln in (7, 33, 70)]
+
+    def run(chunked):
+        eng = ServingEngine(llm, num_pages=64, page_size=16,
+                            max_pages_per_seq=8, max_batch=4,
+                            prefill_chunk=32)
+        if not chunked:
+            eng.chunked_prefill = False
+        else:
+            assert eng.chunked_prefill, "hd=128 should enable chunked"
+        for i, p in enumerate(prompts):
+            eng.add_request(i, p, max_new_tokens=6, temperature=0.0,
+                            repetition_penalty=1.0)
+        while eng.step():
+            pass
+        return {i: eng.seqs[i].out for i in range(len(prompts))}
+
+    dense = run(False)
+    chunked = run(True)
+    assert dense == chunked, (dense, chunked)
