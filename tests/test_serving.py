@@ -365,3 +365,42 @@ def test_chunked_prefill_matches_dense_prefill():
     dense = run(False)
     chunked = run(True)
     assert dense == chunked, (dense, chunked)
+
+
+def test_retire_mid_decode_frees_pages_and_continues():
+    """Cancel (retire) a sequence mid-decode: its pages free immediately
+    and the remaining sequences keep decoding unaffected."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.pipeline.serving import ServingEngine
+
+    cfg = LlamaConfig.tiny()
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    eng = ServingEngine(llm, num_pages=32, page_size=4, max_pages_per_seq=6,
+                        max_batch=4)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        eng.add_request(i, rng.integers(5, 500, 9).tolist(),
+                        max_new_tokens=8, temperature=0.0,
+                        repetition_penalty=1.0)
+    eng.step()
+    before = eng.cache.pages_in_use
+    cancelled = eng.retire(0)
+    assert isinstance(cancelled, list)
+    assert eng.cache.pages_in_use < before
+    assert 0 not in eng.seqs
+    while eng.step():
+        pass
+    out = eng.seqs[1].out
+    assert len(out) > 0
+    # a reference solo run of seq 1 must match (cancellation is isolated)
+    rng = np.random.default_rng(0)
+    p0 = rng.integers(5, 500, 9).tolist()
+    p1 = rng.integers(5, 500, 9).tolist()
+    solo = ServingEngine(llm, num_pages=32, page_size=4, max_pages_per_seq=6,
+                         max_batch=4)
+    solo.add_request(1, p1, max_new_tokens=8, temperature=0.0,
+                     repetition_penalty=1.0)
+    while solo.step():
+        pass
+    assert solo.seqs[1].out == out
