@@ -181,7 +181,16 @@ class ServingEngine:
         # transient dense KV cache, K/V written straight into pages. Needs
         # the one-token-per-row page layout (hd % 128 == 0): the chunk
         # writer scatters one row per token.
-        self.prefill_chunk = prefill_chunk
+        # the chunk-append kernel keeps (num_heads, chunk, head_dim) f32
+        # accumulators + the q block in VMEM for a whole sequence; cap the
+        # chunk so that stays ~2 MB (8B: 128 tokens/chunk; measured 28 MB
+        # VMEM OOM at chunk=512)
+        vmem_cap = max(32, (2 * 1024 * 1024)
+                       // max(cfg.num_heads * cfg.head_dim * 4, 1))
+        pow2 = 32
+        while pow2 * 2 <= vmem_cap:
+            pow2 *= 2
+        self.prefill_chunk = min(prefill_chunk, pow2)
         self.chunked_prefill = (self.cache.tok_per_row == 1
                                 and cfg.head_dim % 128 == 0)
         if self.chunked_prefill:
