@@ -313,19 +313,25 @@ def test_backend_admission_control_under_page_pressure(llm):
 
 
 def test_backend_oversized_request_errors_not_hangs(llm):
-    """A request whose lifetime can never fit the pool raises in chat()
-    instead of deadlocking the queue, and the worker keeps serving."""
+    """A SAMPLED request whose lifetime can never fit the pool raises in
+    chat() instead of deadlocking the queue, and the worker keeps serving.
+    A lone GREEDY oversized request succeeds instead: the solo
+    speculative fast path uses the dense cache, not the page pool."""
     import pytest as _pytest
     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
     batched = BatchedChatBackend(llm, num_pages=8, page_size=16,
                                  max_pages_per_seq=64)
     msgs = [{"role": "user", "content": "hi"}]
     with _pytest.raises(RuntimeError):
-        batched.chat(msgs, max_new_tokens=1000, temperature=0.0,
+        batched.chat(msgs, max_new_tokens=1000, temperature=0.5,
                      repetition_penalty=1.0)
     assert batched._worker.is_alive()
-    # a small request still works afterwards
-    out = batched.chat(msgs, max_new_tokens=4, temperature=0.0,
+    # greedy solo: pool-oversized is fine (speculative dense-cache path)
+    out = batched.chat(msgs, max_new_tokens=1000, temperature=0.0,
+                       repetition_penalty=1.0)
+    assert isinstance(out, str)
+    # a small sampled request still works afterwards
+    out = batched.chat(msgs, max_new_tokens=4, temperature=0.3,
                        repetition_penalty=1.0)
     assert isinstance(out, str)
 
@@ -404,3 +410,25 @@ def test_retire_mid_decode_frees_pages_and_continues():
     while solo.step():
         pass
     assert solo.seqs[1].out == out
+
+
+def test_batched_backend_solo_greedy_speculative():
+    """A lone greedy chat routes through fused speculative decoding and
+    must produce the same reply as the engine path (and as LocalChatBackend
+    greedy semantics)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
+
+    cfg = LlamaConfig.tiny()
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    batched = BatchedChatBackend(llm, num_pages=32, page_size=4,
+                                 max_pages_per_seq=8)
+    local = LocalChatBackend(llm)
+    msgs = [{"role": "user", "content": "alpha beta gamma"}]
+    a = batched.chat(msgs, max_new_tokens=8, temperature=0.0,
+                     repetition_penalty=1.1)
+    b = local.chat(msgs, max_new_tokens=8, temperature=0.0,
+                   repetition_penalty=1.1)
+    assert a == b
