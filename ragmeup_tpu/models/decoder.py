@@ -608,6 +608,13 @@ class LocalLLM:
             # KV cache (b, L, nkv, hd): kv heads over 'model'
             self._cache_sharding = NamedSharding(
                 mesh, P(None, None, "model", None))
+        else:
+            # commit params to the device ONCE. Loader-built trees arrive
+            # as host numpy arrays; leaving them uncommitted makes every
+            # jitted call re-transfer the full weight set (measured on a
+            # real 8B checkpoint over the 200 MB/s tunnel: 373 s per
+            # 32-token generate vs 0.46 s committed).
+            params = jax.device_put(params)
         self.params = params
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("cache_len",))
         self._decode = jax.jit(self._decode_impl)

@@ -205,9 +205,10 @@ def test_llama_head_quant_and_int4_fast_close_to_hf(tmp_path):
 
 
 def test_direct_int8_loader_matches_generic(tmp_path):
-    """llama_int8_params_from_hf (torch-layout streaming quantizer) must
-    produce bit-identical int8 params + scales to the generic
-    llama_params_from_hf + quantize_decoder_params path."""
+    """llama_int8_params_from_hf (on-device streaming quantizer) must
+    match the generic llama_params_from_hf + quantize_decoder_params path
+    — identical scales, int8 codes within ±1 on a tiny rounding tail
+    (XLA divides/rounds slightly differently than numpy)."""
     from ragmeup_tpu.models.hf_loader import llama_int8_params_from_hf
     d, _ = _save_tiny_llama(tmp_path)
     tensors = load_safetensors(d)
@@ -228,7 +229,9 @@ def test_direct_int8_loader_matches_generic(tmp_path):
         dv = np.asarray(dv)
         assert g.dtype == dv.dtype, path
         if g.dtype == np.int8:
-            np.testing.assert_array_equal(dv, g, err_msg=str(path))
+            diff = np.abs(dv.astype(np.int16) - g.astype(np.int16))
+            assert diff.max() <= 1, (path, diff.max())
+            assert (diff > 0).mean() < 0.001, path
         else:
             np.testing.assert_allclose(dv.astype(np.float32),
                                        g.astype(np.float32),
