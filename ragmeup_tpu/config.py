@@ -344,6 +344,9 @@ class ServerConfig:
     batched_llm: bool = False
     kv_pages: int = 512
     kv_page_size: int = 128
+    # tokens decoded per device dispatch in the batched backend (waves
+    # keep the sampling carry device-resident; 0 = stepwise debug path)
+    llm_wave_steps: int = 8
 
 
 @dataclass
@@ -394,6 +397,7 @@ _ENV_KEYMAP = {
     "rerank_k": ("retrieval", "rerank_k", int),
     "rerank_model": ("retrieval", "rerank_model", str),
     "llm_head_quantization": ("model", "head_quantization", str),
+    "llm_wave_steps": ("server", "llm_wave_steps", int),
     "max_document_limit": ("retrieval", "max_document_limit", int),
     "temperature": ("generation", "temperature", float),
     "repetition_penalty": ("generation", "repetition_penalty", float),

@@ -430,13 +430,17 @@ class BatchedChatBackend(ChatBackend):
     """
 
     def __init__(self, llm, template=llama3_template,
-                 assistant_token=None, seed: int = 0, wave_steps: int = 0,
+                 assistant_token=None, seed: int = 0, wave_steps: int = 8,
                  **engine_kwargs):
         self.llm = llm
         self.template = template
         self.assistant_token = assistant_token
         self.seed = seed
-        self.wave_steps = wave_steps  # >0: decode in waves of N tokens
+        # >0: decode N tokens per dispatch with the carry device-resident.
+        # Default 8: the per-token path pays one dispatch + one ~26 ms
+        # D2H fetch PER TOKEN on this tunnel (~12 tok/s at 8B); waves
+        # amortize both. 0 keeps the stepwise path (debugging).
+        self.wave_steps = wave_steps
         self.engine = ServingEngine(llm, **engine_kwargs)
         self._submit: "queue.Queue" = queue.Queue()
         self._next_id = 0

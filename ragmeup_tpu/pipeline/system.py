@@ -101,6 +101,7 @@ class RagSystem:
                     backend = BatchedChatBackend(
                         self.llm, template=template,
                         assistant_token=cfg.model.llm_assistant_token,
+                        wave_steps=cfg.server.llm_wave_steps,
                         num_pages=cfg.server.kv_pages,
                         page_size=cfg.server.kv_page_size)
                 else:
