@@ -8,6 +8,7 @@ retrieval → prompt assembly → batched 8B generation → provenance-less
 reply contract) on hardware, not just its pieces.
 
 Usage: python scripts/e2e_8b_smoke.py --ckpt /tmp/ckpt8b
+(Provision the checkpoint first: python scripts/make_synthetic_8b.py)
 """
 
 from __future__ import annotations
@@ -29,6 +30,10 @@ def main():
     ap.add_argument("--ckpt", default="/tmp/ckpt8b")
     ap.add_argument("--port", type=int, default=5099)
     args = ap.parse_args()
+
+    if not os.path.isdir(args.ckpt):
+        raise SystemExit(f"{args.ckpt} missing — run "
+                         "scripts/make_synthetic_8b.py first")
 
     from ragmeup_tpu.utils import ensure_platform
     backend = ensure_platform()
