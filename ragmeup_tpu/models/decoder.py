@@ -278,6 +278,9 @@ class LlamaAttention(nn.Module):
                 attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
                 out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
             else:
+                # the chunk writer scatters ONE sequence's rows; a b > 1
+                # chunk append would silently attend unwritten K/V
+                assert b == 1, "paged chunk-append requires batch 1"
                 kp = paged_update_token(
                     k_pages, jnp.transpose(k[0], (1, 0, 2)), pages, slots,
                     hd)
@@ -465,7 +468,7 @@ class LlamaModel(nn.Module):
                  caches: Optional[list] = None, cache_pos=None,
                  capture_weights: bool = False, capture_qk_last: bool = False,
                  paged_caches=None, paged_meta=None, ring: bool = False,
-                 head_at=None):
+                 head_at=None, skip_head: bool = False):
         c = self.cfg
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
@@ -501,6 +504,15 @@ class LlamaModel(nn.Module):
             elif capture_weights:
                 all_w.append(w)
         x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
+        if skip_head:
+            # intermediate chunked-prefill dispatches only need the cache
+            # side effects — skip the lm_head weight read entirely
+            out = {"logits": jnp.zeros((x.shape[0], 1, 1), jnp.float32)}
+            if caches is not None:
+                out["caches"] = new_caches
+            if new_paged is not None:
+                out["paged_caches"] = new_paged
+            return out
         if head_at is not None:
             # lm_head only at one (traced) position — chunked prefill needs
             # just the last real token's logits, not cs * vocab

@@ -29,12 +29,14 @@ from ragmeup_tpu.models.decoder import LocalLLM, _next_pow2_int
 from ragmeup_tpu.ops.paged_attention import PagedKVCache
 
 
-def _prefill_chunk_program(model, params, ids, positions, page_idx, length,
-                           pages, slots, head_at, k_pages, v_pages):
+def _prefill_chunk_program(model, with_head, params, ids, positions,
+                           page_idx, length, pages, slots, head_at,
+                           k_pages, v_pages):
     """One chunked-prefill dispatch: write this chunk's K/V straight into
     the page pool (no transient dense cache) and attend it against the
-    prefix via the chunk-append paged kernel. Returns the head logits at
-    `head_at` (the chunk's last real token) and the updated pools.
+    prefix via the chunk-append paged kernel. With ``with_head`` (the
+    final chunk) returns the lm_head logits at `head_at` packed with the
+    pools; intermediate chunks skip the head entirely.
 
     Padded tail rows write to the trash page, sit past every real row's
     causal limit, and their outputs are never read."""
@@ -42,10 +44,12 @@ def _prefill_chunk_program(model, params, ids, positions, page_idx, length,
                       positions=positions,
                       paged_caches=list(zip(k_pages, v_pages)),
                       paged_meta=(page_idx, length, pages, slots),
-                      head_at=head_at)
+                      head_at=head_at if with_head else None,
+                      skip_head=not with_head)
     new_k = [kp for kp, _ in out["paged_caches"]]
     new_v = [vp for _, vp in out["paged_caches"]]
-    return out["logits"][0, 0], new_k, new_v
+    logits = out["logits"][0, 0] if with_head else None
+    return logits, new_k, new_v
 
 
 def _decode_program(model, topk_support, params, meta, k_pages, v_pages):
@@ -194,13 +198,22 @@ class ServingEngine:
         self.chunked_prefill = (self.cache.tok_per_row == 1
                                 and cfg.head_dim % 128 == 0)
         if self.chunked_prefill:
-            key = ("prefill", prefill_chunk, max_pages_per_seq)
-            self._prefill_chunked = llm._paged_decode_jits.get(key)
-            if self._prefill_chunked is None:
-                self._prefill_chunked = jax.jit(
-                    functools.partial(_prefill_chunk_program, llm.model),
-                    donate_argnums=(8, 9))
-                llm._paged_decode_jits[key] = self._prefill_chunked
+            # two traces: non-final chunks skip the lm_head entirely (a
+            # ~0.5 GB weight read per chunk at 8B whose result would be
+            # discarded). Keyed on the EFFECTIVE chunk so engines built
+            # with different requested sizes share the cap'd program.
+            self._prefill_chunked = {}
+            for with_head in (False, True):
+                key = ("prefill", self.prefill_chunk, max_pages_per_seq,
+                       with_head)
+                fn = llm._paged_decode_jits.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        functools.partial(_prefill_chunk_program, llm.model,
+                                          with_head),
+                        donate_argnums=(8, 9))
+                    llm._paged_decode_jits[key] = fn
+                self._prefill_chunked[with_head] = fn
 
     # -- admission control --------------------------------------------------------
 
@@ -251,9 +264,14 @@ class ServingEngine:
             for layer, (ck, cv) in enumerate(caches):
                 self.cache.write_prompt(layer, seq_id, ck[0, :n], cv[0, :n])
         seen = set(int(t) for t in prompt_ids)
-        vals, ids = jax.lax.top_k(logits, self.topk_support)
+        # ONE packed D2H fetch (CLAUDE.md: two separate fetches cost 2x
+        # the ~26 ms RTT and risk the multi-second pathological path)
+        from ragmeup_tpu.ops.topk import pack_scores_ids, unpack_scores_ids
+        vals_d, ids_d = jax.lax.top_k(logits, self.topk_support)
+        packed = np.asarray(pack_scores_ids(vals_d[None], ids_d[None]))
+        vals2, ids2 = unpack_scores_ids(packed)
         st = _SeqState(
-            n, np.array(vals, np.float32), np.array(ids),
+            n, vals2[0].copy(), ids2[0].copy(),
             jax.random.PRNGKey(seed), seen,
             max_new_tokens, temperature, repetition_penalty)
         st.dev_logits = logits  # stays on device (wave mode)
@@ -292,7 +310,8 @@ class ServingEngine:
             # then gets causal limit c0+j+1; pad rows read garbage that is
             # never emitted (head_at < m)
             length = jnp.asarray([c0 + cs], jnp.int32)
-            logits, new_k, new_v = self._prefill_chunked(
+            final = c0 + cs >= n
+            logits, new_k, new_v = self._prefill_chunked[final](
                 llm.params, jnp.asarray(ids),
                 jnp.asarray(positions)[None, :], page_idx_d, length,
                 jnp.asarray(pages), jnp.asarray(slots), jnp.int32(m - 1),
@@ -441,6 +460,9 @@ class BatchedChatBackend(ChatBackend):
         # D2H fetch PER TOKEN on this tunnel (~12 tok/s at 8B); waves
         # amortize both. 0 keeps the stepwise path (debugging).
         self.wave_steps = wave_steps
+        # cap for the solo-greedy speculative fast path (bounds worker
+        # head-of-line blocking to ~ this many tokens of one generation)
+        self.solo_speculative_max = 256
         self.engine = ServingEngine(llm, **engine_kwargs)
         self._submit: "queue.Queue" = queue.Queue()
         self._next_id = 0
@@ -478,9 +500,20 @@ class BatchedChatBackend(ChatBackend):
                 # SOLO greedy fast path: exactly one request and nothing
                 # in flight -> fused self-speculative decoding (302 vs ~93
                 # tok/s single-stream at 8B; byte-identical greedy tokens).
-                # Requests arriving meanwhile queue and batch as usual.
+                # Bounded at solo_speculative_max tokens: the fused
+                # while_loop is one uninterruptible dispatch, so a request
+                # arriving meanwhile waits that long for its first token
+                # (head-of-line blocking). The request also passes the
+                # same page-pool lifetime check as the engine path, so a
+                # request's accept/reject outcome does not depend on
+                # concurrent load.
                 if not pending and len(waiting) == 1 \
-                        and not waiting[0]["temperature"]:
+                        and not waiting[0]["temperature"] \
+                        and waiting[0]["max_new"] <= self.solo_speculative_max \
+                        and self.engine._lifetime_pages(
+                            len(waiting[0]["prompt_ids"]),
+                            waiting[0]["max_new"]) \
+                        <= self.engine.cache.num_pages - 1:
                     req = waiting.popleft()
                     try:
                         req["tokens"] = self.llm.generate_speculative(
