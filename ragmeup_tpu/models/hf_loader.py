@@ -347,6 +347,91 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
     return params
 
 
+def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
+                              num_layers: int, tie_embeddings: bool,
+                              int4_group: int = 0,
+                              head_bits: int = 0) -> dict:
+    """HF Llama tensors → packed-int4 param tree, quantized ON DEVICE
+    (the int4 sibling of llama_int8_params_from_hf: per-tensor upload in
+    source dtype, group-wise quantize + two-per-byte pack + transpose in
+    a jitted program; results stay on device). Same layout contract as
+    quantize_int4_groupwise/pack_int4; codes within ±1 of the host path
+    on an XLA-rounding tail."""
+    import functools as _ft
+    import jax
+    import jax.numpy as jnp
+    from ragmeup_tpu.ops.quant_matmul import int4_tiling
+
+    t = _strip_prefix(tensors)
+
+    @_ft.partial(jax.jit, static_argnames=("tile_k", "group"))
+    def dev_quant4(w, tile_k: int, group: int):  # torch layout (out, in)
+        out_dim, in_dim = w.shape
+        wf = w.astype(jnp.float32)
+        wg = wf.reshape(out_dim, in_dim // group, group)
+        amax = jnp.abs(wg).max(axis=2, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 7.0
+        q = jnp.clip(jnp.rint(wg / scale), -8, 7).astype(jnp.int32)
+        q = q.reshape(out_dim, in_dim // tile_k, tile_k)
+        lo = q[:, :, :tile_k // 2]
+        hi = q[:, :, tile_k // 2:]
+        packed = ((hi << 4) | (lo & 15)).astype(jnp.int8)
+        packed = packed.reshape(out_dim, in_dim // 2).T      # (in//2, out)
+        gscale = scale[:, :, 0].T                            # (in//group, out)
+        return packed, gscale
+
+    def quant_T(name):
+        w = t[name]
+        in_dim = w.shape[1]
+        tile_k, group = int4_tiling(in_dim)
+        if int4_group:
+            group = min(int4_group, tile_k)
+        p, gs = dev_quant4(jnp.asarray(w), tile_k=tile_k, group=group)
+        return {"kernel_p": p, "gscale": gs}
+
+    params = {
+        "token_embedding": jnp.asarray(t["embed_tokens.weight"],
+                                       jnp.bfloat16),
+        "final_norm": {"scale": t["norm.weight"].astype(np.float32)},
+    }
+    if not tie_embeddings and "lm_head.weight" in tensors:
+        hw = tensors["lm_head.weight"]
+        if head_bits == 8:
+            @jax.jit
+            def dev_quant8(w):
+                wf = w.astype(jnp.float32)
+                amax = jnp.abs(wf).max(axis=1, keepdims=True)
+                scale = jnp.maximum(amax, 1e-8) / 127.0
+                q = jnp.clip(jnp.rint(wf / scale), -127, 127).astype(jnp.int8)
+                return q.T, scale[:, 0]
+            q, s = dev_quant8(jnp.asarray(hw))
+            params["lm_head_q"] = q
+            params["lm_head_scale"] = s
+        else:
+            params["lm_head"] = jnp.asarray(hw, jnp.bfloat16).T
+    for i in range(num_layers):
+        p = f"layers.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": quant_T(p + "self_attn.q_proj.weight"),
+                "k_proj": quant_T(p + "self_attn.k_proj.weight"),
+                "v_proj": quant_T(p + "self_attn.v_proj.weight"),
+                "o_proj": quant_T(p + "self_attn.o_proj.weight"),
+            },
+            "input_norm": {
+                "scale": t[p + "input_layernorm.weight"].astype(np.float32)},
+            "post_attn_norm": {
+                "scale": t[p + "post_attention_layernorm.weight"].astype(
+                    np.float32)},
+            "mlp": {
+                "gate_proj": quant_T(p + "mlp.gate_proj.weight"),
+                "up_proj": quant_T(p + "mlp.up_proj.weight"),
+                "down_proj": quant_T(p + "mlp.down_proj.weight"),
+            },
+        }
+    return params
+
+
 def quantize_decoder_params(params: dict, bits: int = 8,
                             embeddings_bf16: bool = True,
                             head_bits: int = 0,
@@ -429,6 +514,11 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
             # 165 s measured load for a real 16 GB 8B checkpoint
             params = llama_int8_params_from_hf(
                 tensors, cfg.num_layers, cfg.tie_embeddings,
+                head_bits=8 if cfg.head_quantization == "int8" else 0)
+        elif quantization == "int4" and not cfg.fused_projections:
+            params = llama_int4_params_from_hf(
+                tensors, cfg.num_layers, cfg.tie_embeddings,
+                int4_group=cfg.int4_group,
                 head_bits=8 if cfg.head_quantization == "int8" else 0)
         else:
             params = llama_params_from_hf(tensors, cfg.num_layers,

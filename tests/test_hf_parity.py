@@ -236,3 +236,32 @@ def test_direct_int8_loader_matches_generic(tmp_path):
             np.testing.assert_allclose(dv.astype(np.float32),
                                        g.astype(np.float32),
                                        atol=1e-6, err_msg=str(path))
+
+
+def test_direct_int4_loader_matches_generic(tmp_path):
+    """On-device int4 loader vs the host path: identical group scales,
+    unpacked codes within ±1 on the XLA rounding tail, same packed
+    layout contract (kernel consumes both interchangeably)."""
+    from ragmeup_tpu.models.hf_loader import llama_int4_params_from_hf
+    from ragmeup_tpu.ops.quant_matmul import int4_tiling, unpack_int4
+    d, _ = _save_tiny_llama(tmp_path)
+    tensors = load_safetensors(d)
+    cfg = llama_config_from_hf(d)
+
+    generic = quantize_decoder_params(
+        llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings),
+        bits=4)
+    direct = llama_int4_params_from_hf(tensors, cfg.num_layers,
+                                       cfg.tie_embeddings)
+    g = generic["layer_0"]["mlp"]["gate_proj"]
+    dv = direct["layer_0"]["mlp"]["gate_proj"]
+    np.testing.assert_allclose(np.asarray(dv["gscale"]),
+                               np.asarray(g["gscale"]), atol=1e-7)
+    k = np.asarray(g["kernel_p"]).shape[0] * 2
+    tile_k, _ = int4_tiling(k)
+    ug = np.asarray(unpack_int4(jnp.asarray(g["kernel_p"]), tile_k),
+                    np.int16)
+    ud = np.asarray(unpack_int4(jnp.asarray(dv["kernel_p"]), tile_k),
+                    np.int16)
+    diff = np.abs(ug - ud)
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.001
