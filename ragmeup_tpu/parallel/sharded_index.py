@@ -41,13 +41,15 @@ def _merge_sorted(scores: jnp.ndarray, ids: jnp.ndarray, k: int):
 
 
 def sharded_topk(mesh: Mesh, queries: jnp.ndarray, corpus_t: jnp.ndarray,
-                 k: int, mask: Optional[jnp.ndarray] = None
+                 k: int, mask: Optional[jnp.ndarray] = None,
+                 scales: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact global top-k over a corpus sharded on the 'corpus' mesh axis.
 
     queries: (b, d) replicated; corpus_t: (d, N) with N divisible by the
-    corpus axis size; mask: (1, N) additive. Returns (b, k) scores + global
-    indices, identical to the single-device result.
+    corpus axis size; mask: (1, N) additive; scales: (1, N) per-column
+    multipliers (int8 corpora). Returns (b, k) scores + global indices,
+    identical to the single-device result.
     """
     n_shards = mesh.shape["corpus"]
     d, n = corpus_t.shape
@@ -56,12 +58,14 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, corpus_t: jnp.ndarray,
     shard_n = n // n_shards
     if mask is None:
         mask = jnp.zeros((1, n), jnp.float32)
+    if scales is None:
+        scales = jnp.ones((1, n), jnp.float32)
 
-    def per_shard(q, ct, m):
+    def per_shard(q, ct, m, sc):
         # ct: (d, shard_n) local block; global ids = axis_index * shard_n + local
         idx = jax.lax.axis_index("corpus")
         s = jnp.dot(q, ct.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + m
+                    preferred_element_type=jnp.float32) * sc + m
         ls, li = _local_topk(s, min(k, shard_n))
         gi = li + idx * shard_n
         # allgather (score, id) pairs over the corpus axis: the ONE collective
@@ -74,9 +78,10 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, corpus_t: jnp.ndarray,
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P(None, "corpus"), P(None, "corpus")),
+        in_specs=(P(), P(None, "corpus"), P(None, "corpus"),
+                  P(None, "corpus")),
         out_specs=(P(), P()), check_vma=False)
-    return fn(jnp.asarray(queries, jnp.float32), corpus_t, mask)
+    return fn(jnp.asarray(queries, jnp.float32), corpus_t, mask, scales)
 
 
 class ShardedDenseIndex:
@@ -92,9 +97,9 @@ class ShardedDenseIndex:
 
     def __init__(self, mesh: Mesh, dim: int, tile_n: int = 1024,
                  normalize: bool = True, dtype: str = "bfloat16"):
-        if dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"sharded dense dtype must be float32/bfloat16, "
-                             f"got {dtype}")
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"sharded dense dtype must be "
+                             f"float32/bfloat16/int8, got {dtype}")
         self.mesh = mesh
         self.dim = dim
         self.tile_n = tile_n
@@ -106,7 +111,9 @@ class ShardedDenseIndex:
         self._host: List[np.ndarray] = []  # f16 mirror: save/compact/MMR
         self._corpus_t: Optional[jnp.ndarray] = None
         self._mask: Optional[jnp.ndarray] = None
-        self._jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+        self._scales: Optional[jnp.ndarray] = None  # (1, cap) f32, int8 only
+        self._jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                        "int8": jnp.int8}[dtype]
 
     @property
     def _shards(self) -> int:
@@ -138,6 +145,9 @@ class ShardedDenseIndex:
             self._mask = jax.device_put(
                 np.full((1, new_cap), NEG_INF, np.float32),
                 self._mask_sharding())
+            if self.dtype == "int8":
+                self._scales = jax.device_put(
+                    np.ones((1, new_cap), np.float32), self._mask_sharding())
         else:
             # growth is rare (amortized doubling); re-place once
             old = np.asarray(self._corpus_t)
@@ -148,6 +158,10 @@ class ShardedDenseIndex:
             mk[:, :self.capacity] = old_mask
             self._corpus_t = jax.device_put(buf, self._sharding())
             self._mask = jax.device_put(mk, self._mask_sharding())
+            if self.dtype == "int8":
+                sc = np.ones((1, new_cap), np.float32)
+                sc[:, :self.capacity] = np.asarray(self._scales)
+                self._scales = jax.device_put(sc, self._mask_sharding())
         self.capacity = new_cap
 
     def add(self, vectors: np.ndarray) -> List[int]:
@@ -163,7 +177,19 @@ class ShardedDenseIndex:
         self._grow(self.n + m)
         start = self.n
         self._host.append(v.astype(np.float16))
-        vals = jax.device_put(np.asarray(v.T, self._jdtype), self._replicated())
+        if self.dtype == "int8":
+            # same per-vector symmetric quantizer as the single-chip index
+            # (exactness between modes depends on it)
+            from ragmeup_tpu.ops.topk import quantize_int8
+            q8, scale = quantize_int8(jnp.asarray(v), axis=1)  # (m,d),(m,1)
+            vals = jax.device_put(np.asarray(q8).T, self._replicated())
+            self._scales = _write_mask(
+                self._scales,
+                jax.device_put(np.asarray(scale).T, self._replicated()),
+                start)
+        else:
+            vals = jax.device_put(np.asarray(v.T, self._jdtype),
+                                  self._replicated())
         self._corpus_t = _write_cols(self._corpus_t, vals, start)
         self._mask = _write_mask(
             self._mask,
@@ -213,8 +239,22 @@ class ShardedDenseIndex:
         if self.normalize:
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         kk = min(fetch_k if search_type == "mmr" else k, self.n)
-        s, i = sharded_topk(self.mesh, jnp.asarray(q), self._corpus_t, kk,
-                            mask=self._mask)
+        if self.dtype == "int8":
+            # match the single-chip W8A8 scoring exactly: quantize the
+            # query per row; the int8xint8 dot is integer-exact in f32
+            # (|sum| < 2^24 for d <= 1024), and the per-query scale applies
+            # after the merge (it cannot change that query's ranking)
+            from ragmeup_tpu.ops.topk import quantize_int8
+            q_i8, q_scale = quantize_int8(jnp.asarray(q), axis=1)
+            s, i = sharded_topk(self.mesh, q_i8.astype(jnp.float32),
+                                self._corpus_t, kk, mask=self._mask,
+                                scales=self._scales)
+            # apply validity BEFORE the per-query scale: a tiny q_scale
+            # would shrink the NEG_INF dead-row sentinel past the filter
+            s = jnp.where(s > NEG_INF / 2, s * q_scale, NEG_INF)
+        else:
+            s, i = sharded_topk(self.mesh, jnp.asarray(q), self._corpus_t,
+                                kk, mask=self._mask, scales=self._scales)
         s = np.asarray(s)
         i = np.asarray(i)
         results: List[List[Tuple[int, float]]] = []
@@ -253,8 +293,7 @@ class ShardedDenseIndex:
             meta = json.load(f)
         vecs = np.load(os.path.join(directory, "vectors.npy"))
         idx = cls(mesh, meta["dim"], tile_n=meta.get("tile_n", 1024),
-                  normalize=False,
-                  dtype=meta["dtype"] if meta["dtype"] != "int8" else "bfloat16")
+                  normalize=False, dtype=meta["dtype"])
         if len(vecs):
             idx.add(vecs.astype(np.float32))
         idx.normalize = bool(meta.get("normalize", True))
@@ -330,8 +369,9 @@ from ragmeup_tpu.ops.topk import pack_scores_ids, unpack_scores_ids
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "k", "nq", "cap", "has_head", "has_tail", "w_sparse", "w_dense",
     "rrf_c", "mmr", "fetch_k", "mmr_lambda"))
-def _sharded_hybrid(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
-                    qid_cat, smask, *, mesh: Mesh, k: int, nq: int, cap: int,
+def _sharded_hybrid(qv, corpus_t, dscales, dmask, qsel, head, docs_cat,
+                    con_cat, qid_cat, smask, *, mesh: Mesh, k: int, nq: int,
+                    cap: int,
                     has_head: bool, has_tail: bool, w_sparse: float,
                     w_dense: float, rrf_c: int, mmr: bool, fetch_k: int,
                     mmr_lambda: float):
@@ -347,11 +387,11 @@ def _sharded_hybrid(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
     shard_cap = cap // n_shards
     kd = fetch_k if mmr else k
 
-    def per_shard(q, ct, dm, qsel_l, head_l, docs_l, con_l, qid_l, sm):
+    def per_shard(q, ct, dsc, dm, qsel_l, head_l, docs_l, con_l, qid_l, sm):
         idx = jax.lax.axis_index("corpus")
-        # dense
+        # dense (dsc: per-column int8 scales; ones for float corpora)
         s = jnp.dot(q, ct.astype(jnp.float32),
-                    preferred_element_type=jnp.float32) + dm
+                    preferred_element_type=jnp.float32) * dsc + dm
         ls, li = jax.lax.top_k(s, min(kd, shard_n))
         gi = li + idx * shard_n
         all_s = jax.lax.all_gather(ls, "corpus", axis=0)
@@ -385,11 +425,12 @@ def _sharded_hybrid(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P(None, "corpus"), P(None, "corpus"), P(),
-                  P(None, "corpus"), P(), P(), P(), P("corpus")),
+        in_specs=(P(), P(None, "corpus"), P(None, "corpus"),
+                  P(None, "corpus"), P(), P(None, "corpus"), P(), P(), P(),
+                  P("corpus")),
         out_specs=(P(), P(), P(), P()), check_vma=False)
-    ds, di, ss, si = fn(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
-                        qid_cat, smask)
+    ds, di, ss, si = fn(qv, corpus_t, dscales, dmask, qsel, head, docs_cat,
+                        con_cat, qid_cat, smask)
     valid = ds > NEG_INF / 2
     di = jnp.where(valid, di, -1)
     if mmr:
@@ -398,6 +439,7 @@ def _sharded_hybrid(qv, corpus_t, dmask, qsel, head, docs_cat, con_cat,
         # cross-shard candidate gather: the one extra collective MMR costs
         cand = jnp.take(corpus_t, safe, axis=1)          # (d, nq, kd)
         cand = jnp.moveaxis(cand, 0, -1).astype(jnp.float32)
+        cand = cand * jnp.take(dscales[0], safe)[..., None]
         order = jax.vmap(
             lambda qq, cc, vv: mmr_select_device(qq, cc, vv, k, mmr_lambda)
         )(qv, cand, valid)
@@ -443,8 +485,10 @@ def sharded_hybrid_search(mesh: Mesh, dense: "ShardedDenseIndex", sparse,
         return [[(r, 1.0 / (rank + 1 + rrf_c) * weights[1])
                  for rank, (r, _) in enumerate(d_hits[i])]
                 for i in range(nq)]
+    dscales = dense._scales if dense._scales is not None else \
+        jnp.ones((1, dense._corpus_t.shape[1]), jnp.float32)
     packed = _sharded_hybrid(
-        jnp.asarray(q), dense._corpus_t, dense._mask,
+        jnp.asarray(q), dense._corpus_t, dscales, dense._mask,
         jnp.asarray(inputs["qsel"]), inputs["dev"]["head"],
         jnp.asarray(inputs["docs_cat"]), jnp.asarray(inputs["con_cat"]),
         jnp.asarray(inputs["qid_cat"]), inputs["dev"]["mask"],

@@ -151,9 +151,8 @@ class RagSystem:
         r = self.cfg.retrieval
         if self._corpus_sharded:
             from ragmeup_tpu.parallel.sharded_index import ShardedDenseIndex
-            dtype = r.dense_dtype if r.dense_dtype != "int8" else "bfloat16"
             return ShardedDenseIndex(self.mesh, self.cfg.model.embedding_dim,
-                                     dtype=dtype)
+                                     dtype=r.dense_dtype)
         return DenseIndex(self.cfg.model.embedding_dim, dtype=r.dense_dtype)
 
     def _load_dense(self, idx_dir: str):
