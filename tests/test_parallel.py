@@ -724,3 +724,51 @@ def test_sharded_int8_dead_rows_stay_dead(rng):
     hits = idx.search(_corpus(rng, 1, d), k=10)[0]
     rows = [r for r, _ in hits]
     assert len(rows) == 6 and all(r >= 10 for r in rows), rows
+
+
+def test_mesh_backed_ragsystem_int8(tmp_path):
+    """corpus_axis=4 with dense_dtype=int8 through the PRODUCT: sharded
+    hybrid retrieval (incl. the scales in the one-dispatch program)
+    matches the single-chip int8 system."""
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+    from ragmeup_tpu.pipeline.system import RagSystem
+    from ragmeup_tpu.retrieval.sparse import analyze
+
+    def hash_embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(
+            np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    class Enc:
+        encode = staticmethod(hash_embed)
+
+    data = tmp_path / "docs"
+    data.mkdir()
+    for i in range(12):
+        (data / f"d{i}.txt").write_text(
+            f"w{i} w{i+1} special{i} theme{i % 3} shared corpus")
+
+    def mk(tag, corpus_axis):
+        cfg = RagConfig()
+        cfg.data.data_directory = str(data)
+        cfg.data.index_directory = str(tmp_path / f"i_{tag}")
+        cfg.model.embedding_dim = 64
+        cfg.retrieval.dense_dtype = "int8"
+        cfg.retrieval.rerank = False
+        cfg.pipeline.use_provenance = False
+        cfg.pipeline.use_rewrite_loop = False
+        cfg.parallel.corpus_axis = corpus_axis
+        return RagSystem(cfg, encoder=Enc(),
+                         backend=StaticChatBackend(default="a."))
+
+    single = mk("s", 1)
+    sharded = mk("m", 4)
+    assert sharded.dense._corpus_t.dtype == jnp.int8
+    for q in ("special7 shared", "w3 theme1", "corpus w10"):
+        a = single.retriever.retrieve_rows(q, k=5)
+        b = sharded.retriever.retrieve_rows(q, k=5)
+        assert [r for r, _ in a] == [r for r, _ in b], q
