@@ -266,6 +266,14 @@ class RetrievalConfig:
     # RRF constant used by the ensemble fusion (LangChain EnsembleRetriever
     # semantics, RAGHelper.py:501-503).
     rrf_c: int = 60
+    # Dense ANN engine: "exact" (fused brute-force, the default — beats HNSW
+    # at equal memory, BENCH_NOTES) or "ivf" (cluster-pruned, the
+    # single-query-latency lever for very large corpora; SURVEY.md §7 hard
+    # part #2). IVF trades a measured recall@10 drop for scoring only
+    # nprobe·C_pad rows per query.
+    ann: str = "exact"
+    ivf_nprobe: int = 8
+    ivf_clusters: int = 0  # 0 = auto (sqrt of corpus size)
 
 
 @dataclass
@@ -427,6 +435,10 @@ _ENV_KEYMAP = {
     "parallel_data_axis": ("parallel", "data_axis", int),
     "parallel_corpus_axis": ("parallel", "corpus_axis", int),
     "parallel_model_axis": ("parallel", "model_axis", int),
+    # dense ANN engine selection (retrieval/ivf.py)
+    "retrieval_ann": ("retrieval", "ann", str),
+    "retrieval_ivf_nprobe": ("retrieval", "ivf_nprobe", int),
+    "retrieval_ivf_clusters": ("retrieval", "ivf_clusters", int),
 }
 
 _PROMPT_ENV_KEYS = {

@@ -218,11 +218,12 @@ class RagSystem:
             reranker=self.cross_encoder if r.rerank else None,
             rerank_k=r.rerank_k,
             re2_prompt=self.cfg.prompts.re2_prompt if self.cfg.pipeline.use_re2 else None,
-            # the sharded hybrid program expects a ShardedDenseIndex (it
-            # scores _corpus_t WITHOUT int8 scales); a TP-only mesh
-            # (model_axis > 1, corpus_axis == 1) keeps plain single-chip
-            # indexes and must not take that path (round-2 review)
-            mesh=self.mesh if self._corpus_sharded else None)
+            # the sharded hybrid program expects a ShardedDenseIndex; a
+            # TP-only mesh (model_axis > 1, corpus_axis == 1) keeps plain
+            # single-chip indexes and must not take that path (round-2
+            # review)
+            mesh=self.mesh if self._corpus_sharded else None,
+            ann=r.ann, ivf_nprobe=r.ivf_nprobe, ivf_clusters=r.ivf_clusters)
         self.pipeline = RAGPipeline(
             self.cfg, self.retriever, self.backend,
             cross_encoder=self.cross_encoder, encoder=self.encoder,

@@ -187,11 +187,35 @@ class DenseIndex:
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         np.save(os.path.join(directory, "vectors.npy"), self.host_vectors())
+        if self.dtype == "int8" and self.n:
+            # persist the EXACT device codes + scales: reload must be
+            # bit-identical, and re-quantizing the f16 host mirror is not
+            # (f16 rounding flips near-tie ranks — round-3 exactness fix)
+            np.save(os.path.join(directory, "codes_int8.npy"),
+                    np.asarray(self._corpus_t[:, :self.n]).T)
+            np.save(os.path.join(directory, "scales.npy"),
+                    np.asarray(self._scales[0, :self.n]))
         meta = {"dim": self.dim, "dtype": self.dtype, "tile_n": self.tile_n,
                 "normalize": self.normalize, "n": self.n,
                 "dead": sorted(self.dead)}
         with open(os.path.join(directory, "dense_meta.json"), "w") as f:
             json.dump(meta, f)
+
+    def _install_int8(self, host_vecs: np.ndarray, codes: np.ndarray,
+                      scales: np.ndarray) -> None:
+        """Install exact (n, d) int8 codes + (n,) scales (artifact reload)."""
+        m = codes.shape[0]
+        if m == 0:
+            return
+        self._grow(m)
+        self._host.append(np.asarray(host_vecs, np.float16))
+        self._corpus_t = _write_cols(
+            self._corpus_t, jnp.asarray(codes.T, jnp.int8), 0)
+        self._scales = _write_mask(
+            self._scales, jnp.asarray(scales[None, :], jnp.float32), 0)
+        self._mask = _write_mask(
+            self._mask, jnp.zeros((1, m), jnp.float32), 0)
+        self.n = m
 
     @classmethod
     def load(cls, directory: str) -> "DenseIndex":
@@ -199,7 +223,11 @@ class DenseIndex:
             meta = json.load(f)
         idx = cls(meta["dim"], meta["dtype"], meta["tile_n"], normalize=False)
         vecs = np.load(os.path.join(directory, "vectors.npy"))
-        if len(vecs):
+        codes_path = os.path.join(directory, "codes_int8.npy")
+        if meta["dtype"] == "int8" and os.path.exists(codes_path):
+            idx._install_int8(vecs, np.load(codes_path),
+                              np.load(os.path.join(directory, "scales.npy")))
+        elif len(vecs):
             idx.add(vecs.astype(np.float32))
         idx.normalize = meta["normalize"]
         idx.delete_rows(meta.get("dead", []))

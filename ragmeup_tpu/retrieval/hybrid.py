@@ -29,7 +29,9 @@ class HybridRetriever:
                  rrf_c: int = 60, search_type: str = "mmr",
                  mmr_fetch_k: int = 20, mmr_lambda: float = 0.5,
                  reranker=None, rerank_k: int = 3,
-                 re2_prompt: Optional[str] = None, mesh=None):
+                 re2_prompt: Optional[str] = None, mesh=None,
+                 ann: str = "exact", ivf_nprobe: int = 8,
+                 ivf_clusters: int = 0):
         self.store = store
         self.dense = dense
         self.sparse = sparse
@@ -47,6 +49,23 @@ class HybridRetriever:
         # 'corpus' axis and retrieval runs the sharded one-dispatch program
         # (SURVEY.md §2.4; round-1 verdict #3 — one knob, identical top-k)
         self.mesh = mesh
+        # ann="ivf": cluster-pruned dense search (retrieval/ivf.py) — the
+        # single-query-latency lever for very large corpora (SURVEY.md §7
+        # hard part #2). The IVF view refreshes lazily on corpus mutation;
+        # fusion falls back to host RRF (the dense side no longer rides the
+        # fused one-dispatch program — that trade is the point: score
+        # nprobe·C_pad rows instead of the full corpus).
+        if ann not in ("exact", "ivf"):
+            raise ValueError(f"retrieval.ann must be exact|ivf, got {ann!r}")
+        self.ann = ann
+        self._ivf_view = None
+        if ann == "ivf":
+            if mesh is not None:
+                raise ValueError("ann='ivf' is single-chip; use the sharded "
+                                 "exact path when corpus_axis > 1")
+            from ragmeup_tpu.retrieval.ivf import IVFDenseView
+            self._ivf_view = IVFDenseView(dense, nprobe=ivf_nprobe,
+                                          n_clusters=ivf_clusters)
 
     # -- stages -----------------------------------------------------------------
 
@@ -60,6 +79,15 @@ class HybridRetriever:
         in one program, one packed fetch)."""
         k = k or self.k
         qv = np.asarray(self.embed_query_fn([query]))
+        if self._ivf_view is not None:
+            d_hits = self._ivf_view.search(
+                qv, k, search_type=self.search_type,
+                fetch_k=self.mmr_fetch_k, mmr_lambda=self.mmr_lambda)[0]
+            s_hits = (self.sparse.search([query], k,
+                                         re2_prompt=self.re2_prompt)[0]
+                      if self.sparse.live_count else [])
+            return rrf_fuse([[r for r, _ in s_hits], [r for r, _ in d_hits]],
+                            weights=self.weights, c=self.rrf_c, k=k)
         if self.mesh is not None:
             from ragmeup_tpu.parallel.sharded_index import sharded_hybrid_search
             return sharded_hybrid_search(

@@ -147,3 +147,67 @@ class IVFIndex:
         return (self.buckets.size * self.buckets.dtype.itemsize
                 + self.centroids.size * self.centroids.dtype.itemsize
                 + self.row_ids.size * 4 + self.valid.size)
+
+
+class IVFDenseView:
+    """Lazily-refreshed IVF view over a mutable ``DenseIndex``.
+
+    Wires IVF into the product (config ``retrieval.ann="ivf"``): the
+    DenseIndex stays the system of record (CRUD, persistence, row ids);
+    this view rebuilds its cluster layout from the index's host mirror
+    whenever the corpus changes (add/delete), and serves dense search with
+    the same (row, score) contract as ``DenseIndex.search`` — including
+    MMR over the top-``fetch_k`` candidates. Positions map back to global
+    row ids via the live-row table, so hybrid fusion and the ChunkStore
+    see identical ids to the exact path.
+    """
+
+    def __init__(self, dense, nprobe: int = 8, n_clusters: int = 0,
+                 seed: int = 0):
+        self.dense = dense
+        self.nprobe = nprobe
+        self.n_clusters = n_clusters or None
+        self.seed = seed
+        self._ivf: Optional[IVFIndex] = None
+        self._rows = np.zeros(0, np.int64)
+        self._stamp = None
+
+    def _refresh(self) -> None:
+        stamp = (self.dense.n, len(self.dense.dead))
+        if self._ivf is not None and stamp == self._stamp:
+            return
+        host = self.dense.host_vectors()
+        live = [r for r in range(self.dense.n) if r not in self.dense.dead]
+        self._rows = np.asarray(live, np.int64)
+        ivf = IVFIndex(n_clusters=self.n_clusters,
+                       normalize=self.dense.normalize, seed=self.seed)
+        if live:
+            ivf.fit(host[live].astype(np.float32))
+        self._ivf = ivf
+        self._stamp = stamp
+
+    def search(self, queries: np.ndarray, k: int,
+               search_type: str = "similarity", fetch_k: int = 20,
+               mmr_lambda: float = 0.5) -> List[List[Tuple[int, float]]]:
+        self._refresh()
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self._rows.size == 0:
+            return [[] for _ in range(q.shape[0])]
+        kk = fetch_k if search_type == "mmr" else k
+        hits = self._ivf.search(q, min(kk, self._rows.size),
+                                nprobe=self.nprobe)
+        if search_type == "mmr":
+            from ragmeup_tpu.ops.fusion import mmr_select
+            host = self.dense.host_vectors()
+            if self.dense.normalize:
+                q = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        out: List[List[Tuple[int, float]]] = []
+        for i, h in enumerate(hits):
+            live = [(int(self._rows[p]), float(s)) for p, s in h]
+            if search_type == "mmr" and live:
+                cand = host[[r for r, _ in live]].astype(np.float32)
+                chosen = mmr_select(q[i], cand, k, mmr_lambda)
+                live = [live[c] for c in chosen]
+            out.append(live[:k])
+        return out

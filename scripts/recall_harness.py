@@ -80,6 +80,50 @@ def main():
                           k, tile_n=tile)
     results["f32"] = {"recall": recall(i_f32), "bytes_per_vec": 4 * d}
 
+    # IVF cluster pruning (retrieval.ann="ivf"): recall-vs-latency tradeoff
+    # at several nprobe settings (round-2 verdict #9 — config-reachable +
+    # measured tradeoff). Latency is slope-timed (fetch-synced N vs 4N).
+    import time
+
+    from ragmeup_tpu.retrieval.ivf import IVFIndex
+    ivf = IVFIndex(iters=10)
+    ivf.fit(corpus, dtype=jnp.bfloat16)
+    n_clusters = int(ivf.centroids.shape[0])
+
+    def timed(fn, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        float(out[0][0][1]) if out and out[0] else None  # fetch-sync
+        return time.perf_counter() - t0
+
+    results["ivf"] = {"n_clusters": n_clusters, "bytes_per_vec": 2 * d,
+                      "nprobe": {}}
+    for nprobe in (4, 8, 16, 32):
+        if nprobe > n_clusters:
+            continue
+        got = ivf.search(q, k, nprobe=nprobe)
+        rec = float(np.mean([
+            len({r for r, _ in got[i]} & oracle[i]) / k for i in range(bq)]))
+        fn = lambda: ivf.search(q[:1], k, nprobe=nprobe)
+        fn()  # compile
+        t1, t2 = timed(fn, 5), timed(fn, 20)
+        lat_ms = (t2 - t1) / 15 * 1000
+        results["ivf"]["nprobe"][nprobe] = {
+            "recall": rec, "query_ms_slope": round(lat_ms, 3)}
+    # exact single-query latency for comparison (same slope method)
+    corpus_bf16 = jnp.asarray(corpus.T, jnp.bfloat16)
+    q1 = jnp.asarray(q[:1])
+
+    def exact_once():
+        s, i = dense_topk(q1, corpus_bf16, k, tile_n=tile)
+        return [[(int(np.asarray(i)[0, 0]), float(np.asarray(s)[0, 0]))]]
+
+    exact_once()  # compile
+    t1 = timed(exact_once, 5)
+    t2 = timed(exact_once, 20)
+    results["exact_query_ms_slope"] = round((t2 - t1) / 15 * 1000, 3)
+
     hnsw_bytes = 4 * d + 8 * args.hnsw_m  # f32 rows + graph links
     report = {
         "corpus": n, "dim": d, "k": k,
@@ -87,7 +131,8 @@ def main():
                             "typical_recall_band": [0.95, 0.99]},
         "tpu_paths": results,
         "memory_vs_hnsw": {name: round(hnsw_bytes / r["bytes_per_vec"], 2)
-                           for name, r in results.items()},
+                           for name, r in results.items()
+                           if isinstance(r, dict) and "bytes_per_vec" in r},
     }
     print(json.dumps(report, indent=2))
 

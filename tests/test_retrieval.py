@@ -724,3 +724,67 @@ def test_bm25_negative_idf_epsilon_floor():
     for i, e in enumerate(expected):
         if e > 0:
             assert abs(by_row[i] - e) < 1e-4, (i, by_row.get(i), e)
+
+
+def test_ivf_view_product_knob(tmp_path, rng):
+    """retrieval.ann='ivf' through RagSystem: the IVF view serves dense
+    search with global row ids, refreshes on add/delete, and with full
+    probing matches the exact engine's dense ranks."""
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.pipeline.llm_backends import StaticChatBackend
+    from ragmeup_tpu.pipeline.system import RagSystem
+    from ragmeup_tpu.retrieval.sparse import analyze
+
+    def hash_embed(texts, d=64):
+        out = np.zeros((len(texts), d), np.float32)
+        for i, t in enumerate(texts):
+            for tok in analyze(t):
+                out[i, hash(tok) % d] += 1.0
+        return out / np.maximum(
+            np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    class Enc:
+        encode = staticmethod(hash_embed)
+
+    data = tmp_path / "docs"
+    data.mkdir()
+    for i in range(24):
+        (data / f"d{i}.txt").write_text(
+            f"token{i} token{i+1} blob{i % 4} shared words")
+
+    def mk(tag, ann, nprobe=64):
+        cfg = RagConfig()
+        cfg.data.data_directory = str(data)
+        cfg.data.index_directory = str(tmp_path / f"idx_{tag}")
+        cfg.model.embedding_dim = 64
+        cfg.retrieval.ann = ann
+        cfg.retrieval.ivf_nprobe = nprobe
+        cfg.retrieval.ivf_clusters = 4
+        cfg.retrieval.rerank = False
+        cfg.retrieval.search_type = "similarity"
+        cfg.pipeline.use_provenance = False
+        cfg.pipeline.use_rewrite_loop = False
+        return RagSystem(cfg, encoder=Enc(),
+                         backend=StaticChatBackend(default="a."))
+
+    exact = mk("e", "exact")
+    ivf = mk("i", "ivf")  # nprobe=64 > n_clusters → full probe → exact
+    for q in ("token3 shared", "blob2 words", "token11 blob3"):
+        a = exact.retriever.retrieve_rows(q, k=5)
+        b = ivf.retriever.retrieve_rows(q, k=5)
+        assert [r for r, _ in a] == [r for r, _ in b], q
+    # mutation refresh: add a doc, exact and ivf agree on the new content
+    newdoc = data / "new.txt"
+    newdoc.write_text("zebra quagga unique tokens appear here")
+    exact.add_document(str(newdoc))
+    ivf.add_document(str(newdoc))
+    a = exact.retriever.retrieve_rows("zebra quagga unique", k=3)
+    b = ivf.retriever.retrieve_rows("zebra quagga unique", k=3)
+    assert [r for r, _ in a] == [r for r, _ in b]
+    assert len(b) > 0
+
+
+def test_ivf_view_bad_ann_value():
+    from ragmeup_tpu.retrieval.hybrid import HybridRetriever
+    with pytest.raises(ValueError):
+        HybridRetriever(None, None, None, embed_query_fn=None, ann="hnsw")
