@@ -326,6 +326,7 @@ class EvalConfig:
     contextual_relevancy_threshold: float = 0.7
     hallucination_threshold: float = 0.5
     correctness_threshold: float = 0.5
+    tool_correctness_threshold: float = 0.5
 
 
 @dataclass
@@ -426,6 +427,7 @@ _ENV_KEYMAP = {
     "deepeval_contextual_relevancy_threshold": ("eval", "contextual_relevancy_threshold", float),
     "deepeval_hallucination_threshold": ("eval", "hallucination_threshold", float),
     "deepeval_correctness_threshold": ("eval", "correctness_threshold", float),
+    "deepeval_tool_correctness_threshold": ("eval", "tool_correctness_threshold", float),
     "deepeval_qa_pairs": ("eval", "qa_pairs", int),
     "ragas_sample_size": ("eval", "sample_size", int),
     "ragas_qa_pairs": ("eval", "qa_pairs", int),

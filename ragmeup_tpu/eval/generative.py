@@ -53,6 +53,19 @@ def generate_qa_pairs(system, sample_size: int, qa_count: int,
     return pairs
 
 
+
+def _expected_tools(system) -> list:
+    """Expected tool set for a fresh eval question on this system's config:
+    retrieval always (no history -> must fetch, RAGHelper_local.py:219-226);
+    provenance iff enabled; the graph retriever iff one is wired."""
+    expected = ["retriever"]
+    if system.cfg.pipeline.use_provenance:
+        expected.append("provenance")
+    if getattr(system, "extra_retrievers", None):
+        expected.append("graph_retriever")
+    return expected
+
+
 def evaluate_pairs(system, pairs: List[Dict],
                    disable_rewrite: bool = True) -> Dict:
     """Run the real pipeline per question and score (the reference's
@@ -82,6 +95,12 @@ def evaluate_pairs(system, pairs: List[Dict],
                 "long_distance_information_extraction":
                     M.long_distance_information_extraction(
                         enc, pair["question"], out["reply"], contexts),
+                # the 7th stock metric (DeepEval_eval.py:43-51): a fresh
+                # eval question must fetch documents; provenance/graph are
+                # expected iff configured on this system
+                "tool_correctness": M.tool_correctness(
+                    M.tools_called_from_response(out),
+                    _expected_tools(system)),
             }
             passed = {
                 "answer_relevancy": scores["answer_relevancy"] >= th.answer_relevancy_threshold,
@@ -94,6 +113,8 @@ def evaluate_pairs(system, pairs: List[Dict],
                     scores["counterfactual_error_handling"] >= th.correctness_threshold,
                 "long_distance_information_extraction":
                     scores["long_distance_information_extraction"] >= th.correctness_threshold,
+                "tool_correctness":
+                    scores["tool_correctness"] >= th.tool_correctness_threshold,
             }
             results.append({"question": pair["question"],
                             "answer": out["reply"],

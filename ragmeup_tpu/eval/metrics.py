@@ -253,3 +253,48 @@ def long_distance_information_extraction(encoder, question: str, answer: str,
     support = _rescale((s @ c.T).max(axis=0), encoder)  # best per ctx
     used = (support >= support_threshold) & relevant
     return float(used.sum() / relevant.sum())
+
+
+# ---------------------------------------------------------------------------
+# Tool correctness (reference DeepEval_eval.py:43-51 — the 7th stock metric)
+# ---------------------------------------------------------------------------
+
+def tools_called_from_response(response: dict) -> list:
+    """Derive which pipeline 'tools' a /chat response actually invoked.
+
+    In this framework the LLM's tools are the pipeline stages the RAG loop
+    can choose to run (the graph retriever is the clearest analogue of a
+    DeepEval tool call): `retriever` when new documents were fetched,
+    `rewriter` when the rewrite loop fired, `graph_retriever` when graph
+    documents are present (source == "graph_db",
+    RAGHelper_cloud.py:424-513), `provenance` when attribution scores were
+    attached."""
+    tools = []
+    if response.get("fetched_new_documents"):
+        tools.append("retriever")
+    if response.get("rewritten"):
+        tools.append("rewriter")
+    docs = response.get("documents") or []
+    if any(d.get("s") == "graph_db" for d in docs):
+        tools.append("graph_retriever")
+    if any("provenance" in d for d in docs):
+        tools.append("provenance")
+    return tools
+
+
+def tool_correctness(tools_called: Sequence[str],
+                     expected_tools: Sequence[str],
+                     strict: bool = False) -> float:
+    """DeepEval ToolCorrectnessMetric semantics: the fraction of expected
+    tools that were actually called — |called ∩ expected| / |expected|,
+    1.0 when nothing was expected. ``strict`` additionally requires that
+    no UNexpected tool ran (exact-match mode)."""
+    expected = set(expected_tools)
+    called = set(tools_called)
+    if not expected:
+        score = 1.0
+    else:
+        score = len(called & expected) / len(expected)
+    if strict and called - expected:
+        score = 0.0
+    return float(score)

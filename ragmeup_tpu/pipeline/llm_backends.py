@@ -200,30 +200,88 @@ class CloudChatBackend(ChatBackend):
                                           "http://localhost:11434"))
         raise ValueError("no cloud provider enabled in config")
 
+    # transient statuses worth retrying (rate limit + upstream hiccups)
+    _RETRY_STATUSES = (429, 500, 502, 503)
+    _MAX_ATTEMPTS = 3
+
+    def _post_json(self, url: str, body: dict, headers: Optional[dict] = None):
+        """POST with bounded retry on transient statuses, honoring
+        Retry-After. Raises requests.HTTPError (with the provider's error
+        body attached) on a non-retryable or exhausted failure."""
+        import time
+
+        import requests
+        last = None
+        for attempt in range(self._MAX_ATTEMPTS):
+            r = requests.post(url, headers=headers, json=body,
+                              timeout=self.timeout)
+            if r.status_code < 400:
+                return r.json()
+            last = r
+            if r.status_code not in self._RETRY_STATUSES or \
+                    attempt == self._MAX_ATTEMPTS - 1:
+                break
+            delay = r.headers.get("Retry-After")
+            time.sleep(min(float(delay) if delay else 0.5 * 2 ** attempt, 30))
+        last.raise_for_status()
+
     def chat(self, messages: List[Message], max_new_tokens: int = 1000,
              temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
-        import requests
-        if self.provider in ("openai", "azure"):
+        if self.provider == "openai":
             url = (self.base_url or "https://api.openai.com/v1") + "/chat/completions"
             headers = {"Authorization": f"Bearer {self.api_key}",
                        "Content-Type": "application/json"}
             body = {"model": self.model_name, "messages": messages,
                     "max_tokens": max_new_tokens, "temperature": temperature}
-            r = requests.post(url, headers=headers, json=body, timeout=self.timeout)
-            r.raise_for_status()
-            return r.json()["choices"][0]["message"]["content"]
+            out = self._post_json(url, body, headers)
+            return out["choices"][0]["message"]["content"]
+        if self.provider == "azure":
+            # Azure OpenAI wire format (what the reference's AzureChatOpenAI
+            # speaks, RAGHelper_cloud.py:77-83): api-key header — NOT
+            # Bearer — and the deployments URL with an api-version query.
+            api_version = os.getenv("AZURE_OPENAI_API_VERSION", "2024-02-01")
+            url = (f"{(self.base_url or '').rstrip('/')}/openai/deployments/"
+                   f"{self.model_name}/chat/completions"
+                   f"?api-version={api_version}")
+            headers = {"api-key": self.api_key or "",
+                       "Content-Type": "application/json"}
+            body = {"messages": messages, "max_tokens": max_new_tokens,
+                    "temperature": temperature}
+            out = self._post_json(url, body, headers)
+            return out["choices"][0]["message"]["content"]
         if self.provider == "gemini":
-            url = (f"https://generativelanguage.googleapis.com/v1beta/models/"
-                   f"{self.model_name}:generateContent?key={self.api_key}")
-            contents = [{"role": "user" if m["role"] != "assistant" else "model",
-                         "parts": [{"text": m["content"]}]} for m in messages]
-            r = requests.post(url, json={"contents": contents}, timeout=self.timeout)
-            r.raise_for_status()
-            return r.json()["candidates"][0]["content"]["parts"][0]["text"]
+            base = (self.base_url
+                    or "https://generativelanguage.googleapis.com")
+            url = (f"{base.rstrip('/')}/v1beta/models/"
+                   f"{self.model_name}:generateContent")
+            # role mapping per the generateContent contract: only
+            # user/model are valid in `contents`; system prompts ride
+            # `systemInstruction` (LangChain's convert_system_message)
+            contents = []
+            system_parts = []
+            for m in messages:
+                if m["role"] == "system":
+                    system_parts.append({"text": m["content"]})
+                else:
+                    contents.append(
+                        {"role": "model" if m["role"] == "assistant"
+                         else "user",
+                         "parts": [{"text": m["content"]}]})
+            body = {"contents": contents,
+                    "generationConfig": {
+                        "maxOutputTokens": max_new_tokens,
+                        "temperature": temperature}}
+            if system_parts:
+                body["systemInstruction"] = {"parts": system_parts}
+            out = self._post_json(url, body,
+                                  {"x-goog-api-key": self.api_key or "",
+                                   "Content-Type": "application/json"})
+            return out["candidates"][0]["content"]["parts"][0]["text"]
         # ollama
         url = (self.base_url or "http://localhost:11434") + "/api/chat"
-        r = requests.post(url, json={"model": self.model_name,
-                                     "messages": messages, "stream": False},
-                          timeout=self.timeout)
-        r.raise_for_status()
-        return r.json()["message"]["content"]
+        out = self._post_json(url, {
+            "model": self.model_name, "messages": messages, "stream": False,
+            "options": {"temperature": temperature,
+                        "num_predict": max_new_tokens,
+                        "repeat_penalty": repetition_penalty}})
+        return out["message"]["content"]

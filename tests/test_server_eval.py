@@ -352,3 +352,25 @@ def test_metric_calibration_floor():
                               "quarterly bond yields fell in tokyo trading")
     assert diff < 0.45, f"unrelated pair should score near 0, got {diff}"
     assert same > diff
+
+
+def test_tool_correctness_semantics():
+    """DeepEval ToolCorrectnessMetric parity (DeepEval_eval.py:43-51):
+    fraction of expected tools called; strict mode penalizes extras."""
+    tc = M.tool_correctness
+    assert tc(["retriever"], ["retriever"]) == 1.0
+    assert tc([], ["retriever"]) == 0.0
+    assert tc(["retriever"], ["retriever", "provenance"]) == 0.5
+    assert tc(["retriever", "rewriter"], ["retriever"]) == 1.0
+    assert tc(["retriever", "rewriter"], ["retriever"], strict=True) == 0.0
+    assert tc([], []) == 1.0
+
+
+def test_tools_called_from_response():
+    resp = {"fetched_new_documents": True, "rewritten": True,
+            "documents": [
+                {"s": "a.txt", "c": "x", "provenance": 0.5},
+                {"s": "graph_db", "c": "row"}]}
+    tools = M.tools_called_from_response(resp)
+    assert tools == ["retriever", "rewriter", "graph_retriever", "provenance"]
+    assert M.tools_called_from_response({"reply": "hi"}) == []
