@@ -215,6 +215,10 @@ class ModelConfig:
     use_azure: bool = False
     use_ollama: bool = False
     ollama_model: str = "llama3.1"
+    # Context ceiling for the local LLM. 0 = checkpoint's window capped
+    # at 32768 (bounds the dense generate-path KV cache); any explicit
+    # value caps at min(checkpoint, value).
+    llm_max_seq_len: int = 0
     # Local checkpoint paths (safetensors); None → deterministic random init.
     llm_checkpoint: Optional[str] = None
     embedding_checkpoint: Optional[str] = None
@@ -356,6 +360,10 @@ class ServerConfig:
     # tokens decoded per device dispatch in the batched backend (waves
     # keep the sampling carry device-resident; 0 = stepwise debug path)
     llm_wave_steps: int = 8
+    # speculative waves: per-row 2-gram drafts verified in-batch; greedy
+    # requests emit up to this many tokens per forward, byte-identical.
+    # 0 disables (plain waves).
+    llm_spec_draft: int = 8
 
 
 @dataclass
@@ -406,7 +414,10 @@ _ENV_KEYMAP = {
     "rerank_k": ("retrieval", "rerank_k", int),
     "rerank_model": ("retrieval", "rerank_model", str),
     "llm_head_quantization": ("model", "head_quantization", str),
+    "llm_max_seq_len": ("model", "llm_max_seq_len", int),
+    "batched_llm": ("server", "batched_llm", _parse_bool),
     "llm_wave_steps": ("server", "llm_wave_steps", int),
+    "llm_spec_draft": ("server", "llm_spec_draft", int),
     "max_document_limit": ("retrieval", "max_document_limit", int),
     "temperature": ("generation", "temperature", float),
     "repetition_penalty": ("generation", "repetition_penalty", float),

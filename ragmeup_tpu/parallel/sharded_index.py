@@ -226,12 +226,22 @@ class ShardedDenseIndex:
     def compact(self, mapping) -> None:
         host = self.host_vectors()
         keep = [i for i, mp in enumerate(mapping) if mp >= 0]
+        codes = scales = None
+        if self.dtype == "int8" and self._corpus_t is not None and keep:
+            # keep the EXACT codes+scales across a compact: re-quantizing
+            # the f16 mirror perturbs near-tie ranks (round-3 exactness
+            # pass), and skipping the per-row quantizer makes compact one
+            # gather + one upload instead of an O(N) re-add
+            codes = np.asarray(self._corpus_t[:, :self.n]).T[keep]
+            scales = np.asarray(self._scales[0, :self.n])[keep]
         vecs = host[keep].astype(np.float32)
         mesh = self.mesh
         want_norm = self.normalize
         self.__init__(mesh, self.dim, self.tile_n, normalize=False,
                       dtype=self.dtype)
-        if len(vecs):
+        if codes is not None:
+            self._install_int8(host[keep], codes, scales)
+        elif len(vecs):
             self.add(vecs)
         # restore the index's own mode: stored vectors were already
         # normalized on first add iff it was on (round-2 review: this used

@@ -52,6 +52,28 @@ def _prefill_chunk_program(model, with_head, params, ids, positions,
     return logits, new_k, new_v
 
 
+def _prefill_chunk_batched_program(model, with_head, params, ids,
+                                   positions, page_idx, lengths, pages,
+                                   slots, head_at, k_pages, v_pages):
+    """One BATCHED chunked-prefill dispatch: the same chunk for b prompts
+    at once — K/V scattered by the batched writer (paged_update_chunk),
+    chunk attention batched over rows (round-2 verdict #7: concurrent
+    arrivals used to serialize their 280-589 ms prefills). ids/positions/
+    pages/slots are (b, cs); head_at is PER-ROW (each row's last real
+    token offset within this chunk; rows not ending here read a dummy).
+    with_head runs the lm_head only for chunks where >= 1 row ends."""
+    out = model.apply({"params": params}, ids,
+                      positions=positions,
+                      paged_caches=list(zip(k_pages, v_pages)),
+                      paged_meta=(page_idx, lengths, pages, slots),
+                      head_at=head_at if with_head else None,
+                      skip_head=not with_head)
+    new_k = [kp for kp, _ in out["paged_caches"]]
+    new_v = [vp for _, vp in out["paged_caches"]]
+    logits = out["logits"][:, 0] if with_head else None
+    return logits, new_k, new_v
+
+
 def _decode_program(model, topk_support, params, meta, k_pages, v_pages):
     """One batched paged decode step. meta: one packed (B, mp+5) int32
     array — a single host->device transfer per step (each extra device_put
@@ -127,14 +149,142 @@ def _wave_program(model, params, logits0, key0, seen0, done0, emitted0, pos0,
     return out, logits, key, seen, done, emitted, pos, k_p, v_p
 
 
+def _wave_spec_program(model, params, logits0, key0, seen0, done0, emitted0,
+                       pos0, ctx0, temps, rps, max_new, page_idx, trash_page,
+                       eos_arr, k_pages, v_pages, *, iters: int, draft: int,
+                       page_size: int, limit: int):
+    """Speculative wave: `iters` batched CHUNK forwards of width `draft`
+    per dispatch. Each iteration samples every row's next token from the
+    carried logits (exact _wave_program semantics), then — for greedy rows
+    — appends a 2-gram prompt-lookup draft from the row's device-resident
+    context and verifies the whole chunk in ONE forward (decode is weight-
+    bound: a d-wide chunk costs about one token). Accepted drafts emit in
+    the same iteration, so a greedy row advances up to `draft` tokens per
+    forward while temperature rows advance exactly one — concurrent greedy
+    requests keep the speculative win instead of losing it the moment a
+    second request arrives (round-2 verdict weak #3 / next #1).
+
+    Greedy rows are byte-identical to the plain wave/engine stream: a
+    draft token is only emitted when it EQUALS the penalized argmax at its
+    position (solo _generate_spec acceptance, batched).
+
+    ctx0 (B, T): per-row confirmed tokens (prompt + generated) — the draft
+    source, updated on device. Page/slot for every written token computes
+    on device from page_idx (host pre-extends page allocations).
+
+    Returns (out (B, iters*draft) emitted tokens / -1 holes, pos_after,
+    done, carry...) — pos/done ride the fetch so the host learns each
+    row's variable advance without a second round-trip."""
+    B, V = logits0.shape
+    T = ctx0.shape[1]
+    d = draft
+    rows = jnp.arange(B)
+    out0 = jnp.full((B, iters * d), -1, jnp.int32)
+
+    def body(it, carry):
+        (logits, key, seen, done, emitted, pos, ctx, out, k_p, v_p) = carry
+        # -- sample the pending token (exact _wave_program semantics) --
+        penal = jnp.where(logits > 0, logits / rps[:, None],
+                          logits * rps[:, None])
+        lg = jnp.where(seen & (rps != 1.0)[:, None], penal, logits)
+        key, sub = jax.random.split(key)
+        sampled = jax.random.categorical(
+            sub, lg / jnp.maximum(temps, 1e-6)[:, None])
+        t0 = jnp.where(temps > 0, sampled,
+                       jnp.argmax(lg, axis=1)).astype(jnp.int32)
+        is_eos0 = jnp.any(t0[:, None] == eos_arr[None, :], axis=1)
+        live = (~done) & (~is_eos0) & (emitted < max_new)             & (pos + 1 < limit)
+        # -- 2-gram draft from the device-resident context (greedy only) --
+        t1 = ctx[rows, jnp.maximum(pos - 1, 0)]
+        j = jnp.arange(T - 1)
+        match = ((ctx[:, :-1] == t1[:, None]) & (ctx[:, 1:] == t0[:, None])
+                 & (j[None, :] <= (pos - d - 1)[:, None]))
+        m = jnp.max(jnp.where(match, j[None, :], -1), axis=1)
+        have = (m >= 0) & (temps == 0) & live
+        start = jnp.clip(m + 2, 0, T - d)
+        cont = jax.vmap(
+            lambda row, st: jax.lax.dynamic_slice(row, (st,), (d - 1,))
+        )(ctx, start)
+        idxs = start[:, None] + jnp.arange(d - 1)[None, :]
+        cont = jnp.where(have[:, None] & (idxs < pos[:, None]), cont, 0)
+        chunk = jnp.concatenate([t0[:, None], cont], axis=1)      # (B, d)
+        chunk = jnp.where(live[:, None], chunk, 0)
+        # -- chunk forward: device-computed page/slot per token --
+        positions = jnp.clip(pos[:, None] + jnp.arange(d)[None, :],
+                             0, limit - 1)
+        in_range = (pos[:, None] + jnp.arange(d)[None, :]) < limit
+        w_ok = live[:, None] & in_range
+        pg = jnp.take_along_axis(page_idx, positions // page_size, axis=1)
+        w_pages = jnp.where(w_ok, pg, trash_page)
+        w_slots = jnp.where(w_ok, positions % page_size, 0)
+        lengths = jnp.where(live, pos + d, d)
+        mout = model.apply(
+            {"params": params}, chunk, positions=positions,
+            paged_caches=list(zip(k_p, v_p)),
+            paged_meta=(page_idx, lengths, w_pages, w_slots))
+        k_p = [kp for kp, _ in mout["paged_caches"]]
+        v_p = [vp for _, vp in mout["paged_caches"]]
+        logits_all = mout["logits"]                               # (B, d, V)
+        # -- batched greedy-with-penalty verify (solo _generate_spec) --
+        pen_all = jnp.where(logits_all > 0, logits_all / rps[:, None, None],
+                            logits_all * rps[:, None, None])
+        oh = jax.nn.one_hot(cont, V, dtype=jnp.int32)             # (B,d-1,V)
+        grew = jnp.cumsum(oh, axis=1) > 0
+        seen_rows = jnp.concatenate(
+            [jnp.zeros((B, 1, V), bool), grew], axis=1) | seen[:, None, :]
+        lg_all = jnp.where(seen_rows & (rps != 1.0)[:, None, None],
+                           pen_all, logits_all)
+        greedy = jnp.argmax(lg_all, axis=-1).astype(jnp.int32)    # (B, d)
+        acc = jnp.cumprod(
+            (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32), axis=1)
+        a = jnp.where(have, jnp.sum(acc, axis=1), 0)              # (B,)
+        # -- emission: t0 + accepted drafts, bounded by eos/max_new/pages --
+        step_i = jnp.arange(d)[None, :]
+        chk_eos = jnp.any(chunk[:, :, None] == eos_arr[None, None, :],
+                          axis=2)
+        fe = jnp.min(jnp.where(chk_eos, step_i, d), axis=1)       # (B,)
+        room = jnp.minimum(max_new - emitted, limit - 1 - pos)
+        n_emit = jnp.minimum(jnp.minimum(1 + a, fe), room)
+        n_emit = jnp.where(live, n_emit, 0)
+        hit_eos = is_eos0 | (fe <= a)
+        for i in range(d):
+            ok = i < n_emit
+            out = out.at[:, it * d + i].set(
+                jnp.where(ok, chunk[:, i], -1))
+            widx = jnp.clip(pos + i, 0, T - 1)
+            ctx = ctx.at[rows, widx].set(
+                jnp.where(ok, chunk[:, i], ctx[rows, widx]))
+            seen = seen.at[rows, chunk[:, i]].set(
+                seen[rows, chunk[:, i]] | ok)
+        emitted = emitted + n_emit
+        pos = pos + n_emit
+        done = done | (live & hit_eos) | is_eos0 | (emitted >= max_new)             | (pos + 1 >= limit) | (~live & ~done)
+        # next distribution = after the LAST emitted chunk token
+        nl_row = jnp.maximum(n_emit - 1, 0)
+        new_logits = logits_all[rows, nl_row]
+        logits = jnp.where((n_emit > 0)[:, None], new_logits, logits)
+        return (logits, key, seen, done, emitted, pos, ctx, out, k_p, v_p)
+
+    carry = (logits0, key0, seen0, done0, emitted0, pos0, ctx0, out0,
+             list(k_pages), list(v_pages))
+    carry = jax.lax.fori_loop(0, iters, body, carry)
+    (logits, key, seen, done, emitted, pos, ctx, out, k_p, v_p) = carry
+    # ONE packed host fetch: [tokens | pos | done] — separate fetches cost
+    # a ~26 ms round-trip each on this tunnel
+    packed = jnp.concatenate(
+        [out, pos[:, None], done.astype(jnp.int32)[:, None]], axis=1)
+    return (packed, logits, key, seen, done, emitted, pos, ctx, k_p, v_p)
+
+
 class _SeqState:
     __slots__ = ("prompt_len", "pos", "out", "vals", "ids", "key", "seen",
                  "max_new", "temperature", "rep_penalty", "done",
-                 "dev_logits", "reserved_pages")
+                 "dev_logits", "reserved_pages", "prompt_ids")
 
     def __init__(self, prompt_len, vals, ids, key, seen, max_new,
                  temperature, rep_penalty):
         self.prompt_len = prompt_len
+        self.prompt_ids: List[int] = []
         self.pos = prompt_len
         self.out: List[int] = []
         self.vals = vals  # top-K logit values
@@ -195,8 +345,10 @@ class ServingEngine:
         while pow2 * 2 <= vmem_cap:
             pow2 *= 2
         self.prefill_chunk = min(prefill_chunk, pow2)
-        self.chunked_prefill = (self.cache.tok_per_row == 1
-                                and cfg.head_dim % 128 == 0)
+        # one-token-per-row layouts qualify: hd % 128 == 0 natively, and
+        # hd=96-class pools (store_hd padded to 128) — only the PACKED
+        # c-tokens-per-row layout is excluded (chunk rows would collide)
+        self.chunked_prefill = self.cache.tok_per_row == 1
         if self.chunked_prefill:
             # two traces: non-final chunks skip the lm_head entirely (a
             # ~0.5 GB weight read per chunk at 8B whose result would be
@@ -225,13 +377,16 @@ class ServingEngine:
         toks = min(n + max_new, self.max_pages_per_seq * self.page_size)
         return -(-toks // self.page_size)
 
-    def can_admit(self, n_prompt: int, max_new: int) -> bool:
+    def can_admit(self, n_prompt: int, max_new: int,
+                  extra_reserved: int = 0) -> bool:
         """True if the page pool can cover this request's FULL lifetime on
         top of every active sequence's outstanding reservation — admitting
         only under this invariant means a mid-decode ``extend`` can never
-        hit MemoryError and kill the serving worker."""
+        hit MemoryError and kill the serving worker. ``extra_reserved``
+        accounts for requests already collected into the same admission
+        group but not yet allocated."""
         need = self._lifetime_pages(n_prompt, max_new)
-        outstanding = 0
+        outstanding = extra_reserved
         for sid, st in self.seqs.items():
             if st.done:
                 continue
@@ -249,7 +404,13 @@ class ServingEngine:
         if seq_id in self.seqs:
             raise ValueError(f"duplicate seq_id {seq_id}")
         llm = self.llm
-        max_prompt = self.max_pages_per_seq * self.page_size - max_new_tokens
+        # cap by BOTH the page budget and the model's context window (the
+        # dense-prefill bucket clamps at max_seq_len — a page pool larger
+        # than the window used to overflow the padded prompt buffer)
+        max_prompt = min(
+            self.max_pages_per_seq * self.page_size - max_new_tokens,
+            llm.cfg.max_seq_len
+            - min(max_new_tokens, llm.cfg.max_seq_len // 2))
         prompt_ids = list(prompt_ids)[-max(max_prompt, 8):]
         n = len(prompt_ids)
         if self.chunked_prefill:
@@ -274,6 +435,7 @@ class ServingEngine:
             n, vals2[0].copy(), ids2[0].copy(),
             jax.random.PRNGKey(seed), seen,
             max_new_tokens, temperature, repetition_penalty)
+        st.prompt_ids = list(prompt_ids)  # spec-wave draft context
         st.dev_logits = logits  # stays on device (wave mode)
         st.reserved_pages = self._lifetime_pages(n, max_new_tokens)
         self.seqs[seq_id] = st
@@ -320,6 +482,127 @@ class ServingEngine:
             self.cache.v_pages = list(new_v)
         return logits
 
+    def add_requests(self, reqs: List[dict]) -> None:
+        """Admit SEVERAL requests at once. With chunked prefill available,
+        all prompts prefill TOGETHER chunk-by-chunk (one dispatch per chunk
+        for the whole group instead of one prefill pipeline per request) —
+        TTFT for n concurrent arrivals ≈ the longest solo TTFT, not the
+        sum (round-2 verdict #7). Falls back to sequential add_request
+        when batching can't apply. Each req dict: {id, prompt_ids,
+        max_new, temperature, rp, seed?}."""
+        if len(reqs) > 1 and self.chunked_prefill:
+            self._add_requests_batched(reqs)
+            return
+        for r in reqs:
+            self.add_request(r["id"], r["prompt_ids"],
+                             max_new_tokens=r["max_new"],
+                             temperature=r["temperature"],
+                             repetition_penalty=r["rp"],
+                             seed=r.get("seed", 0))
+
+    def _add_requests_batched(self, reqs: List[dict]) -> None:
+        ps = self.page_size
+        mpp = self.max_pages_per_seq
+        items = []
+        try:
+            msl = self.llm.cfg.max_seq_len
+            for r in reqs:
+                if r["id"] in self.seqs:
+                    raise ValueError("duplicate seq_id %s" % r["id"])
+                max_prompt = min(mpp * ps - r["max_new"],
+                                 msl - min(r["max_new"], msl // 2))
+                pids = list(r["prompt_ids"])[-max(max_prompt, 8):]
+                self.cache.allocate(r["id"], len(pids))
+                items.append((r, pids))
+        except Exception:
+            for r, _ in items:  # release the group's partial allocations
+                self.cache.free(r["id"])
+            raise
+        try:
+            self._run_batched_prefill(items)
+        except Exception:
+            for r, _ in items:
+                self.cache.free(r["id"])
+                self.seqs.pop(r["id"], None)
+            raise
+
+    def _run_batched_prefill(self, items) -> None:
+        from ragmeup_tpu.ops.topk import pack_scores_ids, unpack_scores_ids
+        llm = self.llm
+        ps = self.page_size
+        cs = self.prefill_chunk
+        mpp = self.max_pages_per_seq
+        b = len(items)
+        pad_page = self.cache.seq_pages["__pad__"][0]
+        max_pos = llm.cfg.max_seq_len - 1
+        max_n = max(len(p) for _, p in items)
+        page_idx = np.zeros((b, mpp), np.int32)
+        page_idx[:, 0] = pad_page
+        for i, (r, pids) in enumerate(items):
+            plist = self.cache.seq_pages[r["id"]]
+            page_idx[i, :len(plist)] = plist
+        page_idx_d = jnp.asarray(page_idx)
+        jits = getattr(llm, "_batched_prefill_jits", None)
+        if jits is None:
+            jits = llm._batched_prefill_jits = {}
+        logits_rows = [None] * b
+        for c0 in range(0, max_n, cs):
+            ids = np.zeros((b, cs), np.int32)
+            positions = np.tile(np.clip(np.arange(c0, c0 + cs), 0, max_pos),
+                                (b, 1)).astype(np.int32)
+            pages = np.full((b, cs), pad_page, np.int32)
+            slots = np.tile(np.arange(cs, dtype=np.int32) % ps, (b, 1))
+            lengths = np.full(b, cs, np.int32)
+            head_at = np.zeros(b, np.int32)
+            ends_here = []
+            for i, (r, pids) in enumerate(items):
+                m = min(len(pids) - c0, cs)
+                if m <= 0:
+                    continue
+                ids[i, :m] = pids[c0:c0 + m]
+                plist = self.cache.seq_pages[r["id"]]
+                for j in range(m):
+                    pos = c0 + j
+                    pages[i, j] = plist[pos // ps]
+                    slots[i, j] = pos % ps
+                lengths[i] = c0 + cs
+                if c0 + m >= len(pids):
+                    head_at[i] = m - 1
+                    ends_here.append(i)
+            with_head = bool(ends_here)
+            key = ("batched_prefill", self.prefill_chunk, b, with_head)
+            fn = jits.get(key)
+            if fn is None:
+                fn = jax.jit(
+                    functools.partial(_prefill_chunk_batched_program,
+                                      llm.model, with_head),
+                    donate_argnums=(8, 9))
+                jits[key] = fn
+            logits, new_k, new_v = fn(
+                llm.params, jnp.asarray(ids), jnp.asarray(positions),
+                page_idx_d, jnp.asarray(lengths), jnp.asarray(pages),
+                jnp.asarray(slots), jnp.asarray(head_at),
+                self.cache.k_pages, self.cache.v_pages)
+            self.cache.k_pages = list(new_k)
+            self.cache.v_pages = list(new_v)
+            for i in ends_here:
+                logits_rows[i] = logits[i]
+        # one packed fetch for ALL rows' top-K supports
+        vals_d, ids_d = jax.lax.top_k(jnp.stack(logits_rows),
+                                      self.topk_support)
+        packed = np.asarray(pack_scores_ids(vals_d, ids_d))
+        vals2, ids2 = unpack_scores_ids(packed)
+        for i, (r, pids) in enumerate(items):
+            st = _SeqState(
+                len(pids), vals2[i].copy(), ids2[i].copy(),
+                jax.random.PRNGKey(r.get("seed", 0)),
+                set(int(t) for t in pids),
+                r["max_new"], r["temperature"], r["rp"])
+            st.prompt_ids = list(pids)
+            st.dev_logits = logits_rows[i]
+            st.reserved_pages = self._lifetime_pages(len(pids), r["max_new"])
+            self.seqs[r["id"]] = st
+
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""
         if st.vals is None:
@@ -352,6 +635,12 @@ class ServingEngine:
                 if old_sid in self.seqs:
                     self.seqs[old_sid].dev_logits = prev["logits"][j]
         self._wave_state = None
+        sprev = getattr(self, "_spec_state", None)
+        if sprev is not None:
+            for j, old_sid in enumerate(sprev["sig"][0]):
+                if old_sid in self.seqs:
+                    self.seqs[old_sid].dev_logits = sprev["logits"][j]
+        self._spec_state = None
 
     def step(self) -> int:
         """Sample one token for every active sequence, run one batched paged
@@ -450,7 +739,7 @@ class BatchedChatBackend(ChatBackend):
 
     def __init__(self, llm, template=llama3_template,
                  assistant_token=None, seed: int = 0, wave_steps: int = 8,
-                 **engine_kwargs):
+                 spec_draft: int = 8, **engine_kwargs):
         self.llm = llm
         self.template = template
         self.assistant_token = assistant_token
@@ -460,9 +749,13 @@ class BatchedChatBackend(ChatBackend):
         # D2H fetch PER TOKEN on this tunnel (~12 tok/s at 8B); waves
         # amortize both. 0 keeps the stepwise path (debugging).
         self.wave_steps = wave_steps
-        # cap for the solo-greedy speculative fast path (bounds worker
-        # head-of-line blocking to ~ this many tokens of one generation)
-        self.solo_speculative_max = 256
+        # >0: speculative waves (per-row 2-gram drafts verified in-batch —
+        # _wave_spec_program). Greedy rows emit up to spec_draft tokens
+        # per forward with byte-identical output; replaces the old
+        # solo-only speculative fast path, so concurrent greedy requests
+        # keep the win and the 256-token solo cap (and its head-of-line
+        # blocking) is gone (round-2 verdict #1). 0 disables.
+        self.spec_draft = spec_draft
         self.engine = ServingEngine(llm, **engine_kwargs)
         self._submit: "queue.Queue" = queue.Queue()
         self._next_id = 0
@@ -497,34 +790,12 @@ class BatchedChatBackend(ChatBackend):
                         block = False
                 except queue.Empty:
                     pass
-                # SOLO greedy fast path: exactly one request and nothing
-                # in flight -> fused self-speculative decoding (302 vs ~93
-                # tok/s single-stream at 8B; byte-identical greedy tokens).
-                # Bounded at solo_speculative_max tokens: the fused
-                # while_loop is one uninterruptible dispatch, so a request
-                # arriving meanwhile waits that long for its first token
-                # (head-of-line blocking). The request also passes the
-                # same page-pool lifetime check as the engine path, so a
-                # request's accept/reject outcome does not depend on
-                # concurrent load.
-                if not pending and len(waiting) == 1 \
-                        and not waiting[0]["temperature"] \
-                        and waiting[0]["max_new"] <= self.solo_speculative_max \
-                        and self.engine._lifetime_pages(
-                            len(waiting[0]["prompt_ids"]),
-                            waiting[0]["max_new"]) \
-                        <= self.engine.cache.num_pages - 1:
-                    req = waiting.popleft()
-                    try:
-                        req["tokens"] = self.llm.generate_speculative(
-                            req["prompt_ids"],
-                            max_new_tokens=req["max_new"],
-                            repetition_penalty=req["rp"])
-                        req["event"].set()
-                    except Exception as exc:
-                        self._fail(req, exc)
-                    continue
-                # admission: FIFO while the pool covers the full lifetime
+                # admission: FIFO while the pool covers the full lifetime.
+                # Admissible requests are collected into ONE group whose
+                # prompts prefill TOGETHER chunk-by-chunk (batched chunked
+                # prefill — round-2 verdict #7: n concurrent arrivals used
+                # to serialize their prefills).
+                group, group_pages = [], 0
                 while waiting:
                     req = waiting[0]
                     n = len(req["prompt_ids"])
@@ -535,24 +806,36 @@ class BatchedChatBackend(ChatBackend):
                             f"request needs {need} KV pages; pool has "
                             f"{self.engine.cache.num_pages - 1}"))
                         continue
-                    if not self.engine.can_admit(n, req["max_new"]):
+                    if not self.engine.can_admit(n, req["max_new"],
+                                                 extra_reserved=group_pages):
                         break  # wait for active sequences to retire
                     waiting.popleft()
+                    group.append(req)
+                    group_pages += need
+                if group:
                     try:
-                        self.engine.add_request(
-                            req["id"], req["prompt_ids"],
-                            max_new_tokens=req["max_new"],
-                            temperature=req["temperature"],
-                            repetition_penalty=req["rp"], seed=self.seed)
-                        pending[req["id"]] = req
+                        self.engine.add_requests([
+                            {"id": r["id"], "prompt_ids": r["prompt_ids"],
+                             "max_new": r["max_new"],
+                             "temperature": r["temperature"], "rp": r["rp"],
+                             "seed": self.seed}
+                            for r in group])
+                        for r in group:
+                            pending[r["id"]] = r
                     except Exception as exc:  # prefill/alloc failure
-                        self.engine.cache.free(req["id"])
-                        self.engine.seqs.pop(req["id"], None)
-                        self._fail(req, exc)
+                        for r in group:
+                            self.engine.cache.free(r["id"])
+                            self.engine.seqs.pop(r["id"], None)
+                            self._fail(r, exc)
                 if not pending:
                     continue
                 try:
-                    if self.wave_steps > 0:
+                    if self.wave_steps > 0 and self.spec_draft > 0 \
+                            and self.engine.spec_supported:
+                        self.engine.spec_wave_once(
+                            iters=self.wave_steps, draft=self.spec_draft,
+                            seed=self.seed)
+                    elif self.wave_steps > 0:
                         self.engine.wave_once(steps=self.wave_steps,
                                               seed=self.seed)
                     else:
@@ -849,3 +1132,147 @@ ServingEngine.wave_once = _WaveMixin.wave_once
 ServingEngine._wave_dispatch = _WaveMixin._wave_dispatch
 ServingEngine._wave_collect = _WaveMixin._wave_collect
 ServingEngine.run_wave = _WaveMixin.run_wave
+
+
+class _SpecWaveMixin:
+    """Speculative wave decoding for ServingEngine (_wave_spec_program).
+
+    Each dispatch runs `iters` chunk forwards of width `draft`; greedy
+    rows emit up to `draft` tokens per forward via 2-gram prompt-lookup
+    drafts verified in-batch, temperature rows decode one per forward.
+    Not pipelined: a row's advance per wave is data-dependent (accepted
+    draft counts), so the next wave's page tables need this wave's
+    positions — the packed fetch carries them back."""
+
+    @property
+    def spec_supported(self) -> bool:
+        """Batched chunk writes need the one-token-per-row page layout."""
+        return self.cache.tok_per_row == 1
+
+    def spec_wave_once(self, iters: int = 4, draft: int = 8,
+                       seed: int = 0) -> int:
+        if not self.spec_supported:
+            return self.wave_once(steps=iters, seed=seed)
+        active = [(sid, st) for sid, st in self.seqs.items()
+                  if not st.done][:self.max_batch]
+        if not active:
+            return 0
+        llm = self.llm
+        limit = self.max_pages_per_seq * self.page_size
+        ps = self.page_size
+        key_tup = (iters, draft, ps, limit)
+        jits = getattr(llm, "_spec_wave_jits", None)
+        if jits is None:
+            jits = llm._spec_wave_jits = {}
+        fn = jits.get(key_tup)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(_wave_spec_program, llm.model),
+                static_argnames=("iters", "draft", "page_size", "limit"),
+                donate_argnums=(1, 3, 4, 5, 6, 7, 14, 15))
+            jits[key_tup] = fn
+        B = _next_pow2_int(len(active))
+        V = llm.cfg.vocab_size
+        T = limit
+        trash = self.cache.seq_pages["__pad__"][0]
+        mpp = self.max_pages_per_seq
+        sig = (tuple(sid for sid, _ in active), B, iters, draft)
+        prev = getattr(self, "_spec_state", None)
+
+        # pre-extend page allocations to cover the wave's max advance,
+        # then build the page-index table from the grown lists
+        page_idx = np.zeros((B, mpp), np.int32)
+        page_idx[:, 0] = trash
+        for i, (sid, st) in enumerate(active):
+            room = min(iters * draft, limit - 1 - int(st.pos),
+                       st.max_new - len(st.out))
+            if room > 0:
+                self.cache.extend(sid, room)
+                self.cache.seq_len[sid] = int(st.pos)  # truth stays host
+            plist = self.cache.seq_pages[sid]
+            page_idx[i, :len(plist)] = plist
+
+        if prev is not None and prev["sig"] == sig:
+            logits, seen, done, emitted, pos, ctx = (
+                prev["logits"], prev["seen"], prev["done"], prev["emitted"],
+                prev["pos"], prev["ctx"])
+            temps_d, rps_d, max_new_d = (prev["temps"], prev["rps"],
+                                         prev["max_new"])
+        else:
+            self._flush_wave_state()
+            logits = jnp.zeros((B, V), jnp.float32)
+            seen = np.zeros((B, V), bool)
+            ctx_h = np.full((B, T), -1, np.int32)
+            pos = np.zeros(B, np.int32)
+            emitted = np.zeros(B, np.int32)
+            done = np.ones(B, bool)
+            temps = np.zeros(B, np.float32)
+            rps = np.ones(B, np.float32)
+            max_new = np.zeros(B, np.int32)
+            for i, (sid, st) in enumerate(active):
+                if st.dev_logits is None:
+                    full = np.full(V, -1e30, np.float32)
+                    full[np.asarray(st.ids)] = st.vals
+                    logits = logits.at[i].set(jnp.asarray(full))
+                else:
+                    logits = logits.at[i].set(st.dev_logits)
+                if st.seen:
+                    seen[i, np.fromiter(st.seen, dtype=np.int64)] = True
+                confirmed = (list(st.prompt_ids) + list(st.out))[:T]
+                ctx_h[i, :len(confirmed)] = confirmed
+                pos[i] = st.pos
+                emitted[i] = len(st.out)
+                done[i] = False
+                temps[i] = st.temperature
+                rps[i] = st.rep_penalty
+                max_new[i] = st.max_new
+            seen = jnp.asarray(seen)
+            done = jnp.asarray(done)
+            emitted = jnp.asarray(emitted)
+            pos = jnp.asarray(pos)
+            ctx = jnp.asarray(ctx_h)
+            temps_d = jnp.asarray(temps)
+            rps_d = jnp.asarray(rps)
+            max_new_d = jnp.asarray(max_new)
+        if not hasattr(self, "_eos_dev"):
+            self._eos_dev = jnp.asarray(
+                sorted(self.llm.eos_ids) or [-1], jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), self._wave_counter)
+        self._wave_counter += 1
+        (packed, logits, _key, seen, done_d, emitted, pos_d, ctx,
+         k_p, v_p) = fn(
+            llm.params, logits, key, seen, done, emitted, pos, ctx,
+            temps_d, rps_d, max_new_d, jnp.asarray(page_idx),
+            jnp.int32(trash), self._eos_dev,
+            self.cache.k_pages, self.cache.v_pages,
+            iters=iters, draft=draft, page_size=ps, limit=limit)
+        self.cache.k_pages = list(k_p)
+        self.cache.v_pages = list(v_p)
+        self._spec_state = {"sig": sig, "logits": logits, "seen": seen,
+                            "done": done_d, "emitted": emitted, "pos": pos_d,
+                            "ctx": ctx, "temps": temps_d, "rps": rps_d,
+                            "max_new": max_new_d}
+        host = np.asarray(packed)  # ONE fetch: [tokens | pos | done]
+        for i, (sid, st) in enumerate(active):
+            row = [int(t) for t in host[i, :iters * draft] if t >= 0]
+            st.out.extend(row)
+            st.seen.update(row)
+            st.pos = int(host[i, iters * draft])
+            if sid in self.seqs:
+                self.cache.seq_len[sid] = st.pos
+            st.vals = None
+            st.dev_logits = None  # carried in _spec_state until flushed
+            if host[i, iters * draft + 1]:
+                st.done = True
+        return sum(1 for _, st in self.seqs.items() if not st.done)
+
+    def run_spec(self, iters: int = 4, draft: int = 8, seed: int = 0
+                 ) -> Dict[object, List[int]]:
+        while self.spec_wave_once(iters=iters, draft=draft, seed=seed) > 0:
+            pass
+        return self.results()
+
+
+ServingEngine.spec_supported = _SpecWaveMixin.spec_supported
+ServingEngine.spec_wave_once = _SpecWaveMixin.spec_wave_once
+ServingEngine.run_spec = _SpecWaveMixin.run_spec

@@ -90,7 +90,8 @@ class RagSystem:
                         quantization=cfg.model.quantization,
                         head_quantization=cfg.model.head_quantization,
                         mesh=(self.mesh
-                              if cfg.parallel.model_axis > 1 else None))
+                              if cfg.parallel.model_axis > 1 else None),
+                        max_seq_len=cfg.model.llm_max_seq_len)
                 # prompt assembly uses the checkpoint's own chat template
                 # when it ships one (tokenizer.apply_chat_template parity,
                 # RAGHelper_local.py:246-249); generic Llama-3-style otherwise
@@ -102,6 +103,7 @@ class RagSystem:
                         self.llm, template=template,
                         assistant_token=cfg.model.llm_assistant_token,
                         wave_steps=cfg.server.llm_wave_steps,
+                        spec_draft=cfg.server.llm_spec_draft,
                         num_pages=cfg.server.kv_pages,
                         page_size=cfg.server.kv_page_size)
                 else:

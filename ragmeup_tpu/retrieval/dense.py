@@ -131,12 +131,20 @@ class DenseIndex:
 
     def compact(self, mapping: Sequence[int]) -> None:
         """Rebuild densely given old→new row mapping (-1 = dropped), as
-        produced by ChunkStore.compact()."""
+        produced by ChunkStore.compact(). int8 indexes keep their EXACT
+        codes+scales (re-quantizing the f16 mirror would perturb near-tie
+        ranks across a compact — same reason the artifact persists codes)."""
         host = self.host_vectors()
         keep = [i for i, m in enumerate(mapping) if m >= 0]
+        codes = scales = None
+        if self.dtype == "int8" and self._corpus_t is not None and keep:
+            codes = np.asarray(self._corpus_t[:, :self.n]).T[keep]
+            scales = np.asarray(self._scales[0, :self.n])[keep]
         vecs = host[keep].astype(np.float32)
         self.__init__(self.dim, self.dtype, self.tile_n, normalize=False)
-        if len(vecs):
+        if codes is not None:
+            self._install_int8(host[keep], codes, scales)
+        elif len(vecs):
             self.add(vecs)
         self.normalize = True  # vectors were already normalized on first add
 

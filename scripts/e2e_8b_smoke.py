@@ -110,15 +110,16 @@ def main():
                          "history": out["history"], "docs": []})
     print(f"POST /chat (warm) ok in {time.time() - t0:.1f}s")
 
-    # greedy short answer through the product backend -> the solo
-    # speculative fast path (temperature 0, bounded max_new, worker idle).
-    # (/chat takes sampling knobs from config, reference parity, so this
-    # leg drives the same BatchedChatBackend object directly.)
+    # greedy short answer through the product backend -> speculative
+    # WAVES in the engine (per-row 2-gram drafts; the solo-only fast path
+    # and its cap are gone). (/chat takes sampling knobs from config,
+    # reference parity, so this leg drives the same BatchedChatBackend
+    # object directly.)
     t0 = time.time()
     reply = system.backend.chat(
         [{"role": "user", "content": "name the page size."}],
         max_new_tokens=128, temperature=0.0, repetition_penalty=1.1)
-    print(f"backend greedy chat (speculative solo) ok in "
+    print(f"backend greedy chat (speculative waves) ok in "
           f"{time.time() - t0:.1f}s, {len(reply)} chars")
     srv.shutdown()
     print("E2E 8B SMOKE PASS")

@@ -117,6 +117,111 @@ def main():
         def _e():
             o_ref[:] = acc[:].astype(o_ref.dtype)
 
+    def kern_F(x_ref, xs_ref, w_ref, s_ref, o_ref, acc, *, k_tiles):
+        # W4A8: activations int8 (per-row scale), unpack nibbles to int8,
+        # int8xint8 dot on the MXU with int32 accumulation, scale the
+        # OUTPUT by x_scale * tile group scale (gpt==1 layout).
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _i():
+            acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        xi = x_ref[:]                      # (m, tile_k) int8
+        bi = w_ref[:].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(bi, 28), 28)
+        hi = jnp.right_shift(bi, 4)
+        w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+        s = s_ref[pl.ds(kb * 8, 8), :]
+        part = jax.lax.dot(xi, w, preferred_element_type=jnp.int32)
+        acc[:] = acc[:] + part.astype(jnp.float32) * \
+            xs_ref[:].astype(jnp.float32) * s[0][None, :].astype(jnp.float32)
+
+        @pl.when(kb == k_tiles - 1)
+        def _e():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    def kern_G(x_ref, w_ref, s_ref, o_ref, acc, *, k_tiles):
+        # split dots, NO concat: dot(x_lo, lo) + dot(x_hi, hi) — tests
+        # whether the concat relayout is the unpack bottleneck.
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _i():
+            acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        x = x_ref[:]
+        bi = w_ref[:].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(bi, 28), 28).astype(jnp.bfloat16)
+        hi = jnp.right_shift(bi, 4).astype(jnp.bfloat16)
+        s = s_ref[pl.ds(kb * 8, 8), :]
+        half = tile_k // 2
+        p1 = jax.lax.dot(x[:, :half], lo,
+                         preferred_element_type=jnp.float32)
+        p2 = jax.lax.dot(x[:, half:], hi,
+                         preferred_element_type=jnp.float32)
+        acc[:] = acc[:] + (p1 + p2) * s[0][None, :].astype(jnp.float32)
+
+        @pl.when(kb == k_tiles - 1)
+        def _e():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    def kern_H(x_ref, xs_ref, w_ref, s_ref, o_ref, acc, *, k_tiles):
+        # W4A8 + split dots (no concat), int8 MXU.
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _i():
+            acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        xi = x_ref[:]
+        bi = w_ref[:].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(bi, 28), 28).astype(jnp.int8)
+        hi = jnp.right_shift(bi, 4).astype(jnp.int8)
+        s = s_ref[pl.ds(kb * 8, 8), :]
+        half = tile_k // 2
+        p1 = jax.lax.dot(xi[:, :half], lo, preferred_element_type=jnp.int32)
+        p2 = jax.lax.dot(xi[:, half:], hi, preferred_element_type=jnp.int32)
+        acc[:] = acc[:] + (p1 + p2).astype(jnp.float32) * \
+            xs_ref[:].astype(jnp.float32) * s[0][None, :].astype(jnp.float32)
+
+        @pl.when(kb == k_tiles - 1)
+        def _e():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    def build_a8(kern):
+        f = functools.partial(kern, k_tiles=k_tiles)
+
+        @jax.jit
+        def call(x, w_p, gs):
+            # per-row int8 activation quantization happens in-jit (fuses)
+            amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            xs = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.float32)
+            xi = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                          -127, 127).astype(jnp.int8)
+            return pl.pallas_call(
+                f,
+                grid=(n // tile_n, k_tiles),
+                in_specs=[
+                    pl.BlockSpec((m, tile_k), lambda nb, kb: (0, kb),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((m, 1), lambda nb, kb: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile_k // 2, tile_n), lambda nb, kb: (kb, nb),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k_tiles * 8, tile_n), lambda nb, kb: (0, nb),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((m, tile_n), lambda nb, kb: (0, nb),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+                scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * m * k * n,
+                    bytes_accessed=k * n // 2 + m * k + m * n * 2,
+                    transcendentals=0),
+            )(xi, xs, w_p, gs)
+        return call
+
     def build(kern, srows):
         f = functools.partial(kern, k_tiles=k_tiles)
 
@@ -189,6 +294,24 @@ def main():
     print(f"D tile out-scale  : {t:7.1f} us/matmul")
     t = timeit(mk_chain(lambda xx, a, b: int8_matmul(xx, a, b), wq8))
     print(f"E int8 kernel ref : {t:7.1f} us/matmul")
+    callF = build_a8(kern_F)
+    callG = build(kern_G, None)
+    callH = build_a8(kern_H)
+    t = timeit(mk_chain(lambda xx, a, b: callF(xx, a, b), w4p))
+    print(f"F W4A8 int8-dot   : {t:7.1f} us/matmul")
+    t = timeit(mk_chain(lambda xx, a, b: callG(xx, a, b), w4p))
+    print(f"G split-dots bf16 : {t:7.1f} us/matmul")
+    t = timeit(mk_chain(lambda xx, a, b: callH(xx, a, b), w4p))
+    print(f"H W4A8 split-dots : {t:7.1f} us/matmul")
+
+    # correctness spot checks for the new variants. F/G/H share D's
+    # tile-scale semantics (s[0]), so D is the exactness reference; F/H
+    # additionally carry the A8 activation-quant error (expected ~0.5%).
+    outD0 = np.asarray(callD(x, *w4p[0]), np.float32)
+    for nm, c in (("F", callF), ("G", callG), ("H", callH)):
+        o = np.asarray(c(x, *w4p[0]), np.float32)
+        print(f"{nm} vs D max rel err:",
+              np.abs(o - outD0).max() / (np.abs(outD0).max() + 1e-9))
 
     # correctness spot check for B (vs library A)
     outA = np.asarray(int4_matmul(x, *w4lib[0]), np.float32)

@@ -381,3 +381,48 @@ def test_int8_head_without_weight_quant(rng):
     np.testing.assert_allclose(llm.forward_logits([3, 4, 5]),
                                base.forward_logits([3, 4, 5]),
                                rtol=0.05, atol=0.2)
+
+
+def test_context_ceiling_raised(tmp_path):
+    """The old hard 8192 clamp is gone: a 131072-window checkpoint opens at
+    32768 by default (bounds the dense generate-path KV cache), and the
+    llm_max_seq_len knob caps at min(checkpoint, knob). Prefill buckets
+    cover the raised window."""
+    import json
+    from ragmeup_tpu.models.decoder import LocalLLM
+    from ragmeup_tpu.models.hf_loader import llama_config_from_hf
+
+    cj = dict(vocab_size=512, hidden_size=64, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2,
+              intermediate_size=128, rope_theta=500000.0,
+              max_position_embeddings=131072, rms_norm_eps=1e-5)
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    assert llama_config_from_hf(str(tmp_path)).max_seq_len == 32768
+    assert llama_config_from_hf(str(tmp_path),
+                                max_seq_len=131072).max_seq_len == 131072
+    assert llama_config_from_hf(str(tmp_path),
+                                max_seq_len=16384).max_seq_len == 16384
+    # checkpoint window still wins when smaller than the knob
+    cj["max_position_embeddings"] = 4096
+    (tmp_path / "config.json").write_text(json.dumps(cj))
+    assert llama_config_from_hf(str(tmp_path),
+                                max_seq_len=32768).max_seq_len == 4096
+    # buckets reach the raised ceiling: a 20k-token prompt gets a 32768
+    # bucket instead of being force-truncated at 8192
+    assert 16384 in LocalLLM.PREFILL_BUCKETS
+    assert 32768 in LocalLLM.PREFILL_BUCKETS
+
+
+def test_long_prompt_not_truncated_below_ceiling():
+    """generate()'s context-window guard keeps a 10k-token prompt whole
+    when max_seq_len allows it (the reference truncates instead,
+    RAGHelper_cloud.py:188-195)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+
+    cfg = LlamaConfig.tiny(max_seq_len=16384)
+    llm = LocalLLM(cfg, None, seed=0)
+    # guard math only (no forward — 16k attention on CPU is too slow):
+    # prompt cap = max_seq_len - min(max_new, max_seq//2)
+    max_prompt = cfg.max_seq_len - min(64, cfg.max_seq_len // 2)
+    assert max_prompt >= 10_000
+    assert llm._bucket(10_000) == 16384

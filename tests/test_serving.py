@@ -411,18 +411,21 @@ def test_retire_mid_decode_frees_pages_and_continues():
 
 
 def test_batched_backend_solo_greedy_speculative():
-    """A lone greedy chat routes through fused speculative decoding and
-    must produce the same reply as the engine path (and as LocalChatBackend
-    greedy semantics)."""
+    """A lone greedy chat routes through SPECULATIVE WAVES in the engine
+    (the old solo-only fused path and its 256-token cap are gone) and must
+    produce the same reply as LocalChatBackend greedy semantics."""
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
     from ragmeup_tpu.models.tokenizer import SimpleTokenizer
     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
     from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
 
-    cfg = LlamaConfig.tiny()
+    cfg = LlamaConfig.tiny(dtype="float32")
     llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
-    batched = BatchedChatBackend(llm, num_pages=32, page_size=4,
+    # page budget >= the model window so the engine's prompt truncation
+    # matches the dense path's (the old solo fast path bypassed pages)
+    batched = BatchedChatBackend(llm, num_pages=64, page_size=32,
                                  max_pages_per_seq=8)
+    assert not hasattr(batched, "solo_speculative_max")
     local = LocalChatBackend(llm)
     msgs = [{"role": "user", "content": "alpha beta gamma"}]
     a = batched.chat(msgs, max_new_tokens=8, temperature=0.0,
@@ -430,3 +433,187 @@ def test_batched_backend_solo_greedy_speculative():
     b = local.chat(msgs, max_new_tokens=8, temperature=0.0,
                    repetition_penalty=1.1)
     assert a == b
+
+
+def test_engine_hd96_padded_pool():
+    """hd=96 (fits neither page layout natively): the pool pads the stored
+    head dim to 128, chunked prefill stays ENABLED (one token per row), and
+    paged decode matches the dense generate path exactly (round-2 verdict
+    weak #6)."""
+    cfg = LlamaConfig.tiny(hidden_size=384, num_heads=4, num_kv_heads=2,
+                           dtype="float32")
+    assert cfg.head_dim == 96
+    llm96 = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=1)
+    eng = _engine(llm96)
+    assert eng.cache.store_hd == 128
+    assert eng.chunked_prefill, "hd=96 should keep chunked prefill"
+    prompts = {"a": [5, 17, 101, 42], "b": [9, 8, 7]}
+    want = {k: llm96.generate(v, max_new_tokens=6, temperature=0.0,
+                              repetition_penalty=1.0)
+            for k, v in prompts.items()}
+    for k, v in prompts.items():
+        eng.add_request(k, v, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0)
+    assert eng.run() == want
+
+
+# -- speculative waves (round-2 verdict #1: speculative × wave) -------------
+
+def test_spec_wave_matches_engine_greedy(llm):
+    """Concurrent greedy through speculative waves must be byte-identical
+    to the plain engine (which equals LocalLLM.generate): per-row drafts
+    only emit when they equal the penalized argmax."""
+    prompts = {"a": [5, 17, 101, 42, 5, 17], "b": [9, 8, 7, 6, 5],
+               "c": [200, 300, 200, 300]}
+    want = {k: llm.generate(v, max_new_tokens=12, temperature=0.0,
+                            repetition_penalty=1.1, speculative="off")
+            for k, v in prompts.items()}
+    eng = _engine(llm)
+    assert eng.spec_supported
+    for k, v in prompts.items():
+        eng.add_request(k, v, max_new_tokens=12, temperature=0.0,
+                        repetition_penalty=1.1)
+    assert eng.run_spec(iters=3, draft=4) == want
+
+
+def test_spec_wave_mixed_temperature_batch(llm):
+    """Greedy rows stay exact while temperature rows sample, in ONE spec
+    wave batch (temperature rows take the d=1 path inside the program)."""
+    eng = _engine(llm)
+    eng.add_request("g", [5, 17, 101, 42], max_new_tokens=8,
+                    temperature=0.0, repetition_penalty=1.0)
+    eng.add_request("t", [9, 8, 7], max_new_tokens=8, temperature=0.8,
+                    repetition_penalty=1.1)
+    got = eng.run_spec(iters=2, draft=4)
+    want_g = llm.generate([5, 17, 101, 42], max_new_tokens=8,
+                          temperature=0.0, repetition_penalty=1.0,
+                          speculative="off")
+    assert got["g"] == want_g
+    assert 0 < len(got["t"]) <= 8
+
+
+def test_spec_wave_continuous_join(llm):
+    """A request joining between spec waves rebuilds the carry and decodes
+    correctly; earlier rows keep their exact streams."""
+    want_a = llm.generate([5, 17, 101], max_new_tokens=10, temperature=0.0,
+                          repetition_penalty=1.0, speculative="off")
+    want_b = llm.generate([200, 300, 200], max_new_tokens=6,
+                          temperature=0.0, repetition_penalty=1.0,
+                          speculative="off")
+    eng = _engine(llm)
+    eng.add_request("a", [5, 17, 101], max_new_tokens=10, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.spec_wave_once(iters=1, draft=4)
+    eng.add_request("b", [200, 300, 200], max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    while eng.spec_wave_once(iters=2, draft=4) > 0:
+        pass
+    got = eng.results()
+    assert got["a"] == want_a
+    assert got["b"] == want_b
+
+
+def test_spec_wave_eos_and_page_limits(llm):
+    """Spec-wave rows respect max_new and the page limit exactly like the
+    plain engine (the device-side guards)."""
+    eng1 = _engine(llm, max_pages_per_seq=2, page_size=16)  # tight limit
+    eng2 = _engine(llm, max_pages_per_seq=2, page_size=16)
+    prompt = [5, 17, 101, 42] * 5  # 20 tokens, limit 32
+    eng1.add_request("a", prompt, max_new_tokens=50, temperature=0.0,
+                     repetition_penalty=1.0)
+    eng2.add_request("a", prompt, max_new_tokens=50, temperature=0.0,
+                     repetition_penalty=1.0)
+    want = eng1.run()
+    got = eng2.run_spec(iters=3, draft=4)
+    assert got == want
+
+
+def test_spec_wave_fallback_on_packed_layout():
+    """hd=64 packed page layout can't take the batched chunk writer: the
+    engine reports spec unsupported and spec_wave_once falls back to plain
+    waves with identical results."""
+    cfg = LlamaConfig.tiny(hidden_size=256, num_heads=4, num_kv_heads=2,
+                           dtype="float32")
+    assert cfg.head_dim == 64
+    llm64 = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=2)
+    eng = _engine(llm64, page_size=16)  # 16 % (8*2) != 0 → c=1... ensure packed
+    if eng.cache.tok_per_row != 1:
+        assert not eng.spec_supported
+    eng2 = _engine(llm64, page_size=32)  # 32 % 16 == 0 → packed c=2
+    assert eng2.cache.tok_per_row == 2
+    assert not eng2.spec_supported
+    want = llm64.generate([5, 9, 11], max_new_tokens=6, temperature=0.0,
+                          repetition_penalty=1.0, speculative="off")
+    eng2.add_request("a", [5, 9, 11], max_new_tokens=6, temperature=0.0,
+                     repetition_penalty=1.0)
+    while eng2.spec_wave_once(iters=2, draft=4) > 0:  # falls back to waves
+        pass
+    assert eng2.results()["a"] == want
+
+
+def test_batched_backend_spec_concurrent_greedy(llm):
+    """BatchedChatBackend with spec waves: concurrent greedy requests all
+    match the solo backend byte-for-byte — the speculative win no longer
+    disappears when a second request arrives, and the old solo-only
+    256-token cap is gone."""
+    import threading
+    from ragmeup_tpu.pipeline.llm_backends import LocalChatBackend
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    solo = LocalChatBackend(llm)
+    batched = BatchedChatBackend(llm, num_pages=64, page_size=16,
+                                 max_pages_per_seq=8, spec_draft=4,
+                                 wave_steps=2)
+    assert not hasattr(batched, "solo_speculative_max")  # cap removed
+    messages = [
+        [{"role": "user", "content": "hello there"}],
+        [{"role": "user", "content": "tell me about foxes please"}],
+        [{"role": "user", "content": "what is a tpu"}],
+    ]
+    want = [solo.chat(m, max_new_tokens=6, temperature=0.0,
+                      repetition_penalty=1.0) for m in messages]
+    got = [None] * 3
+
+    def run(i):
+        got[i] = batched.chat(messages[i], max_new_tokens=6,
+                              temperature=0.0, repetition_penalty=1.0)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert got == want
+
+
+def test_batched_prefill_matches_sequential(llm):
+    """add_requests (batched chunked prefill: the whole group prefills
+    chunk-by-chunk in shared dispatches) produces streams identical to
+    sequential add_request admission."""
+    prompts = {"a": [5, 17, 101, 42, 5], "b": [9, 8, 7],
+               "c": list(range(2, 40))}
+    eng1 = _engine(llm)
+    for k, v in prompts.items():
+        eng1.add_request(k, v, max_new_tokens=8, temperature=0.0,
+                         repetition_penalty=1.1)
+    want = eng1.run()
+    eng2 = _engine(llm)
+    assert eng2.chunked_prefill
+    eng2.add_requests([{"id": k, "prompt_ids": v, "max_new": 8,
+                        "temperature": 0.0, "rp": 1.1}
+                       for k, v in prompts.items()])
+    got = eng2.run()
+    assert got == want
+
+
+def test_batched_prefill_group_alloc_failure_releases_pages(llm):
+    """If the group's allocations exceed the pool, NO pages leak and no
+    partial sequences register."""
+    eng = _engine(llm, num_pages=6, page_size=16, max_pages_per_seq=4)
+    free_before = len(eng.cache._free)
+    with pytest.raises(MemoryError):
+        eng.add_requests([
+            {"id": f"s{i}", "prompt_ids": list(range(2, 34)), "max_new": 30,
+             "temperature": 0.0, "rp": 1.0}
+            for i in range(6)])
+    assert len(eng.cache._free) == free_before
+    assert not [s for s in eng.seqs if s != "__pad__"]
