@@ -207,6 +207,10 @@ class ModelConfig:
     quantization: str = "int8"  # none | int8 | int4
     # int8 lm_head (untied checkpoints): halves the largest per-token read
     head_quantization: str = "none"  # none | int8
+    # W4A8 for int4 checkpoints: int8-activation MXU dots over packed
+    # nibbles (fastest measured int4 path; forces the 512-group
+    # output-scaled quant layout — coarser than the nf4-class default).
+    int4_w4a8: bool = False
     # Cloud adapters (RAGHelper_cloud.py:60-88)
     use_openai: bool = False
     openai_model_name: str = "gpt-3.5-turbo"
@@ -414,6 +418,7 @@ _ENV_KEYMAP = {
     "rerank_k": ("retrieval", "rerank_k", int),
     "rerank_model": ("retrieval", "rerank_model", str),
     "llm_head_quantization": ("model", "head_quantization", str),
+    "llm_int4_w4a8": ("model", "int4_w4a8", _parse_bool),
     "llm_max_seq_len": ("model", "llm_max_seq_len", int),
     "batched_llm": ("server", "batched_llm", _parse_bool),
     "llm_wave_steps": ("server", "llm_wave_steps", int),

@@ -16,6 +16,35 @@ so a reference-config threshold like 0.7 means "well above unrelated" for
 ANY encoder — the raw (cos+1)/2 mapping used before floored at ~0.5 for
 unrelated text and made those thresholds encoder-dependent (round-1
 verdict weak #8).
+
+WHEN THE DETERMINISTIC PROXY DIVERGES FROM AN LLM JUDGE
+-------------------------------------------------------
+These embedding proxies measure *semantic relatedness*, not *truth* or
+*logical support*. Known divergence classes (use ``llm_judge_score`` with
+a capable ChatBackend when they matter for your corpus):
+
+- **Fluent-but-wrong answers**: an answer that paraphrases the context
+  while negating or mangling a fact ("the API limit is 100" vs "10")
+  stays cosine-close to its contexts → faithfulness scores HIGH where a
+  judge would fail it. Cosine cannot see polarity or numbers.
+- **Abstention / refusal**: "I don't know based on these documents" is
+  semantically far from the contexts → faithfulness/relevancy score LOW,
+  while a judge typically REWARDS honest abstention. Counterfactual
+  error handling partially compensates (it checks refusal markers).
+- **Multi-hop logical support**: an answer correctly derived from two
+  contexts combined can sit cosine-mid to each individually → contextual
+  recall underestimates support a judge would verify step-by-step.
+- **Long answers with one bad sentence**: sentence-level max-support
+  means one hallucinated sentence among many supported ones still drags
+  the hallucination score only proportionally; a judge often fails the
+  whole answer on a single fabricated claim.
+- **Lexical coincidence**: short keyword-dense chunks can score relevant
+  to a question sharing surface vocabulary with a different meaning.
+
+The deterministic defaults exist because a self-contained TPU deployment
+has no network judge; they are stable, free, and strictly comparable
+run-to-run — use them for regression tracking, and the LLM-judged
+variants for absolute quality claims.
 """
 
 from __future__ import annotations

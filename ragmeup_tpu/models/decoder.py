@@ -53,6 +53,12 @@ class LlamaConfig:
     # ~1.5x faster output-scaled path at coarser quant granularity —
     # measure logit quality on your checkpoint before shipping it.
     int4_group: int = 0
+    # W4A8: int8 activations + int8 MXU dots over unpacked nibbles with
+    # per-tile output scaling — the fastest int4 path measured (74.0 vs
+    # 80.2 us/matmul at the 8B MLP decode shape; int4_variant_sweep.py
+    # variant H). Needs int4_group == tile (512); adds ~0.8% activation
+    # quant error per matmul — check logit quality per checkpoint.
+    int4_w4a8: bool = False
     tie_embeddings: bool = True  # Llama-3.1-8B+ uses an untied lm_head
     # store Q/K/V as one projection and gate/up as one (column-concatenated
     # kernels; numerically identical, ~40% fewer matmul ops per token -
@@ -63,7 +69,8 @@ class LlamaConfig:
     # (1024,1024) tiles it streams 746-1074 GB/s vs XLA dequant-dot's
     # 534-677 -> 91.5 vs 83.8 tok/s single-stream at 8B. (Round 1 called
     # it net-negative from fetch-RTT-contaminated timings.) load_local_llm
-    # enables it for int8 checkpoints; off under a mesh (no GSPMD rule).
+    # enables it for int8 checkpoints; under a mesh it runs on per-shard
+    # local shapes inside shard_map (QuantDense._tp_shard_matmul).
     quant_kernel: bool = False
     # Pallas flash-attention for prefill (causal; scores never hit HBM).
     # Block sizes are chosen adaptively up to (512, 1024) — measured on
@@ -182,6 +189,7 @@ class QuantDense(nn.Module):
     bits: int = 8
     use_kernel: bool = False
     q_group: int = 0  # int4 scale-group (0 = auto; see LlamaConfig)
+    a8: bool = False  # W4A8 int4 path (see LlamaConfig.int4_w4a8)
     tp_mesh: Optional[object] = None
 
     def _tp_shard_matmul(self, x2, w, s, matmul, local_ok):
@@ -249,8 +257,9 @@ class QuantDense(nn.Module):
             if self.tp_mesh is not None:
                 # local tiles must match the GLOBAL pack layout: the packed
                 # k-tile (tile_k) and scale group must divide the local k
+                import functools as _ft
                 out = self._tp_shard_matmul(
-                    x2, w, s, int4_matmul,
+                    x2, w, s, _ft.partial(int4_matmul, a8=self.a8),
                     local_ok=lambda ki, ko: (ki % tile_k == 0
                                              and ki % group == 0
                                              and ko % 512 == 0))
@@ -260,7 +269,7 @@ class QuantDense(nn.Module):
                     out = jnp.dot(x2, wd * sd,
                                   preferred_element_type=self.dtype)
                 return out.reshape(lead + (self.features,))
-            out = int4_matmul(x2, w, s)
+            out = int4_matmul(x2, w, s, a8=self.a8)
             return out.reshape(lead + (self.features,))
         if self.quantize:
             w = self.param("kernel_q", nn.with_logical_partitioning(
@@ -318,15 +327,15 @@ class LlamaAttention(nn.Module):
         if c.fused_projections:
             qkv = QuantDense((nh + 2 * nkv) * hd, ("embed", "qkv"), quant,
                              c.jdtype, bits, c.quant_kernel,
-                             q_group=c.int4_group, tp_mesh=self.tp_mesh,
+                             q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh,
                              name="qkv_proj")(x)
             q = qkv[..., :nh * hd]
             k = qkv[..., nh * hd:(nh + nkv) * hd]
             v = qkv[..., (nh + nkv) * hd:]
         else:
-            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, tp_mesh=self.tp_mesh, name="q_proj")(x)
-            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, tp_mesh=self.tp_mesh, name="k_proj")(x)
-            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, tp_mesh=self.tp_mesh, name="v_proj")(x)
+            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="q_proj")(x)
+            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="k_proj")(x)
+            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="v_proj")(x)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
@@ -388,7 +397,7 @@ class LlamaAttention(nn.Module):
                 attn = paged_attention_chunk(q, kp, vp, page_idx, lengths)
                 out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
-                             bits, c.quant_kernel, q_group=c.int4_group,
+                             bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                              tp_mesh=self.tp_mesh, name="o_proj")(out)
             return out, (kp, vp), None
 
@@ -516,7 +525,7 @@ class LlamaAttention(nn.Module):
             weights = weights.reshape(b, nh, s, kv_len)
         out = out.reshape(b, s, nh * hd)
         out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
-                         bits, c.quant_kernel, q_group=c.int4_group,
+                         bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                          tp_mesh=self.tp_mesh, name="o_proj")(out)
         aux = None
         if capture_weights == "qk":
@@ -540,19 +549,19 @@ class LlamaMlp(nn.Module):
         if c.fused_projections:
             gu = QuantDense(2 * c.intermediate_size, ("embed", "mlp"), quant,
                             c.jdtype, bits, c.quant_kernel,
-                            q_group=c.int4_group, tp_mesh=self.tp_mesh,
+                            q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh,
                             name="gate_up_proj")(x)
             g = gu[..., :c.intermediate_size]
             u = gu[..., c.intermediate_size:]
         else:
             g = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                           bits, c.quant_kernel, q_group=c.int4_group,
+                           bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                            tp_mesh=self.tp_mesh, name="gate_proj")(x)
             u = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
-                           bits, c.quant_kernel, q_group=c.int4_group,
+                           bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                            tp_mesh=self.tp_mesh, name="up_proj")(x)
         return QuantDense(c.hidden_size, ("mlp", "embed"), quant, c.jdtype,
-                          bits, c.quant_kernel, q_group=c.int4_group,
+                          bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                           tp_mesh=self.tp_mesh, name="down_proj")(nn.silu(g) * u)
 
 

@@ -493,7 +493,8 @@ def quantize_decoder_params(params: dict, bits: int = 8,
 
 def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
                    seed: int = 0, head_quantization: str = "none",
-                   mesh=None, max_seq_len: int = 0):
+                   mesh=None, max_seq_len: int = 0,
+                   int4_w4a8: bool = False):
     """Factory for the local chat LLM: real Llama checkpoint if given (with
     optional int8 weight-only quantization), else a tiny deterministic
     random-init model so the pipeline runs self-contained. With ``mesh``
@@ -515,6 +516,9 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
         if quantization == "int8":
             # fused dequant matmul on the decode path (see LlamaConfig)
             cfg = _dc.replace(cfg, quant_kernel=True)
+        if quantization == "int4" and int4_w4a8:
+            # W4A8 needs the output-scaled quant layout (group == tile)
+            cfg = _dc.replace(cfg, int4_w4a8=True, int4_group=512)
         tensors = load_safetensors(checkpoint_dir)
         if head_quantization == "int8" and not cfg.tie_embeddings:
             cfg = _dc.replace(cfg, head_quantization="int8")

@@ -241,20 +241,108 @@ def _int4_matmul_call(x, w_p, gscale, tile_k: int, tile_n: int, group: int,
     )(x, w_p, gs)
 
 
+def _kernel4_a8(x_ref, xs_ref, w_ref, s_ref, o_ref, acc, *, k_tiles: int,
+                tile_k: int):
+    """W4A8: int8 activations (per-row scale), nibbles unpacked straight
+    to int8, TWO int8xint8 MXU dots (lo/hi halves — skipping the concat
+    relayout), int32 accumulation, output scaled by x_scale * tile scale.
+    Slope-timed on v5e at the 8B MLP decode shape (m=1, 4096x14336):
+    74.0 us/matmul vs 80.2 for the bf16 int4 kernel and 87.7 for the int8
+    kernel (scripts/int4_variant_sweep.py variants F-H). Requires the
+    output-scaled layout (group == tile_k); activation quantization adds
+    ~0.8% max rel err at this shape — measure logit quality per checkpoint
+    before shipping (LlamaConfig.int4_w4a8)."""
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+
+    xi = x_ref[:]                       # (m, tile_k) int8
+    bi = w_ref[:].astype(jnp.int32)     # (tile_k//2, tile_n) packed
+    lo = jnp.right_shift(jnp.left_shift(bi, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(bi, 4).astype(jnp.int8)
+    s = s_ref[pl.ds(kb * 8, 8), :]
+    half = tile_k // 2
+    p1 = jax.lax.dot(xi[:, :half], lo, preferred_element_type=jnp.int32)
+    p2 = jax.lax.dot(xi[:, half:], hi, preferred_element_type=jnp.int32)
+    acc[:] = acc[:] + (p1 + p2).astype(jnp.float32) * \
+        xs_ref[:].astype(jnp.float32) * s[0][None, :].astype(jnp.float32)
+
+    @pl.when(kb == k_tiles - 1)
+    def _emit():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_k", "tile_n",
+                                             "interpret", "out_dtype"))
+def _int4_matmul_a8_call(x, w_p, gscale, tile_k: int, tile_n: int,
+                         interpret: bool, out_dtype):
+    m, k = x.shape
+    n = w_p.shape[1]
+    k_tiles = k // tile_k
+    # per-row int8 activation quantization in-jit (fuses with the caller)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    xs = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.float32)
+    xi = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                  -127, 127).astype(jnp.int8)
+    # pad the (k_tiles, n) tile scales to 8 sublanes per tile (Mosaic rule)
+    gs = gscale.reshape(k_tiles, 1, n)
+    gs = jnp.pad(gs, ((0, 0), (0, 7), (0, 0))).reshape(k_tiles * 8, n)
+    kern = functools.partial(_kernel4_a8, k_tiles=k_tiles, tile_k=tile_k)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((m, tile_k), lambda nb, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda nb, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // 2, tile_n), lambda nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tiles * 8, tile_n), lambda nb, kb: (0, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda nb, kb: (0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n // 2 + m * k + m * n * 2
+            + (k // tile_k) * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xi, xs, w_p, gs)
+
+
 def int4_matmul(x: jnp.ndarray, w_p: jnp.ndarray, gscale: jnp.ndarray,
                 tile_n: int = 512,
-                interpret: Optional[bool] = None) -> jnp.ndarray:
+                interpret: Optional[bool] = None,
+                a8: bool = False) -> jnp.ndarray:
     """x (m, k) @ dequant(w_p packed int4 (k//2, n), gscale (k//group, n))
     → (m, n) in x.dtype. Kernel path for tiling shapes and small m;
     XLA unpack fallback otherwise. The quant group is inferred from
     gscale's shape: group == tile_k selects the fast output-scaled path
-    (quantize with ``group=tile`` / ``int4_group``)."""
+    (quantize with ``group=tile`` / ``int4_group``). ``a8`` additionally
+    quantizes activations per-row to int8 and runs int8 dots on the MXU
+    (W4A8 — the fastest int4 path measured; needs group == tile_k)."""
     if interpret is None:
         interpret = not _on_tpu()
     m, k = x.shape
     n = w_p.shape[1]
     tile_k, _ = int4_tiling(k)
     group = k // gscale.shape[0]
+    if a8 and group == tile_k and k % tile_k == 0 and n % tile_n == 0 \
+            and m <= 256:
+        mp = -(-m // 8) * 8
+        xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
+        out = _int4_matmul_a8_call(xp, w_p, gscale, tile_k, tile_n,
+                                   interpret, x.dtype)
+        return out[:m]
     if k % tile_k == 0 and n % tile_n == 0 and m <= 256 \
             and tile_k % group == 0:
         mp = -(-m // 8) * 8

@@ -23,15 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_llm(quant_kernel: bool, int8_head: bool = False,
-              quant: str = "int8", int4_group: int = 0):
+              quant: str = "int8", int4_group: int = 0,
+              w4a8: bool = False):
     import jax
     import jax.numpy as jnp
     from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
     from ragmeup_tpu.models.tokenizer import SimpleTokenizer
 
+    if w4a8:
+        int4_group = 512  # W4A8 requires the output-scaled layout
     cfg = LlamaConfig(quantization=quant, tie_embeddings=False,
                       use_flash=True, max_seq_len=2048,
                       quant_kernel=quant_kernel, int4_group=int4_group,
+                      int4_w4a8=w4a8,
                       head_quantization="int8" if int8_head else "none")
     h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     kvh = cfg.num_kv_heads * cfg.head_dim
@@ -79,6 +83,7 @@ def main():
     ap.add_argument("--int8-head", action="store_true")
     ap.add_argument("--quant", default="int8", choices=["int8", "int4"])
     ap.add_argument("--int4-group", type=int, default=0)
+    ap.add_argument("--w4a8", action="store_true")
     ap.add_argument("--n1", type=int, default=64)
     ap.add_argument("--n2", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
@@ -91,7 +96,7 @@ def main():
           f"int8_head={args.int8_head}", file=sys.stderr)
 
     llm = build_llm(args.quant_kernel, args.int8_head, args.quant,
-                    args.int4_group)
+                    args.int4_group, w4a8=args.w4a8)
     rng = np.random.default_rng(0)
     # prompt length chosen so both token counts land in the SAME cache-len
     # bucket (300+64 -> 512, 300+128 -> 512): the slope then compares

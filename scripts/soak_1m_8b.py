@@ -1,0 +1,211 @@
+"""1M-doc + 8B co-residency soak: the full deployment premise in ONE
+process on ONE chip (round-2 verdict weak #10 / next #5).
+
+The README headlines 1M-doc retrieval AND 8B serving; this proves they fit
+and perform TOGETHER: int8 8B weights (or int4 with --int4), an int8
+1M x 384 corpus + BM25 postings, a paged KV pool, and sustained mixed
+/chat + /search load from concurrent threads — with HBM accounting from
+the device allocator at each phase.
+
+The corpus embeds are synthetic unit vectors (the soak measures memory
+and serving behavior, not recall — the recall harness owns that); chunk
+text is synthetic Zipf prose so BM25 builds a real postings structure.
+
+Usage:
+  python scripts/soak_1m_8b.py [--ckpt /tmp/ckpt8b] [--docs 1000000]
+      [--int4] [--duration 60] [--chat-threads 2] [--search-threads 2]
+      [--kv-pages 128] [--kv-page-size 64]
+
+Prints a phase-by-phase HBM table and steady-state QPS / tok/s to stderr,
+one JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def hbm(label):
+    import jax
+    stats = jax.local_devices()[0].memory_stats() or {}
+    used = stats.get("bytes_in_use", 0) / 1e9
+    peak = stats.get("peak_bytes_in_use", 0) / 1e9
+    limit = stats.get("bytes_limit", 0) / 1e9
+    log(f"  HBM[{label:28s}] in_use={used:6.2f} GB  peak={peak:6.2f} GB  "
+        f"limit={limit:5.1f} GB")
+    return used
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/ckpt8b")
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--int4", action="store_true")
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--chat-threads", type=int, default=2)
+    ap.add_argument("--search-threads", type=int, default=2)
+    ap.add_argument("--kv-pages", type=int, default=128)
+    ap.add_argument("--kv-page-size", type=int, default=64)
+    ap.add_argument("--max-new", type=int, default=48)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    from ragmeup_tpu.utils.platform import ensure_platform
+    ensure_platform(args.platform)
+    import jax
+
+    t_all = time.time()
+    log(f"backend={jax.default_backend()}")
+    hbm("boot")
+
+    # ---- phase 1: the 8B LLM ------------------------------------------------
+    from ragmeup_tpu.models.hf_loader import load_local_llm
+    quant = "int4" if args.int4 else "int8"
+    t0 = time.time()
+    llm = load_local_llm(args.ckpt, quantization=quant,
+                         head_quantization="int8", int4_w4a8=args.int4)
+    log(f"LLM loaded ({quant}) in {time.time() - t0:.0f}s")
+    hbm(f"llm weights ({quant})")
+
+    # ---- phase 2: the 1M-doc corpus ----------------------------------------
+    from ragmeup_tpu.data.documents import Chunk
+    from ragmeup_tpu.data.store import ChunkStore
+    from ragmeup_tpu.retrieval.dense import DenseIndex
+    from ragmeup_tpu.retrieval.sparse import BM25Index
+
+    rng = np.random.default_rng(0)
+    n = args.docs
+    vocab = 30000
+    words = np.array([f"w{i}" for i in range(vocab)])
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.1
+    probs /= probs.sum()
+
+    t0 = time.time()
+    store = ChunkStore(None)
+    sparse = BM25Index()
+    dense = DenseIndex(args.dim, dtype="int8")
+    batch = 20000
+    for lo in range(0, n, batch):
+        m = min(batch, n - lo)
+        idx = rng.choice(vocab, size=(m, 12), p=probs)
+        texts = [" ".join(words[row]) + f" uniq{lo + i}"
+                 for i, row in enumerate(idx)]
+        vecs = rng.standard_normal((m, args.dim)).astype(np.float32)
+        store.add([Chunk(content=t, metadata={"source": f"doc{lo + i}.txt"})
+                   for i, t in enumerate(texts)])
+        sparse.add(texts)
+        dense.add(vecs)
+        if lo % 200000 == 0:
+            log(f"  corpus build: {lo + m}/{n} "
+                f"({time.time() - t0:.0f}s elapsed)")
+    log(f"corpus built: {n} docs in {time.time() - t0:.0f}s")
+    hbm("corpus (int8 dense + bm25)")
+
+    # ---- phase 3: the serving stack ----------------------------------------
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+    from ragmeup_tpu.retrieval.hybrid import HybridRetriever, \
+        hybrid_fused_search
+
+    backend = BatchedChatBackend(
+        llm, num_pages=args.kv_pages, page_size=args.kv_page_size,
+        max_pages_per_seq=max(4, 2048 // args.kv_page_size))
+    hbm("kv pool")
+
+    def embed(texts):
+        v = rng.standard_normal((len(texts), args.dim)).astype(np.float32)
+        return v
+
+    retriever = HybridRetriever(store, dense, sparse, embed_query_fn=embed,
+                                k=5, search_type="similarity", rerank_k=3)
+
+    # warm both paths (compile)
+    t0 = time.time()
+    retriever.retrieve_rows("w3 w17 w251 uniq12", k=5)
+    log(f"hybrid search warm in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    reply = backend.chat([{"role": "user", "content": "warm up the chat"}],
+                         max_new_tokens=8, temperature=0.0)
+    log(f"chat warm in {time.time() - t0:.0f}s ({len(reply)} chars)")
+    hbm("after warmup compiles")
+
+    # ---- phase 4: sustained mixed load -------------------------------------
+    stop = time.time() + args.duration
+    counts = {"search": 0, "chat_req": 0, "chat_tok": 0, "errors": 0}
+    lock = threading.Lock()
+
+    def search_loop(tid):
+        r = np.random.default_rng(tid)
+        while time.time() < stop:
+            q = " ".join(f"w{int(r.integers(0, vocab))}" for _ in range(4))
+            try:
+                hits = retriever.retrieve_rows(q, k=5)
+                with lock:
+                    counts["search"] += 1
+            except Exception as e:
+                with lock:
+                    counts["errors"] += 1
+                log("search error:", repr(e))
+
+    def chat_loop(tid):
+        r = np.random.default_rng(100 + tid)
+        while time.time() < stop:
+            row = int(r.integers(0, n))
+            c = store[row]
+            prompt = (f"Using this document: {c.content}\n"
+                      f"What is mentioned alongside uniq{row}?")
+            try:
+                out = backend.chat(
+                    [{"role": "user", "content": prompt}],
+                    max_new_tokens=args.max_new, temperature=0.0)
+                with lock:
+                    counts["chat_req"] += 1
+                    counts["chat_tok"] += args.max_new
+            except Exception as e:
+                with lock:
+                    counts["errors"] += 1
+                log("chat error:", repr(e))
+
+    threads = [threading.Thread(target=search_loop, args=(i,))
+               for i in range(args.search_threads)]
+    threads += [threading.Thread(target=chat_loop, args=(i,))
+                for i in range(args.chat_threads)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dur = time.time() - t0
+    hbm("steady state")
+
+    qps = counts["search"] / dur
+    toks = counts["chat_tok"] / dur
+    log(f"mixed load {dur:.0f}s: {counts['search']} searches "
+        f"({qps:.1f} QPS), {counts['chat_req']} chats "
+        f"({toks:.1f} tok/s aggregate), {counts['errors']} errors")
+    summary = {
+        "docs": n, "quant": quant, "duration_s": round(dur, 1),
+        "search_qps": round(qps, 1), "chat_tok_s": round(toks, 1),
+        "chat_requests": counts["chat_req"], "errors": counts["errors"],
+        "hbm_peak_gb": round((jax.local_devices()[0].memory_stats() or {})
+                             .get("peak_bytes_in_use", 0) / 1e9, 2),
+        "total_s": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

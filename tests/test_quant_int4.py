@@ -156,3 +156,61 @@ def test_int4_fast_group_decoder_generates(rng):
     out = llm.generate([3, 9, 4], max_new_tokens=6, temperature=0.0,
                        speculative="off")
     assert len(out) == 6
+
+
+def test_w4a8_matmul_matches_oracle(rng):
+    """a8=True (W4A8: int8 activations, int8 MXU dots, output scaling)
+    must match the W8-activation oracle for its own quantization: dequant
+    weights x int8-quantized activations."""
+    from ragmeup_tpu.ops.quant_matmul import (int4_matmul, int4_tiling,
+                                              quantize_int4_groupwise,
+                                              unpack_int4)
+    k, n, m = 1024, 512, 3
+    tile_k, _ = int4_tiling(k)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    p, gs = quantize_int4_groupwise(w, group=tile_k)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    # oracle with the same activation quantizer
+    xf = np.asarray(x, np.float32)
+    xs = np.maximum(np.abs(xf).max(axis=1, keepdims=True), 1e-8) / 127.0
+    xi = np.clip(np.round(xf / xs), -127, 127)
+    wd = (np.asarray(unpack_int4(jnp.asarray(p), tile_k), np.float32)
+          * np.repeat(gs, tile_k, axis=0))
+    want = (xi @ wd) * xs
+    got = np.asarray(int4_matmul(x, jnp.asarray(p), jnp.asarray(gs),
+                                 a8=True), np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02, rel
+    # and close to the full-precision product (bounded a8 error)
+    full = xf @ wd
+    rel2 = np.abs(got - full).max() / (np.abs(full).max() + 1e-9)
+    assert rel2 < 0.05, rel2
+
+
+def test_w4a8_decoder_generates(rng):
+    """int4_w4a8 through the whole decoder: logits stay close to the plain
+    int4 fast-group path (activation-quant error only) and generation
+    runs."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.models.hf_loader import quantize_decoder_params
+
+    dims = dict(tie_embeddings=False, hidden_size=128, intermediate_size=256)
+    cfg = LlamaConfig.tiny(**dims)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=3)
+    from flax import linen as nn
+    params = nn.meta.unbox(base.params)
+    qparams = quantize_decoder_params(params, bits=4, int4_group=512)
+    ref = LocalLLM(LlamaConfig.tiny(**dims, quantization="int4",
+                                    int4_group=512), tok, params=qparams)
+    a8 = LocalLLM(LlamaConfig.tiny(**dims, quantization="int4",
+                                   int4_group=512, int4_w4a8=True), tok,
+                  params=qparams)
+    lg_ref = ref.forward_logits([3, 9, 4, 17])
+    lg_a8 = a8.forward_logits([3, 9, 4, 17])
+    rel = np.abs(lg_a8 - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9)
+    assert rel < 0.1, rel
+    out = a8.generate([3, 9, 4], max_new_tokens=6, temperature=0.0,
+                      speculative="off")
+    assert len(out) == 6
