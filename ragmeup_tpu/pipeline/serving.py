@@ -150,9 +150,9 @@ def _wave_program(model, params, logits0, key0, seen0, done0, emitted0, pos0,
 
 
 def _wave_spec_program(model, params, logits0, key0, seen0, done0, emitted0,
-                       pos0, ctx0, temps, rps, max_new, page_idx, trash_page,
-                       eos_arr, k_pages, v_pages, *, iters: int, draft: int,
-                       page_size: int, limit: int):
+                       pos0, ctx0, temps, rps, max_new, cover, page_idx,
+                       trash_page, eos_arr, k_pages, v_pages, *, iters: int,
+                       draft: int, page_size: int, limit: int):
     """Speculative wave: `iters` batched CHUNK forwards of width `draft`
     per dispatch. Each iteration samples every row's next token from the
     carried logits (exact _wave_program semantics), then — for greedy rows
@@ -212,7 +212,13 @@ def _wave_spec_program(model, params, logits0, key0, seen0, done0, emitted0,
         # -- chunk forward: device-computed page/slot per token --
         positions = jnp.clip(pos[:, None] + jnp.arange(d)[None, :],
                              0, limit - 1)
-        in_range = (pos[:, None] + jnp.arange(d)[None, :]) < limit
+        # writes stay inside the row's PRE-EXTENDED page cover: beyond it
+        # the page-index table holds unrelated pool pages (slot-0 zeros),
+        # and positions past `cover` can never be emitted or attended
+        # (emission is clipped by the same max_new/limit bounds the host
+        # used to size the cover) — so they go to the trash page
+        raw_pos = pos[:, None] + jnp.arange(d)[None, :]
+        in_range = (raw_pos < limit) & (raw_pos < cover[:, None])
         w_ok = live[:, None] & in_range
         pg = jnp.take_along_axis(page_idx, positions // page_size, axis=1)
         w_pages = jnp.where(w_ok, pg, trash_page)
@@ -1151,6 +1157,9 @@ class _SpecWaveMixin:
 
     def spec_wave_once(self, iters: int = 4, draft: int = 8,
                        seed: int = 0) -> int:
+        import time as _time
+        timings = getattr(self, "wave_timings", None)  # opt-in observability
+        _t0 = _time.perf_counter()
         if not self.spec_supported:
             return self.wave_once(steps=iters, seed=seed)
         active = [(sid, st) for sid, st in self.seqs.items()
@@ -1169,7 +1178,7 @@ class _SpecWaveMixin:
             fn = jax.jit(
                 functools.partial(_wave_spec_program, llm.model),
                 static_argnames=("iters", "draft", "page_size", "limit"),
-                donate_argnums=(1, 3, 4, 5, 6, 7, 14, 15))
+                donate_argnums=(1, 3, 4, 5, 6, 7, 15, 16))
             jits[key_tup] = fn
         B = _next_pow2_int(len(active))
         V = llm.cfg.vocab_size
@@ -1183,12 +1192,14 @@ class _SpecWaveMixin:
         # then build the page-index table from the grown lists
         page_idx = np.zeros((B, mpp), np.int32)
         page_idx[:, 0] = trash
+        cover = np.zeros(B, np.int32)
         for i, (sid, st) in enumerate(active):
             room = min(iters * draft, limit - 1 - int(st.pos),
                        st.max_new - len(st.out))
             if room > 0:
                 self.cache.extend(sid, room)
                 self.cache.seq_len[sid] = int(st.pos)  # truth stays host
+            cover[i] = int(st.pos) + max(room, 0)
             plist = self.cache.seq_pages[sid]
             page_idx[i, :len(plist)] = plist
 
@@ -1242,8 +1253,8 @@ class _SpecWaveMixin:
         (packed, logits, _key, seen, done_d, emitted, pos_d, ctx,
          k_p, v_p) = fn(
             llm.params, logits, key, seen, done, emitted, pos, ctx,
-            temps_d, rps_d, max_new_d, jnp.asarray(page_idx),
-            jnp.int32(trash), self._eos_dev,
+            temps_d, rps_d, max_new_d, jnp.asarray(cover),
+            jnp.asarray(page_idx), jnp.int32(trash), self._eos_dev,
             self.cache.k_pages, self.cache.v_pages,
             iters=iters, draft=draft, page_size=ps, limit=limit)
         self.cache.k_pages = list(k_p)
@@ -1252,7 +1263,11 @@ class _SpecWaveMixin:
                             "done": done_d, "emitted": emitted, "pos": pos_d,
                             "ctx": ctx, "temps": temps_d, "rps": rps_d,
                             "max_new": max_new_d}
+        _t1 = _time.perf_counter()
         host = np.asarray(packed)  # ONE fetch: [tokens | pos | done]
+        if timings is not None:
+            timings.append({"prep+dispatch": _t1 - _t0,
+                            "fetch": _time.perf_counter() - _t1})
         for i, (sid, st) in enumerate(active):
             row = [int(t) for t in host[i, :iters * draft] if t >= 0]
             st.out.extend(row)

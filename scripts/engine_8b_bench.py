@@ -65,6 +65,11 @@ def main():
     parser.add_argument("--seqs", type=int, default=8)
     parser.add_argument("--new-tokens", type=int, default=128)
     parser.add_argument("--steps-per-dispatch", type=int, default=8)
+    parser.add_argument("--spec-draft", type=int, default=0,
+                        help=">0: speculative waves (per-row drafts); the "
+                        "zero-weight model greedy-decodes a constant token "
+                        "so acceptance is maximal — this measures the spec "
+                        "path's CEILING and its per-forward overhead")
     parser.add_argument("--quant-kernel", action="store_true")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
@@ -87,6 +92,19 @@ def main():
                           repetition_penalty=1.0)
         return e
 
+    if args.spec_draft > 0:
+        fresh(8).run_spec(iters=args.steps_per_dispatch,
+                          draft=args.spec_draft)  # compile
+        eng = fresh(args.new_tokens)
+        t0 = time.time()
+        out = eng.run_spec(iters=args.steps_per_dispatch,
+                           draft=args.spec_draft)
+        dt = time.time() - t0
+        ntok = sum(len(v) for v in out.values())
+        print("8B int8 engine SPEC: %d seqs, %d tokens in %.2fs -> "
+              "%.1f tok/s aggregate (draft=%d)"
+              % (args.seqs, ntok, dt, ntok / dt, args.spec_draft))
+        return
     fresh(8).run_wave(steps_per_dispatch=args.steps_per_dispatch)  # compile
     eng = fresh(args.new_tokens)
     t0 = time.time()

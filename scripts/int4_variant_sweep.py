@@ -186,6 +186,63 @@ def main():
         def _e():
             o_ref[:] = acc[:].astype(o_ref.dtype)
 
+    def kern_I(x_ref, w_ref, s_ref, o_ref, acc, *, k_tiles):
+        # W4A8 with IN-KERNEL per-(row, tile) activation quantization and
+        # per-block scale BlockSpec (no padded scale array, no separate
+        # xi/xs buffers): reads bf16 x, quantizes in VMEM, int8 dots.
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _i():
+            acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        x = x_ref[:].astype(jnp.float32)            # (m, tile_k)
+        amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        xs = jnp.maximum(amax, 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+        bi = w_ref[:].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(bi, 28), 28).astype(jnp.int8)
+        hi = jnp.right_shift(bi, 4).astype(jnp.int8)
+        s = s_ref[0]                                 # (tile_n,)
+        half = tile_k // 2
+        p1 = jax.lax.dot(xi[:, :half], lo, preferred_element_type=jnp.int32)
+        p2 = jax.lax.dot(xi[:, half:], hi, preferred_element_type=jnp.int32)
+        acc[:] = acc[:] + (p1 + p2).astype(jnp.float32) * xs * \
+            s[None, :].astype(jnp.float32)
+
+        @pl.when(kb == k_tiles - 1)
+        def _e():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+    def build_i(kern):
+        f = functools.partial(kern, k_tiles=k_tiles)
+
+        @jax.jit
+        def call(x, w_p, gs_tiles):
+            # gs_tiles: (k_tiles, n) one scale row per k-tile (gpt == 1)
+            return pl.pallas_call(
+                f,
+                grid=(n // tile_n, k_tiles),
+                in_specs=[
+                    pl.BlockSpec((m, tile_k), lambda nb, kb: (0, kb),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile_k // 2, tile_n), lambda nb, kb: (kb, nb),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tile_n), lambda nb, kb: (kb, nb),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((m, tile_n), lambda nb, kb: (0, nb),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+                scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * m * k * n,
+                    bytes_accessed=k * n // 2 + m * k * 2 + m * n * 2,
+                    transcendentals=0),
+            )(x, w_p, gs_tiles)
+        return call
+
     def build_a8(kern):
         f = functools.partial(kern, k_tiles=k_tiles)
 
@@ -303,11 +360,23 @@ def main():
     print(f"G split-dots bf16 : {t:7.1f} us/matmul")
     t = timeit(mk_chain(lambda xx, a, b: callH(xx, a, b), w4p))
     print(f"H W4A8 split-dots : {t:7.1f} us/matmul")
+    callI = build_i(kern_I)
+    w4t = [(p_, gs_[:k_tiles]) for p_, gs_ in
+           [(jnp.asarray(pp), jnp.asarray(gg)) for pp, gg in w4]]
+    # tile scales: one row per k-tile (take group row 0 of each tile)
+    w4t = [(jnp.asarray(pp),
+            jnp.asarray(gg.reshape(k_tiles, gpt, n)[:, 0]))
+           for pp, gg in w4]
+    t = timeit(mk_chain(lambda xx, a, b: callI(xx, a, b), w4t))
+    print(f"I W4A8 in-kern aq : {t:7.1f} us/matmul")
 
     # correctness spot checks for the new variants. F/G/H share D's
     # tile-scale semantics (s[0]), so D is the exactness reference; F/H
     # additionally carry the A8 activation-quant error (expected ~0.5%).
     outD0 = np.asarray(callD(x, *w4p[0]), np.float32)
+    oI = np.asarray(callI(x, *w4t[0]), np.float32)
+    print("I vs D max rel err:",
+          np.abs(oI - outD0).max() / (np.abs(outD0).max() + 1e-9))
     for nm, c in (("F", callF), ("G", callG), ("H", callH)):
         o = np.asarray(c(x, *w4p[0]), np.float32)
         print(f"{nm} vs D max rel err:",

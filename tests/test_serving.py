@@ -617,3 +617,21 @@ def test_batched_prefill_group_alloc_failure_releases_pages(llm):
             for i in range(6)])
     assert len(eng.cache._free) == free_before
     assert not [s for s in eng.seqs if s != "__pad__"]
+
+
+def test_spec_wave_mixed_max_new_exact(llm):
+    """Rows with tiny max_new (write cover smaller than the wave's chunk
+    span) must not perturb other rows: every row matches its solo run.
+    Guards the device-side page-cover clamp (writes beyond a row's
+    pre-extended allocation go to the trash page, not page-index slot 0)."""
+    prompts = {"short": ([5, 17, 101], 2), "long": ([9, 8, 7, 6, 5], 14),
+               "mid": ([200, 300, 200], 5)}
+    want = {k: llm.generate(v, max_new_tokens=mn, temperature=0.0,
+                            repetition_penalty=1.0, speculative="off")
+            for k, (v, mn) in prompts.items()}
+    eng = _engine(llm)
+    for k, (v, mn) in prompts.items():
+        eng.add_request(k, v, max_new_tokens=mn, temperature=0.0,
+                        repetition_penalty=1.0)
+    got = eng.run_spec(iters=3, draft=4)
+    assert got == want
