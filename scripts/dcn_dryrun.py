@@ -122,6 +122,10 @@ def parent(args) -> None:
         env["JAX_PLATFORMS"] = "cpu"
         env["RAGMEUP_PLATFORM"] = "cpu"
         env.pop("XLA_FLAGS", None)
+        # The child imports ragmeup_tpu; sys.path[0] for a script run is
+        # scripts/, so the repo root must come via PYTHONPATH (extend, never
+        # replace — the existing value carries the TPU plugin site).
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         cmd = [sys.executable, os.path.abspath(__file__),
                "--process-id", str(i),
                "--coordinator", f"localhost:{port}",
