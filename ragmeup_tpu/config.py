@@ -361,6 +361,11 @@ class ServerConfig:
     batched_llm: bool = False
     kv_pages: int = 512
     kv_page_size: int = 128
+    # page budget per sequence (bounds one request's prompt+generation
+    # length at kv_max_pages_per_seq * kv_page_size tokens). 0 keeps the
+    # engine default (16 → 2048 tokens at 128-token pages); raise it
+    # together with llm_max_seq_len for long-context RAG prompts
+    kv_max_pages_per_seq: int = 0
     # tokens decoded per device dispatch in the batched backend (waves
     # keep the sampling carry device-resident; 0 = stepwise debug path)
     llm_wave_steps: int = 8
@@ -421,6 +426,9 @@ _ENV_KEYMAP = {
     "llm_int4_w4a8": ("model", "int4_w4a8", _parse_bool),
     "llm_max_seq_len": ("model", "llm_max_seq_len", int),
     "batched_llm": ("server", "batched_llm", _parse_bool),
+    "kv_pages": ("server", "kv_pages", int),
+    "kv_page_size": ("server", "kv_page_size", int),
+    "kv_max_pages_per_seq": ("server", "kv_max_pages_per_seq", int),
     "llm_wave_steps": ("server", "llm_wave_steps", int),
     "llm_spec_draft": ("server", "llm_spec_draft", int),
     "max_document_limit": ("retrieval", "max_document_limit", int),

@@ -241,14 +241,17 @@ def _int4_matmul_call(x, w_p, gscale, tile_k: int, tile_n: int, group: int,
     )(x, w_p, gs)
 
 
-def _kernel4_a8(x_ref, xs_ref, w_ref, s_ref, o_ref, acc, *, k_tiles: int,
+def _kernel4_a8(x_ref, w_ref, s_ref, o_ref, acc, xq, xs, *, k_tiles: int,
                 tile_k: int):
-    """W4A8: int8 activations (per-row scale), nibbles unpacked straight
-    to int8, TWO int8xint8 MXU dots (lo/hi halves — skipping the concat
-    relayout), int32 accumulation, output scaled by x_scale * tile scale.
-    Slope-timed on v5e at the 8B MLP decode shape (m=1, 4096x14336):
-    74.0 us/matmul vs 80.2 for the bf16 int4 kernel and 87.7 for the int8
-    kernel (scripts/int4_variant_sweep.py variants F-H). Requires the
+    """W4A8: activations quantize to int8 IN the kernel (per-row scale),
+    nibbles unpack straight to int8, TWO int8xint8 MXU dots (lo/hi halves —
+    skipping the concat relayout), int32 accumulation, output scaled by
+    x_scale * tile scale. Slope-timed on v5e at the 8B MLP decode shape
+    (m=1, 4096x14336): 74.0 us/matmul vs 80.2 for the bf16 int4 kernel and
+    87.7 for the int8 kernel (scripts/int4_variant_sweep.py variants F-H).
+    In-kernel quantization (variant I) exists because the XLA-side quant
+    pass cost ~2 extra fusions per matmul — ~1.2 ms/token at 8B, enough to
+    flip the e2e result (BENCH_NOTES round-3 decode table). Requires the
     output-scaled layout (group == tile_k); activation quantization adds
     ~0.8% max rel err at this shape — measure logit quality per checkpoint
     before shipping (LlamaConfig.int4_w4a8)."""
@@ -257,17 +260,24 @@ def _kernel4_a8(x_ref, xs_ref, w_ref, s_ref, o_ref, acc, *, k_tiles: int,
     @pl.when(kb == 0)
     def _init():
         acc[:] = jnp.zeros(acc.shape, jnp.float32)
+        # quantize the FULL activation row block once per n-block (cheap:
+        # m x k VPU work vs a tile_k x tile_n weight load per step); kept
+        # per-n-block so no cross-"parallel"-step scratch dependency exists
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        xs[:] = sc
+        xq[:] = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
 
-    xi = x_ref[:]                       # (m, tile_k) int8
-    bi = w_ref[:].astype(jnp.int32)     # (tile_k//2, tile_n) packed
+    xi = xq[:, pl.ds(kb * tile_k, tile_k)]  # (m, tile_k) int8
+    bi = w_ref[:].astype(jnp.int32)         # (tile_k//2, tile_n) packed
     lo = jnp.right_shift(jnp.left_shift(bi, 28), 28).astype(jnp.int8)
     hi = jnp.right_shift(bi, 4).astype(jnp.int8)
-    s = s_ref[pl.ds(kb * 8, 8), :]
     half = tile_k // 2
     p1 = jax.lax.dot(xi[:, :half], lo, preferred_element_type=jnp.int32)
     p2 = jax.lax.dot(xi[:, half:], hi, preferred_element_type=jnp.int32)
     acc[:] = acc[:] + (p1 + p2).astype(jnp.float32) * \
-        xs_ref[:].astype(jnp.float32) * s[0][None, :].astype(jnp.float32)
+        xs[:] * s_ref[0][None, :].astype(jnp.float32)
 
     @pl.when(kb == k_tiles - 1)
     def _emit():
@@ -281,42 +291,37 @@ def _int4_matmul_a8_call(x, w_p, gscale, tile_k: int, tile_n: int,
     m, k = x.shape
     n = w_p.shape[1]
     k_tiles = k // tile_k
-    # per-row int8 activation quantization in-jit (fuses with the caller)
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
-    xs = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.float32)
-    xi = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
-                  -127, 127).astype(jnp.int8)
-    # pad the (k_tiles, n) tile scales to 8 sublanes per tile (Mosaic rule)
-    gs = gscale.reshape(k_tiles, 1, n)
-    gs = jnp.pad(gs, ((0, 0), (0, 7), (0, 0))).reshape(k_tiles * 8, n)
     kern = functools.partial(_kernel4_a8, k_tiles=k_tiles, tile_k=tile_k)
     return pl.pallas_call(
         kern,
         grid=(n // tile_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((m, tile_k), lambda nb, kb: (0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda nb, kb: (0, 0),
+            # full activation block: m x k bf16 is tiny at decode (<=64 KB)
+            pl.BlockSpec((m, k), lambda nb, kb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k // 2, tile_n), lambda nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_tiles * 8, tile_n), lambda nb, kb: (0, nb),
+            # per-tile scales ride the block system — no host-side pad,
+            # no in-kernel dynamic slice
+            pl.BlockSpec((1, tile_n), lambda nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, tile_n), lambda nb, kb: (0, nb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32),
+                        pltpu.VMEM((m, k), jnp.int8),
+                        pltpu.VMEM((m, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n,
-            bytes_accessed=k * n // 2 + m * k + m * n * 2
+            bytes_accessed=k * n // 2 + m * k * 2 + m * n * 2
             + (k // tile_k) * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xi, xs, w_p, gs)
+    )(x, w_p, gscale)
 
 
 def int4_matmul(x: jnp.ndarray, w_p: jnp.ndarray, gscale: jnp.ndarray,

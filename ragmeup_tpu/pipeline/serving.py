@@ -872,6 +872,7 @@ class BatchedChatBackend(ChatBackend):
              temperature: float = 0.2, repetition_penalty: float = 1.1) -> str:
         prompt = self.template(messages)
         ids = self.llm.tokenizer.encode(prompt)
+        self.last_prompt_tokens = len(ids)  # observability (long-ctx smoke)
         with self._id_lock:
             self._next_id += 1
             sid = f"req-{self._next_id}"

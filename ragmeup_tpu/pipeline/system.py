@@ -100,13 +100,17 @@ class RagSystem:
                 template = resolve_chat_template(cfg.model.llm_checkpoint)
                 if cfg.server.batched_llm:
                     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+                    ekw = dict(num_pages=cfg.server.kv_pages,
+                               page_size=cfg.server.kv_page_size)
+                    if cfg.server.kv_max_pages_per_seq > 0:
+                        ekw["max_pages_per_seq"] = \
+                            cfg.server.kv_max_pages_per_seq
                     backend = BatchedChatBackend(
                         self.llm, template=template,
                         assistant_token=cfg.model.llm_assistant_token,
                         wave_steps=cfg.server.llm_wave_steps,
                         spec_draft=cfg.server.llm_spec_draft,
-                        num_pages=cfg.server.kv_pages,
-                        page_size=cfg.server.kv_page_size)
+                        **ekw)
                 else:
                     backend = LocalChatBackend(
                         self.llm, template=template,

@@ -154,8 +154,9 @@ class IVFDenseView:
 
     Wires IVF into the product (config ``retrieval.ann="ivf"``): the
     DenseIndex stays the system of record (CRUD, persistence, row ids);
-    this view rebuilds its cluster layout from the index's host mirror
-    whenever the corpus changes (add/delete), and serves dense search with
+    this view rebuilds its cluster layout from the index's device corpus
+    (one fetch) whenever the corpus changes (add/delete), and serves dense
+    search with
     the same (row, score) contract as ``DenseIndex.search`` — including
     MMR over the top-``fetch_k`` candidates. Positions map back to global
     row ids via the live-row table, so hybrid fusion and the ChunkStore
@@ -198,7 +199,6 @@ class IVFDenseView:
                                 nprobe=self.nprobe)
         if search_type == "mmr":
             from ragmeup_tpu.ops.fusion import mmr_select
-            host = self.dense.host_vectors()
             if self.dense.normalize:
                 q = q / np.maximum(
                     np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -206,7 +206,8 @@ class IVFDenseView:
         for i, h in enumerate(hits):
             live = [(int(self._rows[p]), float(s)) for p, s in h]
             if search_type == "mmr" and live:
-                cand = host[[r for r, _ in live]].astype(np.float32)
+                # per-candidate device gather — no full-corpus host fetch
+                cand = self.dense.gather_rows([r for r, _ in live])
                 chosen = mmr_select(q[i], cand, k, mmr_lambda)
                 live = [live[c] for c in chosen]
             out.append(live[:k])
