@@ -417,7 +417,7 @@ class LlamaAttention(nn.Module):
         # `ring` is only set by the full prefill (queries at absolute
         # positions 0..s-1 — the ring derives positions from shard index,
         # so offset chunks like the speculative verify must not take it)
-        use_ring = (ring and ring_n > 1 and s > 1 and b == 1
+        use_ring = (ring and ring_n > 1 and s > 1
                     and capture_weights in (False, None)
                     and s % ring_n == 0 and kv_len % ring_n == 0)
         use_flash = (c.use_flash and capture_weights in (False, None, "qk")
@@ -435,12 +435,18 @@ class LlamaAttention(nn.Module):
             from ragmeup_tpu.ops.attention import ring_attention
             kr = jnp.repeat(k, rep, axis=2)
             vr = jnp.repeat(v, rep, axis=2)
-            qf = q.transpose(0, 2, 1, 3).reshape(nh, s, hd)
-            kf = kr.transpose(0, 2, 1, 3).reshape(nh, kv_len, hd)
-            vf = vr.transpose(0, 2, 1, 3).reshape(nh, kv_len, hd)
+            # fold HEAD-major (nh*b, s, hd): the 'model' shard on dim 0
+            # then cuts on head boundaries, so the fold stays expressible
+            # when q/k/v are already TP-head-sharded, and any batch size
+            # rides the ring (padded keys sit past every real query row of
+            # their own batch row, so the causal mask subsumes padding —
+            # same argument as the flash path, any b)
+            qf = q.transpose(2, 0, 1, 3).reshape(nh * b, s, hd)
+            kf = kr.transpose(2, 0, 1, 3).reshape(nh * b, kv_len, hd)
+            vf = vr.transpose(2, 0, 1, 3).reshape(nh * b, kv_len, hd)
             of = ring_attention(self.sp_mesh, qf, kf, vf,
                                 axis_name="corpus", head_axis="model")
-            out = of.reshape(1, nh, s, hd).transpose(0, 2, 1, 3)
+            out = of.reshape(nh, b, s, hd).transpose(1, 2, 0, 3)
             weights = None
         elif use_flash:
             # prefill fast path: causal flash kernel; any padded keys sit at

@@ -500,6 +500,45 @@ def test_ring_prefill_long_prompt_matches_single_device():
     assert g1 == g2
 
 
+def test_ring_prefill_batched_matches_single_device():
+    """Ring attention with b > 1: the head-major fold lets BATCHED prefill
+    ride the ring (round-2 verdict: SP was gated to b == 1). Logits for a
+    2-row padded batch must match the single-device forward row-for-row,
+    including the row whose real length is shorter than the padded width
+    (the causal mask subsumes right padding per row)."""
+    import jax.numpy as jnp
+
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaModel, causal_bias
+    from flax import linen as fnn
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32",
+                           max_seq_len=256)
+    mesh = make_mesh((1, 4, 2))
+    model_1 = LlamaModel(cfg)
+    model_r = LlamaModel(cfg, sp_mesh=mesh, tp_mesh=mesh)
+
+    rng = np.random.default_rng(3)
+    L = 64  # divisible by the 4-way corpus axis
+    ids = rng.integers(2, cfg.vocab_size, (2, L)).astype(np.int32)
+    lens = [L, 40]  # row 1 right-padded
+    for r, n in enumerate(lens):
+        ids[r, n:] = 0
+    positions = jnp.arange(L)
+    bias = causal_bias(L, L)
+
+    params = fnn.meta.unbox(
+        model_1.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]),
+                     positions=positions, attn_bias=bias)["params"])
+    out1 = model_1.apply({"params": params}, jnp.asarray(ids),
+                         positions=positions, attn_bias=bias)
+    outr = model_r.apply({"params": params}, jnp.asarray(ids),
+                         positions=positions, attn_bias=bias, ring=True)
+    for r, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(outr["logits"])[r, :n],
+            np.asarray(out1["logits"])[r, :n], rtol=3e-4, atol=3e-4)
+
+
 def test_ragsystem_tp_llm_knob(tmp_path):
     """parallel.model_axis > 1 makes RagSystem load the local LLM in TP
     mode (sharded params + KV cache) while chat still works end-to-end —
