@@ -79,6 +79,22 @@ class LlamaConfig:
     # (docs/BENCH_NOTES.md "flash prefill").
     use_flash: bool = False
     flash_block: int = 128  # minimum/granularity; kept for test overrides
+    # Qwen2-class checkpoints (Qwen2/Qwen2.5) put bias terms on the
+    # Q/K/V projections (o_proj and the MLP stay bias-free) — the only
+    # structural difference from Llama in that family.
+    qkv_bias: bool = False
+    # Mistral-class sliding-window attention: token i attends only
+    # positions (i - window, i]. 0 = full causal (Llama, Mistral v0.2+,
+    # stock Qwen2 configs with use_sliding_window=false). When the KV
+    # span fits inside the window the sliding mask EQUALS the causal
+    # mask, so the flash/ring prefill fast paths stay exact and engage
+    # only under that condition; the paged kernel and the dense einsum
+    # path mask the lower bound directly at any length.
+    sliding_window: int = 0
+    # Explicit per-head width for checkpoints where head_dim is NOT
+    # hidden_size / num_heads (Mistral-Nemo-class; HF config key
+    # "head_dim"). 0 = derive the classic way.
+    head_dim_override: int = 0
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -90,7 +106,7 @@ class LlamaConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim_override or self.hidden_size // self.num_heads
 
     @property
     def jdtype(self):
@@ -190,6 +206,10 @@ class QuantDense(nn.Module):
     use_kernel: bool = False
     q_group: int = 0  # int4 scale-group (0 = auto; see LlamaConfig)
     a8: bool = False  # W4A8 int4 path (see LlamaConfig.int4_w4a8)
+    # bias term (Qwen2-class q/k/v projections). Stays f32 under every
+    # quantization mode — it is O(features) and added AFTER the matmul
+    # (and after the TP psum/allgather, at global shape).
+    use_bias: bool = False
     tp_mesh: Optional[object] = None
 
     def _tp_shard_matmul(self, x2, w, s, matmul, local_ok):
@@ -233,6 +253,14 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         d_in = x.shape[-1]
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), (self.names[1],)),
+                (self.features,), jnp.float32)
+
+        def _b(out):
+            return out if bias is None else (out + bias).astype(out.dtype)
         if self.quantize and self.bits == 4:
             # packed int4 + group-wise scales (the TPU-native nf4; see
             # ops/quant_matmul.py — native jnp.int4 arrays can't cross jit
@@ -268,9 +296,9 @@ class QuantDense(nn.Module):
                     sd = jnp.repeat(s.astype(self.dtype), group, axis=0)
                     out = jnp.dot(x2, wd * sd,
                                   preferred_element_type=self.dtype)
-                return out.reshape(lead + (self.features,))
+                return _b(out.reshape(lead + (self.features,)))
             out = int4_matmul(x2, w, s, a8=self.a8)
-            return out.reshape(lead + (self.features,))
+            return _b(out.reshape(lead + (self.features,)))
         if self.quantize:
             w = self.param("kernel_q", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), self.names),
@@ -291,23 +319,24 @@ class QuantDense(nn.Module):
                         local_ok=lambda ki, ko: (ki % 512 == 0
                                                  and ko % 512 == 0))
                     if out is not None:
-                        return out.reshape(lead + (self.features,))
+                        return _b(out.reshape(lead + (self.features,)))
                 elif d_in % 512 == 0 and self.features % 512 == 0:
                     # decode-time fast path: fused dequant matmul reads
                     # int8 weights once (XLA otherwise materializes bf16
                     # weights)
                     out = int8_matmul(x2, w, s)
-                    return out.reshape(lead + (self.features,))
+                    return _b(out.reshape(lead + (self.features,)))
             wd = w.astype(self.dtype) * s.astype(self.dtype)[None, :]
             # collapse leading dims explicitly: XLA's dequant+dot fusion
             # pessimizes on a 3-D (b, 1, k) dot at small batch (measured
             # +6 ms/step at 8B batch-8 decode vs the same 8 rows as 2-D)
             x2 = x.reshape(rows, d_in)
             out = jnp.dot(x2, wd, preferred_element_type=self.dtype)
-            return out.reshape(lead + (self.features,))
+            return _b(out.reshape(lead + (self.features,)))
         w = self.param("kernel", dense_init(self.names),
                        (d_in, self.features), jnp.float32)
-        return jnp.dot(x, w.astype(self.dtype), preferred_element_type=self.dtype)
+        return _b(jnp.dot(x, w.astype(self.dtype),
+                          preferred_element_type=self.dtype))
 
 
 class LlamaAttention(nn.Module):
@@ -328,14 +357,14 @@ class LlamaAttention(nn.Module):
             qkv = QuantDense((nh + 2 * nkv) * hd, ("embed", "qkv"), quant,
                              c.jdtype, bits, c.quant_kernel,
                              q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh,
-                             name="qkv_proj")(x)
+                             use_bias=c.qkv_bias, name="qkv_proj")(x)
             q = qkv[..., :nh * hd]
             k = qkv[..., nh * hd:(nh + nkv) * hd]
             v = qkv[..., (nh + nkv) * hd:]
         else:
-            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="q_proj")(x)
-            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="k_proj")(x)
-            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, name="v_proj")(x)
+            q = QuantDense(nh * hd, ("embed", "qkv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, use_bias=c.qkv_bias, name="q_proj")(x)
+            k = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, use_bias=c.qkv_bias, name="k_proj")(x)
+            v = QuantDense(nkv * hd, ("embed", "kv"), quant, c.jdtype, bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8, tp_mesh=self.tp_mesh, use_bias=c.qkv_bias, name="v_proj")(x)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
@@ -366,7 +395,8 @@ class LlamaAttention(nn.Module):
                 vp = paged_update_token(
                     v_pages, jnp.transpose(v[:, 0], (1, 0, 2)), pages, slots,
                     hd)
-                attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths)
+                attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths,
+                                       window=c.sliding_window)
                 out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
             elif pages.ndim == 2:
                 # BATCHED chunk-append (pages/slots (b, s)): s tokens for
@@ -381,7 +411,8 @@ class LlamaAttention(nn.Module):
                 vp = paged_update_chunk(
                     v_pages, jnp.transpose(v, (2, 0, 1, 3)), pages, slots,
                     hd)
-                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths)
+                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
+                                             window=c.sliding_window)
                 out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             else:
                 # the single-sequence chunk writer scatters ONE sequence's
@@ -394,7 +425,8 @@ class LlamaAttention(nn.Module):
                 vp = paged_update_token(
                     v_pages, jnp.transpose(v[0], (1, 0, 2)), pages, slots,
                     hd)
-                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths)
+                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
+                                             window=c.sliding_window)
                 out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
                              bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
@@ -417,11 +449,16 @@ class LlamaAttention(nn.Module):
         # `ring` is only set by the full prefill (queries at absolute
         # positions 0..s-1 — the ring derives positions from shard index,
         # so offset chunks like the speculative verify must not take it)
-        use_ring = (ring and ring_n > 1 and s > 1
+        # sliding window (Mistral-class): when the whole KV span fits in
+        # the window the sliding mask EQUALS the causal mask, so the
+        # flash/ring fast paths stay exact; past that they hand off to the
+        # einsum path, which masks the lower bound explicitly.
+        win_ok = c.sliding_window == 0 or kv_len <= c.sliding_window
+        use_ring = (ring and ring_n > 1 and s > 1 and win_ok
                     and capture_weights in (False, None)
                     and s % ring_n == 0 and kv_len % ring_n == 0)
         use_flash = (c.use_flash and capture_weights in (False, None, "qk")
-                     and s > 1 and s % c.flash_block == 0
+                     and s > 1 and win_ok and s % c.flash_block == 0
                      and kv_len % c.flash_block == 0)
         if use_ring:
             # sequence-parallel prefill: the long RAG prompt shards over
@@ -525,6 +562,18 @@ class LlamaAttention(nn.Module):
             if attn_bias is not None:
                 # bias is (..., q, kv): insert the rep axis for broadcast
                 logits = logits + attn_bias[..., None, :, :]
+            if c.sliding_window:
+                # lower-bound mask: query at absolute position p attends
+                # keys in (p - window, p]. Query rows sit at cache_pos +
+                # row (dense decode) or at their row index (full prefill,
+                # which always starts at position 0); the upper bound is
+                # the existing causal/padding attn_bias.
+                base = cache_pos if cache_pos is not None else 0
+                qpos = base + jnp.arange(s)
+                keep = (jnp.arange(kv_len)[None, :]
+                        > qpos[:, None] - c.sliding_window)
+                logits = jnp.where(keep[None, None, None], logits,
+                                   jnp.float32(-1e30))
             weights = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bnrqk,bknd->bqnrd", weights.astype(c.jdtype),
                              v, preferred_element_type=c.jdtype)

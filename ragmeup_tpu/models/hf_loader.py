@@ -194,6 +194,24 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     from ragmeup_tpu.models.decoder import LlamaConfig
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         c = json.load(f)
+    # Llama-layout model families (same tensor names and block structure;
+    # the reference loads any of them through AutoModelForCausalLM —
+    # RAGHelper_local.py:61-73): qwen2 adds Q/K/V bias terms, mistral
+    # (v0.1) adds sliding-window attention. Anything else with a different
+    # layout must fail loudly rather than load garbage.
+    mt = c.get("model_type", "llama")
+    if mt not in ("llama", "mistral", "qwen2"):
+        raise ValueError(
+            f"unsupported model_type {mt!r} in {checkpoint_dir}/config.json "
+            "(supported Llama-layout families: llama, mistral, qwen2)")
+    qkv_bias = bool(c.get("attention_bias", mt == "qwen2"))
+    # mistral ships sliding_window at top level (null on v0.2+); qwen2
+    # gates it behind use_sliding_window (false on every stock release).
+    # Qwen2's max_window_layers refinement (sliding only below layer N) is
+    # intentionally not reproduced — window applies to all layers.
+    sw = c.get("sliding_window") or 0
+    if mt == "qwen2" and not c.get("use_sliding_window", False):
+        sw = 0
     # rope_scaling: Meta-Llama-3.1+ ships {"rope_type": "llama3", ...}
     # (older checkpoints use the key "type"). Silently dropping it makes
     # logits diverge from HF at all context lengths (round-1 ADVICE).
@@ -233,6 +251,11 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
                         max_seq_len or 32768),
         rms_eps=c.get("rms_norm_eps", 1e-5),
         tie_embeddings=c.get("tie_word_embeddings", False),
+        qkv_bias=qkv_bias,
+        sliding_window=int(sw),
+        # Mistral-Nemo-class checkpoints carry an explicit head_dim that
+        # is NOT hidden_size / num_heads
+        head_dim_override=int(c.get("head_dim") or 0),
         quantization=quantization,
     )
 
@@ -263,6 +286,11 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                          W(p + "self_attn.k_proj.weight"),
                          W(p + "self_attn.v_proj.weight")], axis=1)},
                     "o_proj": {"kernel": W(p + "self_attn.o_proj.weight")}}
+            if p + "self_attn.q_proj.bias" in t:  # qwen2-class
+                attn["qkv_proj"]["bias"] = np.concatenate(
+                    [t[p + "self_attn.q_proj.bias"].astype(np.float32),
+                     t[p + "self_attn.k_proj.bias"].astype(np.float32),
+                     t[p + "self_attn.v_proj.bias"].astype(np.float32)])
             mlp = {"gate_up_proj": {"kernel": np.concatenate(
                         [W(p + "mlp.gate_proj.weight"),
                          W(p + "mlp.up_proj.weight")], axis=1)},
@@ -274,6 +302,10 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                 "v_proj": {"kernel": W(p + "self_attn.v_proj.weight")},
                 "o_proj": {"kernel": W(p + "self_attn.o_proj.weight")},
             }
+            for proj in ("q_proj", "k_proj", "v_proj"):  # qwen2-class
+                bk = p + f"self_attn.{proj}.bias"
+                if bk in t:
+                    attn[proj]["bias"] = t[bk].astype(np.float32)
             mlp = {
                 "gate_proj": {"kernel": W(p + "mlp.gate_proj.weight")},
                 "up_proj": {"kernel": W(p + "mlp.up_proj.weight")},
@@ -334,13 +366,18 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
             params["lm_head"] = jnp.asarray(hw, jnp.bfloat16).T
     for i in range(num_layers):
         p = f"layers.{i}."
+        attn = {
+            "q_proj": quant_T(p + "self_attn.q_proj.weight"),
+            "k_proj": quant_T(p + "self_attn.k_proj.weight"),
+            "v_proj": quant_T(p + "self_attn.v_proj.weight"),
+            "o_proj": quant_T(p + "self_attn.o_proj.weight"),
+        }
+        for proj in ("q_proj", "k_proj", "v_proj"):  # qwen2-class bias
+            bk = p + f"self_attn.{proj}.bias"
+            if bk in t:
+                attn[proj]["bias"] = t[bk].astype(np.float32)
         params[f"layer_{i}"] = {
-            "attention": {
-                "q_proj": quant_T(p + "self_attn.q_proj.weight"),
-                "k_proj": quant_T(p + "self_attn.k_proj.weight"),
-                "v_proj": quant_T(p + "self_attn.v_proj.weight"),
-                "o_proj": quant_T(p + "self_attn.o_proj.weight"),
-            },
+            "attention": attn,
             "input_norm": {
                 "scale": t[p + "input_layernorm.weight"].astype(np.float32)},
             "post_attn_norm": {
@@ -419,13 +456,18 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             params["lm_head"] = jnp.asarray(hw, jnp.bfloat16).T
     for i in range(num_layers):
         p = f"layers.{i}."
+        attn = {
+            "q_proj": quant_T(p + "self_attn.q_proj.weight"),
+            "k_proj": quant_T(p + "self_attn.k_proj.weight"),
+            "v_proj": quant_T(p + "self_attn.v_proj.weight"),
+            "o_proj": quant_T(p + "self_attn.o_proj.weight"),
+        }
+        for proj in ("q_proj", "k_proj", "v_proj"):  # qwen2-class bias
+            bk = p + f"self_attn.{proj}.bias"
+            if bk in t:
+                attn[proj]["bias"] = t[bk].astype(np.float32)
         params[f"layer_{i}"] = {
-            "attention": {
-                "q_proj": quant_T(p + "self_attn.q_proj.weight"),
-                "k_proj": quant_T(p + "self_attn.k_proj.weight"),
-                "v_proj": quant_T(p + "self_attn.v_proj.weight"),
-                "o_proj": quant_T(p + "self_attn.o_proj.weight"),
-            },
+            "attention": attn,
             "input_norm": {
                 "scale": t[p + "input_layernorm.weight"].astype(np.float32)},
             "post_attn_norm": {
@@ -463,16 +505,21 @@ def quantize_decoder_params(params: dict, bits: int = 8,
         if bits not in (4, 8):  # head-only quantization (bits=0)
             return node
         if isinstance(node, dict):
-            if set(node.keys()) == {"kernel"} and getattr(node["kernel"], "ndim", 0) == 2:
+            if set(node.keys()) in ({"kernel"}, {"kernel", "bias"}) \
+                    and getattr(node.get("kernel"), "ndim", 0) == 2:
                 w = np.asarray(node["kernel"], np.float32)
                 if bits == 4:
                     from ragmeup_tpu.ops.quant_matmul import (
                         quantize_int4_groupwise)
                     p, gs = quantize_int4_groupwise(
                         w, group=int4_group or None)
-                    return {"kernel_p": p, "gscale": gs}
-                q, s = quant8(w)
-                return {"kernel_q": q, "scale": s}
+                    out = {"kernel_p": p, "gscale": gs}
+                else:
+                    q, s = quant8(w)
+                    out = {"kernel_q": q, "scale": s}
+                if "bias" in node:  # bias stays f32 under quantization
+                    out["bias"] = np.asarray(node["bias"], np.float32)
+                return out
             return {k: walk(v) for k, v in node.items()}
         return node
 

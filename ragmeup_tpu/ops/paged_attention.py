@@ -239,7 +239,8 @@ def _unpack_pages(pages: jnp.ndarray, hd: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
-                        sm_scale: Optional[float] = None) -> jnp.ndarray:
+                        sm_scale: Optional[float] = None,
+                        window: int = 0) -> jnp.ndarray:
     """q (b, nh, hd); pages (nkv, P, ps, hd); page_indices (b, max_pages);
     lengths (b,). Returns (b, nh, hd)."""
     b, nh, hd = q.shape
@@ -257,13 +258,17 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
     s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * sm_scale
     valid = jnp.arange(mp * ps)[None, :] < lengths[:, None]
+    if window:
+        valid = valid & (jnp.arange(mp * ps)[None, :]
+                         >= lengths[:, None] - window)
     s = jnp.where(valid[:, None, :], s, MASK_VALUE)
     w = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bht,bthd->bhd", w, v.astype(jnp.float32)).astype(q.dtype)
 
 
 def paged_attention_chunk_ref(q, k_pages, v_pages, page_indices, lengths,
-                              sm_scale: Optional[float] = None) -> jnp.ndarray:
+                              sm_scale: Optional[float] = None,
+                              window: int = 0) -> jnp.ndarray:
     """Multi-query (chunk-append) variant: q (b, s, nh, hd); lengths counts
     tokens INCLUDING the s-token chunk; query i attends key positions
     <= lengths - s + i (causal within the chunk, full prefix before it).
@@ -285,6 +290,9 @@ def paged_attention_chunk_ref(q, k_pages, v_pages, page_indices, lengths,
     limit = (lengths[:, None] - s_ + jnp.arange(s_)[None, :] + 1)  # (b, s)
     valid = (jnp.arange(mp * ps)[None, None, :]
              < limit[:, :, None])                                  # (b, s, T)
+    if window:
+        valid = valid & (jnp.arange(mp * ps)[None, None, :]
+                         >= limit[:, :, None] - window)
     sc = jnp.where(valid[:, None, :, :], sc, MASK_VALUE)
     w = jax.nn.softmax(sc, axis=-1)
     out = jnp.einsum("bhqt,bthd->bqhd", w, v.astype(jnp.float32))
@@ -300,7 +308,7 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                   k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
                   *, page_size: int, blocks: int, pages_per_block: int,
                   nkv: int, q_len: int, g: int, tok_per_row: int,
-                  sm_scale: float):
+                  sm_scale: float, window: int = 0):
     """Grid (b, blocks); every DMA copies one page for ALL kv heads (a
     strided (nkv, ps, hd) rectangle). The previous (b, nkv, blocks) grid
     issued nkv× more, nkv× smaller copies and was DMA-issue bound on the
@@ -389,7 +397,12 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                         lim = length - q_len + qpos + 1
                     limits[j] = (tok, lim)
                 tok, lim = limits[j]
-                parts.append(jnp.where(tok < lim, s_j, MASK_VALUE))
+                keep = tok < lim
+                if window:
+                    # sliding window (Mistral-class): the query at absolute
+                    # position lim - 1 attends keys >= lim - window
+                    keep = keep & (tok >= lim - window)
+                parts.append(jnp.where(keep, s_j, MASK_VALUE))
             s = parts[0] if c == 1 else jnp.concatenate(parts, axis=1)
             m_prev, l_prev = m_scr[h], l_scr[h]
             m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -415,7 +428,8 @@ def _paged_kernel(lengths_ref, page_idx_ref,
 def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     pages_per_block: int = 4,
                     interpret: Optional[bool] = None,
-                    sm_scale: Optional[float] = None) -> jnp.ndarray:
+                    sm_scale: Optional[float] = None,
+                    window: int = 0) -> jnp.ndarray:
     """Decode-step paged attention. q (b, nh, hd); pages (nkv, P, ps, hd);
     page_indices (b, max_pages) int32; lengths (b,) int32."""
     if interpret is None:
@@ -430,7 +444,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         # sm_scale stays 1/sqrt(REAL hd), not the padded width.
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, cols - hd)))
         out = paged_attention(qp, k_pages, v_pages, page_indices, lengths,
-                              pages_per_block, interpret, sm_scale=sm_scale)
+                              pages_per_block, interpret, sm_scale=sm_scale,
+                              window=window)
         return out[..., :hd]
     c = cols // hd            # tokens packed per row (see pages_tok_per_row)
     ps = rows * c             # logical page size in tokens
@@ -444,7 +459,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         return paged_attention_ref(q, _unpack_pages(k_pages, hd),
                                    _unpack_pages(v_pages, hd),
                                    page_indices, lengths,
-                                   sm_scale=sm_scale)
+                                   sm_scale=sm_scale, window=window)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -453,14 +468,15 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     g = nh // nkv
     out = _paged_attention_call(q.reshape(b, nkv, g, hd), k_pages, v_pages,
                                 page_indices, lengths, pages_per_block,
-                                interpret, ps, 1, sm_scale)
+                                interpret, ps, 1, sm_scale, window)
     return out.reshape(b, nh, hd)
 
 
 def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int = 4,
                           interpret: Optional[bool] = None,
-                          sm_scale: Optional[float] = None) -> jnp.ndarray:
+                          sm_scale: Optional[float] = None,
+                          window: int = 0) -> jnp.ndarray:
     """Chunk-append paged attention (speculative verify / chunked prefill):
     q (b, s, nh, hd); lengths counts tokens INCLUDING the chunk; query i
     attends key positions <= lengths - s + i. Returns (b, s, nh, hd)."""
@@ -474,7 +490,7 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, cols - hd)))
         out = paged_attention_chunk(qp, k_pages, v_pages, page_indices,
                                     lengths, pages_per_block, interpret,
-                                    sm_scale=sm_scale)
+                                    sm_scale=sm_scale, window=window)
         return out[..., :hd]
     c = cols // hd
     ps = rows * c
@@ -483,7 +499,7 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
         return paged_attention_chunk_ref(q, _unpack_pages(k_pages, hd),
                                          _unpack_pages(v_pages, hd),
                                          page_indices, lengths,
-                                         sm_scale=sm_scale)
+                                         sm_scale=sm_scale, window=window)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -493,18 +509,19 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
     qg = jnp.transpose(q.reshape(b, s_, nkv, g, hd),
                        (0, 2, 1, 3, 4)).reshape(b, nkv, s_ * g, hd)
     out = _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
-                                pages_per_block, interpret, ps, s_, sm_scale)
+                                pages_per_block, interpret, ps, s_, sm_scale,
+                                window)
     out = out.reshape(b, nkv, s_, g, hd)
     return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, s_, nh, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret",
                                              "page_size", "q_len",
-                                             "sm_scale"))
+                                             "sm_scale", "window"))
 def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int, interpret: bool,
                           page_size: int, q_len: int,
-                          sm_scale: float) -> jnp.ndarray:
+                          sm_scale: float, window: int = 0) -> jnp.ndarray:
     b, nkv, qrows, hd = qg.shape  # qrows = q_len * g
     _, P, rows, cols = k_pages.shape
     ps = page_size
@@ -514,7 +531,7 @@ def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
     kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
                              pages_per_block=pages_per_block, nkv=nkv,
                              q_len=q_len, g=g, tok_per_row=cols // hd,
-                             sm_scale=sm_scale)
+                             sm_scale=sm_scale, window=window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, blocks),

@@ -291,6 +291,11 @@ def _int4_matmul_a8_call(x, w_p, gscale, tile_k: int, tile_n: int,
     m, k = x.shape
     n = w_p.shape[1]
     k_tiles = k // tile_k
+    # one scale row per k-tile, padded to 8 sublanes per tile (Mosaic
+    # requires the second-to-last block dim divisible by 8 on real TPUs —
+    # a (1, tile_n) block lowers in interpret mode only)
+    gs = jnp.pad(gscale[:, None], ((0, 0), (0, 7), (0, 0)))
+    gs = gs.reshape(k_tiles * 8, n)
     kern = functools.partial(_kernel4_a8, k_tiles=k_tiles, tile_k=tile_k)
     return pl.pallas_call(
         kern,
@@ -301,9 +306,8 @@ def _int4_matmul_a8_call(x, w_p, gscale, tile_k: int, tile_n: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k // 2, tile_n), lambda nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
-            # per-tile scales ride the block system — no host-side pad,
-            # no in-kernel dynamic slice
-            pl.BlockSpec((1, tile_n), lambda nb, kb: (kb, nb),
+            # per-tile scales: row 0 of this tile's 8-row padded block
+            pl.BlockSpec((8, tile_n), lambda nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, tile_n), lambda nb, kb: (0, nb),
@@ -321,7 +325,7 @@ def _int4_matmul_a8_call(x, w_p, gscale, tile_k: int, tile_n: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_p, gscale)
+    )(x, w_p, gs)
 
 
 def int4_matmul(x: jnp.ndarray, w_p: jnp.ndarray, gscale: jnp.ndarray,

@@ -426,3 +426,39 @@ def test_long_prompt_not_truncated_below_ceiling():
     max_prompt = cfg.max_seq_len - min(64, cfg.max_seq_len // 2)
     assert max_prompt >= 10_000
     assert llm._bucket(10_000) == 16384
+
+
+def test_sliding_window_decode_matches_full_forward():
+    """Mistral-class sliding window through the REAL generation path: the
+    dense-cache decode step masks keys below cache_pos+1-window; every
+    generated token must match a full-recompute windowed forward, and must
+    DIFFER from the unwindowed model once the context exceeds the window
+    (else the mask is dead code)."""
+    cfg = LlamaConfig.tiny(sliding_window=12, dtype="float32")
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    prompt = list(np.random.default_rng(0).integers(5, 500, 20))
+    prompt = [int(t) for t in prompt]
+    gen = llm.generate(prompt, max_new_tokens=6, temperature=0.0,
+                       repetition_penalty=1.0, speculative="off")
+
+    seq = list(prompt)
+    for _ in range(6):
+        logits = llm.model.apply(
+            {"params": llm.params}, jnp.asarray([seq]),
+            positions=jnp.arange(len(seq)),
+            attn_bias=causal_bias(len(seq), len(seq)))["logits"]
+        seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
+    assert gen == seq[len(prompt):]
+
+    # the window genuinely bites: the unwindowed twin diverges in logits
+    cfg_full = LlamaConfig.tiny(sliding_window=0, dtype="float32")
+    llm_full = LocalLLM(cfg_full, SimpleTokenizer(cfg.vocab_size), seed=0)
+    lw = llm.model.apply(
+        {"params": llm.params}, jnp.asarray([prompt]),
+        positions=jnp.arange(len(prompt)),
+        attn_bias=causal_bias(len(prompt), len(prompt)))["logits"]
+    lf = llm_full.model.apply(
+        {"params": llm_full.params}, jnp.asarray([prompt]),
+        positions=jnp.arange(len(prompt)),
+        attn_bias=causal_bias(len(prompt), len(prompt)))["logits"]
+    assert float(np.max(np.abs(np.asarray(lw) - np.asarray(lf)))) > 1e-4

@@ -379,3 +379,98 @@ def test_batched_chunk_writer_rejects_packed_layout(rng):
     with pytest.raises(ValueError):
         paged_update_chunk(pool, vals, jnp.zeros((2, 3), jnp.int32),
                            jnp.zeros((2, 3), jnp.int32), hd)
+
+
+def _np_windowed_attention(q, k_pages, v_pages, page_idx, lengths, window,
+                           q_len=1):
+    """numpy oracle: full gather + sliding-window-masked softmax.
+    Query row i (of q_len) sits at absolute position length - q_len + i and
+    attends keys in (pos - window, pos]."""
+    b = q.shape[0]
+    nkv, P, ps, hd = k_pages.shape
+    nh = q.shape[-2] if q_len > 1 else q.shape[1]
+    g = nh // nkv
+    outs = []
+    for i in range(b):
+        T = int(lengths[i])
+        pages = page_idx[i]
+        k = k_pages[:, pages].reshape(nkv, -1, hd)[:, :T]  # (nkv, T, hd)
+        v = v_pages[:, pages].reshape(nkv, -1, hd)[:, :T]
+        k = np.repeat(k, g, axis=0)
+        v = np.repeat(v, g, axis=0)
+        rows = []
+        qi = q[i] if q_len > 1 else q[i][None]  # (q_len, nh, hd)
+        for r in range(q_len):
+            pos = T - q_len + r
+            lo = max(0, pos + 1 - window) if window else 0
+            s = np.einsum("hd,htd->ht", qi[r].astype(np.float64),
+                          k[:, :pos + 1].astype(np.float64)) / np.sqrt(hd)
+            s[:, :lo] = -np.inf
+            w = np.exp(s - s.max(axis=1, keepdims=True))
+            w /= w.sum(axis=1, keepdims=True)
+            rows.append(np.einsum("ht,htd->hd", w,
+                                  v[:, :pos + 1].astype(np.float64)))
+        outs.append(np.stack(rows) if q_len > 1 else rows[0])
+    return np.stack(outs).astype(np.float32)
+
+
+def test_paged_window_decode_matches_oracle(rng):
+    """Sliding-window paged decode (Mistral-class): kernel and XLA ref
+    both mask keys below pos+1-window; verified against a numpy oracle at
+    window < length, == length, and > length (degenerates to causal)."""
+    b, nh, nkv, hd, ps, P = 3, 8, 4, 128, 16, 32
+    lengths = np.asarray([100, 37, 64], np.int32)
+    mp = -(-int(lengths.max()) // ps)
+    q = rng.standard_normal((b, nh, hd)).astype(np.float32)
+    kp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    vp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    page_idx = np.stack([rng.permutation(P)[:mp] for _ in range(b)]).astype(
+        np.int32)
+    for window in (24, 37, 200):
+        oracle = _np_windowed_attention(q, kp, vp, page_idx, lengths, window)
+        out = paged_attention(jnp.asarray(q), jnp.asarray(kp),
+                              jnp.asarray(vp), jnp.asarray(page_idx),
+                              jnp.asarray(lengths), pages_per_block=2,
+                              window=window)
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4,
+                                   err_msg=f"window={window}")
+        from ragmeup_tpu.ops.paged_attention import paged_attention_ref
+        ref = paged_attention_ref(jnp.asarray(q), jnp.asarray(kp),
+                                  jnp.asarray(vp), jnp.asarray(page_idx),
+                                  jnp.asarray(lengths), window=window)
+        np.testing.assert_allclose(np.asarray(ref), oracle, atol=2e-4)
+    # window > length must equal the unwindowed result exactly
+    full = paged_attention(jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                           jnp.asarray(page_idx), jnp.asarray(lengths),
+                           pages_per_block=2)
+    win = paged_attention(jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                          jnp.asarray(page_idx), jnp.asarray(lengths),
+                          pages_per_block=2, window=200)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=1e-6)
+
+
+def test_paged_window_chunk_matches_oracle(rng):
+    """Chunk-append (speculative verify / chunked prefill) with a sliding
+    window: each of the s chunk rows gets its OWN lower bound."""
+    from ragmeup_tpu.ops.paged_attention import paged_attention_chunk, \
+        paged_attention_chunk_ref
+    b, s, nh, nkv, hd, ps, P = 2, 4, 8, 4, 128, 16, 32
+    lengths = np.asarray([57, 101], np.int32)
+    mp = 8
+    q = rng.standard_normal((b, s, nh, hd)).astype(np.float32)
+    kp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    vp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    page_idx = np.stack([rng.permutation(P)[:mp] for _ in range(b)]).astype(
+        np.int32)
+    window = 16
+    oracle = _np_windowed_attention(q, kp, vp, page_idx, lengths, window,
+                                    q_len=s)
+    out = paged_attention_chunk(jnp.asarray(q), jnp.asarray(kp),
+                                jnp.asarray(vp), jnp.asarray(page_idx),
+                                jnp.asarray(lengths), pages_per_block=2,
+                                window=window)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+    ref = paged_attention_chunk_ref(jnp.asarray(q), jnp.asarray(kp),
+                                    jnp.asarray(vp), jnp.asarray(page_idx),
+                                    jnp.asarray(lengths), window=window)
+    np.testing.assert_allclose(np.asarray(ref), oracle, atol=2e-4)
