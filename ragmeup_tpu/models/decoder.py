@@ -95,6 +95,18 @@ class LlamaConfig:
     # hidden_size / num_heads (Mistral-Nemo-class; HF config key
     # "head_dim"). 0 = derive the classic way.
     head_dim_override: int = 0
+    # MLP activation on the gate branch: silu (Llama/Mistral/Qwen/Phi-3),
+    # gelu_tanh (Gemma's gelu_pytorch_tanh), gelu (exact erf).
+    act_fn: str = "silu"
+    # RMSNorm scale offset: Gemma-family norms multiply by (1 + weight),
+    # so the loaded weight is an offset from 1. 0.0 = Llama convention.
+    norm_offset: float = 0.0
+    # Gemma-family: scale token embeddings by sqrt(hidden_size) after the
+    # lookup (HF casts the normalizer to the activation dtype first).
+    embed_scale: bool = False
+    # Qwen3-class per-head RMSNorm on Q and K (over head_dim, before
+    # rope); weights live at attention.{q,k}_norm.scale.
+    qk_norm: bool = False
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -368,6 +380,13 @@ class LlamaAttention(nn.Module):
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nkv, hd)
         v = v.reshape(b, s, nkv, hd)
+        if c.qk_norm:
+            # Qwen3-class: per-head RMSNorm over head_dim BEFORE rope (HF
+            # Qwen3Attention applies q_norm/k_norm on the (.., heads, hd)
+            # view); f32 internally, back to the model dtype — exactly the
+            # shared RMSNorm semantics, applied on the trailing hd axis.
+            q = RMSNorm(c.rms_eps, c.jdtype, name="q_norm")(q)
+            k = RMSNorm(c.rms_eps, c.jdtype, name="k_norm")(k)
         # rope rotates in f32 (cos/sin tables), then back to the model
         # dtype — matches HF semantics and keeps attention inputs bf16
         # (f32 q/k doubled the flash kernel's DMA and VMEM footprint)
@@ -615,9 +634,17 @@ class LlamaMlp(nn.Module):
             u = QuantDense(c.intermediate_size, ("embed", "mlp"), quant, c.jdtype,
                            bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
                            tp_mesh=self.tp_mesh, name="up_proj")(x)
+        if c.act_fn == "silu":
+            a = nn.silu(g)
+        elif c.act_fn == "gelu_tanh":  # Gemma's gelu_pytorch_tanh
+            a = nn.gelu(g, approximate=True)
+        elif c.act_fn == "gelu":
+            a = nn.gelu(g, approximate=False)
+        else:
+            raise ValueError(f"unsupported act_fn {c.act_fn!r}")
         return QuantDense(c.hidden_size, ("mlp", "embed"), quant, c.jdtype,
                           bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
-                          tp_mesh=self.tp_mesh, name="down_proj")(nn.silu(g) * u)
+                          tp_mesh=self.tp_mesh, name="down_proj")(a * u)
 
 
 class LlamaBlock(nn.Module):
@@ -632,12 +659,14 @@ class LlamaBlock(nn.Module):
         c = self.cfg
         h, new_cache, w = LlamaAttention(c, self.sp_mesh, self.tp_mesh,
                                          name="attention")(
-            RMSNorm(c.rms_eps, c.jdtype, name="input_norm")(x),
+            RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                    name="input_norm")(x),
             cos, sin, attn_bias, cache, cache_pos, capture_weights,
             paged_state, ring)
         x = x + h
         x = x + LlamaMlp(c, self.tp_mesh, name="mlp")(
-            RMSNorm(c.rms_eps, c.jdtype, name="post_attn_norm")(x))
+            RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                    name="post_attn_norm")(x))
         return x, new_cache, w
 
 
@@ -662,6 +691,11 @@ class LlamaModel(nn.Module):
         emb = self.param("token_embedding", embed_init(("vocab", "embed")),
                          (c.vocab_size, c.hidden_size), jnp.float32)
         x = emb[input_ids].astype(c.jdtype)
+        if c.embed_scale:
+            # Gemma-family: embeddings scale by sqrt(hidden). HF casts the
+            # normalizer to the activation dtype BEFORE multiplying (a
+            # bf16-rounded constant under bf16) — match that exactly.
+            x = x * jnp.asarray(np.sqrt(c.hidden_size), c.jdtype)
         # rope cos/sin computed AT the requested positions ((s, hd/2) or
         # (b, s, hd/2)) instead of gathering from a (max_seq_len, hd/2)
         # table: a 128k-context config embedded 67 MB of table constants
@@ -693,7 +727,8 @@ class LlamaModel(nn.Module):
                 qk_last = w
             elif capture_weights:
                 all_w.append(w)
-        x = RMSNorm(c.rms_eps, c.jdtype, name="final_norm")(x)
+        x = RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                    name="final_norm")(x)
         if skip_head:
             # intermediate chunked-prefill dispatches only need the cache
             # side effects — skip the lm_head weight read entirely

@@ -194,24 +194,38 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     from ragmeup_tpu.models.decoder import LlamaConfig
     with open(os.path.join(checkpoint_dir, "config.json")) as f:
         c = json.load(f)
-    # Llama-layout model families (same tensor names and block structure;
-    # the reference loads any of them through AutoModelForCausalLM —
+    # Llama-layout model families (same block structure; the reference
+    # loads any of them through AutoModelForCausalLM —
     # RAGHelper_local.py:61-73): qwen2 adds Q/K/V bias terms, mistral
-    # (v0.1) adds sliding-window attention. Anything else with a different
-    # layout must fail loudly rather than load garbage.
+    # (v0.1) adds sliding-window attention, phi3 packs Q/K/V and gate/up
+    # into single tensors (split at load — _split_packed_tensors), gemma
+    # scales embeddings + offsets RMSNorm weights + gelu MLP, qwen3 adds
+    # per-head Q/K norms. Anything else with a different layout must fail
+    # loudly rather than load garbage.
     mt = c.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2"):
+    if mt not in ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma"):
         raise ValueError(
             f"unsupported model_type {mt!r} in {checkpoint_dir}/config.json "
-            "(supported Llama-layout families: llama, mistral, qwen2)")
+            "(supported Llama-layout families: llama, mistral, qwen2, "
+            "qwen3, phi3, gemma)")
     qkv_bias = bool(c.get("attention_bias", mt == "qwen2"))
-    # mistral ships sliding_window at top level (null on v0.2+); qwen2
-    # gates it behind use_sliding_window (false on every stock release).
-    # Qwen2's max_window_layers refinement (sliding only below layer N) is
-    # intentionally not reproduced — window applies to all layers.
+    # mistral/phi3 ship sliding_window at top level (null on mistral
+    # v0.2+); qwen2/qwen3 gate it behind use_sliding_window (false on
+    # every stock release). Qwen's max_window_layers refinement (sliding
+    # only below layer N) is intentionally not reproduced — window
+    # applies to all layers.
     sw = c.get("sliding_window") or 0
-    if mt == "qwen2" and not c.get("use_sliding_window", False):
+    if mt in ("qwen2", "qwen3") and not c.get("use_sliding_window", False):
         sw = 0
+    # MLP activation: Gemma checkpoints say gelu/gelu_pytorch_tanh (HF
+    # GemmaMLP resolves both to the tanh approximation); everything else
+    # here is SwiGLU-silu. An unknown activation must not load silently.
+    act = c.get("hidden_activation") or c.get("hidden_act") or "silu"
+    act_map = {"silu": "silu", "gelu_pytorch_tanh": "gelu_tanh",
+               "gelu": "gelu_tanh" if mt == "gemma" else "gelu"}
+    if act not in act_map:
+        raise ValueError(f"unsupported hidden activation {act!r} in "
+                         f"{checkpoint_dir}/config.json")
     # rope_scaling: Meta-Llama-3.1+ ships {"rope_type": "llama3", ...}
     # (older checkpoints use the key "type"). Silently dropping it makes
     # logits diverge from HF at all context lengths (round-1 ADVICE).
@@ -250,14 +264,49 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
         max_seq_len=min(c.get("max_position_embeddings", 8192),
                         max_seq_len or 32768),
         rms_eps=c.get("rms_norm_eps", 1e-5),
-        tie_embeddings=c.get("tie_word_embeddings", False),
+        # Gemma always ties the lm_head to the embedding table
+        tie_embeddings=c.get("tie_word_embeddings", mt == "gemma"),
         qkv_bias=qkv_bias,
         sliding_window=int(sw),
-        # Mistral-Nemo-class checkpoints carry an explicit head_dim that
-        # is NOT hidden_size / num_heads
+        # Mistral-Nemo / Gemma / Qwen3-class checkpoints carry an explicit
+        # head_dim that is NOT hidden_size / num_heads
         head_dim_override=int(c.get("head_dim") or 0),
+        act_fn=act_map[act],
+        norm_offset=1.0 if mt == "gemma" else 0.0,
+        embed_scale=mt == "gemma",
+        qk_norm=mt == "qwen3",
+        # phi3 checkpoints store Q/K/V (and gate/up) pre-packed; the
+        # tensors split at load (_split_packed_tensors), so the flax
+        # module keeps its standard per-projection layout
         quantization=quantization,
     )
+
+
+def _split_packed_tensors(tensors: Dict[str, np.ndarray], num_heads: int,
+                          num_kv_heads: int, head_dim: int
+                          ) -> Dict[str, np.ndarray]:
+    """Phi-3-class checkpoints pack Q/K/V into one ``qkv_proj`` tensor and
+    gate/up into ``gate_up_proj`` (rows [q; k; v] / [gate; up] in the torch
+    (out, in) layout). Split them back into the standard Llama names so
+    every downstream loader — generic, streaming int8, streaming int4 —
+    works unchanged. Row slices of the (out, in) array are views, so this
+    costs no copies on a 16 GB checkpoint."""
+    qh, kvh = num_heads * head_dim, num_kv_heads * head_dim
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tensors.items():
+        if k.endswith("self_attn.qkv_proj.weight"):
+            base = k[:-len("qkv_proj.weight")]
+            out[base + "q_proj.weight"] = v[:qh]
+            out[base + "k_proj.weight"] = v[qh:qh + kvh]
+            out[base + "v_proj.weight"] = v[qh + kvh:]
+        elif k.endswith("mlp.gate_up_proj.weight"):
+            base = k[:-len("gate_up_proj.weight")]
+            inter = v.shape[0] // 2
+            out[base + "gate_proj.weight"] = v[:inter]
+            out[base + "up_proj.weight"] = v[inter:]
+        else:
+            out[k] = v
+    return out
 
 
 def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
@@ -306,6 +355,10 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                 bk = p + f"self_attn.{proj}.bias"
                 if bk in t:
                     attn[proj]["bias"] = t[bk].astype(np.float32)
+            for nrm in ("q_norm", "k_norm"):  # qwen3-class per-head norms
+                nk = p + f"self_attn.{nrm}.weight"
+                if nk in t:
+                    attn[nrm] = {"scale": t[nk].astype(np.float32)}
             mlp = {
                 "gate_proj": {"kernel": W(p + "mlp.gate_proj.weight")},
                 "up_proj": {"kernel": W(p + "mlp.up_proj.weight")},
@@ -376,6 +429,10 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
             bk = p + f"self_attn.{proj}.bias"
             if bk in t:
                 attn[proj]["bias"] = t[bk].astype(np.float32)
+        for nrm in ("q_norm", "k_norm"):  # qwen3-class per-head norms
+            nk = p + f"self_attn.{nrm}.weight"
+            if nk in t:
+                attn[nrm] = {"scale": t[nk].astype(np.float32)}
         params[f"layer_{i}"] = {
             "attention": attn,
             "input_norm": {
@@ -466,6 +523,10 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             bk = p + f"self_attn.{proj}.bias"
             if bk in t:
                 attn[proj]["bias"] = t[bk].astype(np.float32)
+        for nrm in ("q_norm", "k_norm"):  # qwen3-class per-head norms
+            nk = p + f"self_attn.{nrm}.weight"
+            if nk in t:
+                attn[nrm] = {"scale": t[nk].astype(np.float32)}
         params[f"layer_{i}"] = {
             "attention": attn,
             "input_norm": {
@@ -567,6 +628,10 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
             # W4A8 needs the output-scaled quant layout (group == tile)
             cfg = _dc.replace(cfg, int4_w4a8=True, int4_group=512)
         tensors = load_safetensors(checkpoint_dir)
+        if any(k.endswith("self_attn.qkv_proj.weight") for k in tensors):
+            # phi3-class packed projections → standard names (view slices)
+            tensors = _split_packed_tensors(
+                tensors, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim)
         if head_quantization == "int8" and not cfg.tie_embeddings:
             cfg = _dc.replace(cfg, head_quantization="int8")
         if quantization == "int8" and not cfg.fused_projections:

@@ -131,8 +131,14 @@ class LayerNorm(nn.Module):
 
 
 class RMSNorm(nn.Module):
+    """RMS norm in f32 with a learned scale. ``offset`` supports the
+    Gemma-family convention where the stored weight is an offset from 1
+    (HF GemmaRMSNorm multiplies by ``1.0 + weight``): set offset=1.0 and
+    load the checkpoint weight as-is."""
+
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    offset: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -140,4 +146,5 @@ class RMSNorm(nn.Module):
             nn.initializers.ones_init(), ("embed",)), (x.shape[-1],), jnp.float32)
         x32 = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
-        return (x32 * jax.lax.rsqrt(var + self.eps) * scale).astype(self.dtype)
+        return (x32 * jax.lax.rsqrt(var + self.eps)
+                * (scale + self.offset)).astype(self.dtype)

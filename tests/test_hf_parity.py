@@ -51,6 +51,10 @@ def _our_llama_logits(ckpt_dir, quantization="none", dtype="float32"):
     cfg = llama_config_from_hf(ckpt_dir)
     cfg = dataclasses.replace(cfg, dtype=dtype, quantization=quantization)
     tensors = load_safetensors(ckpt_dir)
+    if any(k.endswith("self_attn.qkv_proj.weight") for k in tensors):
+        from ragmeup_tpu.models.hf_loader import _split_packed_tensors
+        tensors = _split_packed_tensors(tensors, cfg.num_heads,
+                                        cfg.num_kv_heads, cfg.head_dim)
     params = llama_params_from_hf(tensors, cfg.num_layers, cfg.tie_embeddings)
     if quantization in ("int8", "int4"):
         params = quantize_decoder_params(
@@ -412,3 +416,155 @@ def test_unsupported_model_type_fails_loudly(tmp_path):
         "intermediate_size": 128}))
     with pytest.raises(ValueError, match="model_type"):
         llama_config_from_hf(str(d))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 family widening: Phi-3 (packed projections), Gemma (embed scale,
+# offset norms, gelu-tanh MLP), Qwen3 (per-head Q/K norms). Same contract:
+# fp32 logits parity vs the real torch forward of a real save_pretrained
+# layout.
+# ---------------------------------------------------------------------------
+
+def test_phi3_logits_match_hf(tmp_path):
+    """Phi-3 packs Q/K/V and gate/up into single tensors; the loader must
+    split them back (wrong split boundaries scramble heads/gate-up)."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0, sliding_window=None,
+        tie_word_embeddings=False, pad_token_id=0, torch_dtype="float32")
+    torch.manual_seed(4)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "phi3"
+    model.save_pretrained(str(d), safe_serialization=True)
+    tensors = load_safetensors(str(d))
+    assert any(k.endswith("self_attn.qkv_proj.weight") for k in tensors)
+    with torch.no_grad():
+        golden = model(torch.tensor([IDS])).logits[0].numpy()
+    ours = _our_llama_logits(str(d))
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=2e-4)
+
+
+def test_phi3_load_local_llm_generates(tmp_path):
+    """The factory path (split + every loader) on a phi3 layout, both
+    unquantized and through the streaming int8 loader."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0, sliding_window=None,
+        tie_word_embeddings=False, pad_token_id=0, torch_dtype="float32")
+    torch.manual_seed(5)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "phi3f"
+    model.save_pretrained(str(d), safe_serialization=True)
+    from ragmeup_tpu.models.hf_loader import load_local_llm
+    outs = {}
+    for q in ("none", "int8"):
+        llm = load_local_llm(str(d), quantization=q)
+        outs[q] = llm.generate([1, 17, 9, 42], max_new_tokens=4,
+                               temperature=0.0, repetition_penalty=1.0,
+                               speculative="off")
+        assert len(outs[q]) == 4
+    # int8 codes differ by rounding only — same greedy path on a model
+    # this size
+    assert outs["none"] == outs["int8"]
+
+
+def test_phi3_longrope_fails_loudly(tmp_path):
+    """Phi-3 128k variants use longrope scaling — unsupported, and loading
+    with plain rope would silently produce garbage at length. Must raise."""
+    import json as _json
+    d = tmp_path / "phi3lr"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "phi3", "vocab_size": 128, "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "intermediate_size": 128,
+        "rope_scaling": {"rope_type": "longrope",
+                         "long_factor": [1.0] * 8, "short_factor": [1.0] * 8},
+        "max_position_embeddings": 131072}))
+    with pytest.raises(ValueError, match="rope_scaling"):
+        llama_config_from_hf(str(d))
+
+
+def test_gemma_logits_match_hf(tmp_path):
+    """Gemma: sqrt(hidden) embedding scale, RMSNorm multiplying by
+    (1 + weight), gelu-tanh MLP, tied lm_head, explicit head_dim. Any of
+    the four dropped shifts every logit — fp32 parity catches them all."""
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        torch_dtype="float32")
+    torch.manual_seed(6)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    d = tmp_path / "gemma"
+    model.save_pretrained(str(d), safe_serialization=True)
+    with torch.no_grad():
+        golden = model(torch.tensor([IDS])).logits[0].numpy()
+    cfg = llama_config_from_hf(str(d))
+    assert cfg.tie_embeddings and cfg.embed_scale \
+        and cfg.norm_offset == 1.0 and cfg.act_fn == "gelu_tanh" \
+        and cfg.head_dim == 16
+    ours = _our_llama_logits(str(d))
+    np.testing.assert_allclose(ours, golden, atol=3e-4, rtol=3e-4)
+
+
+def test_qwen3_logits_match_hf(tmp_path):
+    """Qwen3: per-head RMSNorm on Q and K before rope. Skipping the norms
+    (or applying them after rope) diverges at every position."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, torch_dtype="float32")
+    torch.manual_seed(7)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "qwen3"
+    model.save_pretrained(str(d), safe_serialization=True)
+    with torch.no_grad():
+        golden = model(torch.tensor([IDS])).logits[0].numpy()
+    cfg = llama_config_from_hf(str(d))
+    assert cfg.qk_norm and cfg.head_dim == 16 and not cfg.qkv_bias
+    ours = _our_llama_logits(str(d))
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=2e-4)
+    # the norms genuinely bite: zero the q_norm scales -> clear divergence
+    tensors = load_safetensors(str(d))
+    params = llama_params_from_hf(tensors, cfg.num_layers,
+                                  cfg.tie_embeddings)
+    for i in range(cfg.num_layers):
+        assert "q_norm" in params[f"layer_{i}"]["attention"]
+        params[f"layer_{i}"]["attention"]["q_norm"]["scale"] = \
+            np.zeros_like(params[f"layer_{i}"]["attention"]["q_norm"]["scale"])
+    from ragmeup_tpu.models.decoder import LlamaModel, causal_bias
+    out = LlamaModel(dataclasses.replace(cfg, dtype="float32")).apply(
+        {"params": params}, jnp.asarray([IDS], jnp.int32),
+        positions=jnp.arange(len(IDS)),
+        attn_bias=causal_bias(len(IDS), len(IDS)))
+    assert np.max(np.abs(np.asarray(out["logits"][0]) - golden)) > 1e-3
+
+
+def test_qwen3_norms_survive_quantization(tmp_path):
+    """Quantizers must pass the per-head norm scales through untouched —
+    both the generic walk and the streaming int8 loader."""
+    from ragmeup_tpu.models.hf_loader import llama_int8_params_from_hf
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, torch_dtype="float32")
+    torch.manual_seed(8)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "qwen3q"
+    model.save_pretrained(str(d), safe_serialization=True)
+    with torch.no_grad():
+        golden = model(torch.tensor([IDS])).logits[0].numpy()
+    ours = _our_llama_logits(str(d), quantization="int8")
+    assert np.max(np.abs(ours - golden)) < 0.05 * np.max(np.abs(golden))
+    cfg = llama_config_from_hf(str(d))
+    direct = llama_int8_params_from_hf(load_safetensors(str(d)),
+                                       cfg.num_layers, cfg.tie_embeddings)
+    for i in range(cfg.num_layers):
+        att = direct[f"layer_{i}"]["attention"]
+        assert "q_norm" in att and "k_norm" in att
+        assert np.asarray(att["q_norm"]["scale"]).dtype == np.float32
