@@ -107,6 +107,25 @@ class LlamaConfig:
     # Qwen3-class per-head RMSNorm on Q and K (over head_dim, before
     # rope); weights live at attention.{q,k}_norm.scale.
     qk_norm: bool = False
+    # Gemma-2-class attention-logit softcapping: scaled logits pass
+    # through cap*tanh(x/cap) BEFORE the causal mask. 0 = off. Softcapped
+    # attention disables the flash/ring fast paths (the kernels compute
+    # plain softmax); the paged kernels support it natively.
+    attn_softcap: float = 0.0
+    # Gemma-2-class final-logit softcapping on the lm_head output.
+    final_softcap: float = 0.0
+    # Attention score scale override: Gemma-2 scales by
+    # query_pre_attn_scalar**-0.5 instead of head_dim**-0.5. 0 = default.
+    query_scale: float = 0.0
+    # Gemma-2-class block structure: norms AROUND attention and MLP
+    # (input_norm -> attn -> post_attn_norm -> +residual;
+    #  pre_ffw_norm -> mlp -> post_ffw_norm -> +residual) instead of the
+    # Llama two-norm layout.
+    post_norms: bool = False
+    # Per-layer sliding windows (Gemma-2 alternates sliding/full layers —
+    # HF config key layer_types). Empty = every layer uses
+    # ``sliding_window``. Entries: 0 = full attention, N = window size.
+    layer_windows: tuple = ()
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -355,12 +374,17 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     sp_mesh: Optional[object] = None  # sequence-parallel prefill mesh
     tp_mesh: Optional[object] = None  # tensor-parallel kernel mesh
+    # per-layer sliding window override (Gemma-2 alternates sliding/full
+    # layers): -1 = use cfg.sliding_window, 0 = full, N = window
+    window: int = -1
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias=None, cache=None,
                  cache_pos=None, capture_weights: bool = False,
                  paged_state=None, ring: bool = False):
         c = self.cfg
+        win = c.sliding_window if self.window < 0 else self.window
+        sm_over = c.query_scale or None  # None = kernels default 1/sqrt(hd)
         b, s, _ = x.shape
         hd, nh, nkv = c.head_dim, c.num_heads, c.num_kv_heads
         quant = c.quantization in ("int8", "int4")
@@ -415,7 +439,8 @@ class LlamaAttention(nn.Module):
                     v_pages, jnp.transpose(v[:, 0], (1, 0, 2)), pages, slots,
                     hd)
                 attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths,
-                                       window=c.sliding_window)
+                                       window=win, sm_scale=sm_over,
+                                       softcap=c.attn_softcap)
                 out = attn[:, None].reshape(b, 1, nh * hd).astype(c.jdtype)
             elif pages.ndim == 2:
                 # BATCHED chunk-append (pages/slots (b, s)): s tokens for
@@ -431,7 +456,8 @@ class LlamaAttention(nn.Module):
                     v_pages, jnp.transpose(v, (2, 0, 1, 3)), pages, slots,
                     hd)
                 attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
-                                             window=c.sliding_window)
+                                             window=win, sm_scale=sm_over,
+                                             softcap=c.attn_softcap)
                 out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             else:
                 # the single-sequence chunk writer scatters ONE sequence's
@@ -445,7 +471,8 @@ class LlamaAttention(nn.Module):
                     v_pages, jnp.transpose(v[0], (1, 0, 2)), pages, slots,
                     hd)
                 attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
-                                             window=c.sliding_window)
+                                             window=win, sm_scale=sm_over,
+                                             softcap=c.attn_softcap)
                 out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
             out = QuantDense(c.hidden_size, ("qkv", "embed"), quant, c.jdtype,
                              bits, c.quant_kernel, q_group=c.int4_group, a8=c.int4_w4a8,
@@ -461,7 +488,7 @@ class LlamaAttention(nn.Module):
             new_cache = (ck, cv)
 
         rep = nh // nkv
-        scale = 1.0 / np.sqrt(hd)
+        scale = c.query_scale or 1.0 / np.sqrt(hd)
         kv_len = k.shape[1]
         ring_n = (self.sp_mesh.shape["corpus"]
                   if self.sp_mesh is not None else 0)
@@ -472,12 +499,16 @@ class LlamaAttention(nn.Module):
         # the window the sliding mask EQUALS the causal mask, so the
         # flash/ring fast paths stay exact; past that they hand off to the
         # einsum path, which masks the lower bound explicitly.
-        win_ok = c.sliding_window == 0 or kv_len <= c.sliding_window
-        use_ring = (ring and ring_n > 1 and s > 1 and win_ok
+        win_ok = win == 0 or kv_len <= win
+        # softcapped attention (Gemma-2) keeps the einsum path: the
+        # flash/ring kernels compute a plain softmax
+        cap_ok = c.attn_softcap == 0
+        use_ring = (ring and ring_n > 1 and s > 1 and win_ok and cap_ok
                     and capture_weights in (False, None)
                     and s % ring_n == 0 and kv_len % ring_n == 0)
         use_flash = (c.use_flash and capture_weights in (False, None, "qk")
-                     and s > 1 and win_ok and s % c.flash_block == 0
+                     and s > 1 and win_ok and cap_ok
+                     and s % c.flash_block == 0
                      and kv_len % c.flash_block == 0)
         if use_ring:
             # sequence-parallel prefill: the long RAG prompt shards over
@@ -578,10 +609,14 @@ class LlamaAttention(nn.Module):
             q5 = q.reshape(b, s, nkv, rep, hd)
             logits = jnp.einsum("bqnrd,bknd->bnrqk", q5, k,
                                 preferred_element_type=jnp.float32) * scale
+            if c.attn_softcap:
+                # Gemma-2: cap*tanh(x/cap) on the SCALED logits, before
+                # the additive mask (tanh of the -1e30 mask would erase it)
+                logits = jnp.tanh(logits / c.attn_softcap) * c.attn_softcap
             if attn_bias is not None:
                 # bias is (..., q, kv): insert the rep axis for broadcast
                 logits = logits + attn_bias[..., None, :, :]
-            if c.sliding_window:
+            if win:
                 # lower-bound mask: query at absolute position p attends
                 # keys in (p - window, p]. Query rows sit at cache_pos +
                 # row (dense decode) or at their row index (full prefill,
@@ -590,7 +625,7 @@ class LlamaAttention(nn.Module):
                 base = cache_pos if cache_pos is not None else 0
                 qpos = base + jnp.arange(s)
                 keep = (jnp.arange(kv_len)[None, :]
-                        > qpos[:, None] - c.sliding_window)
+                        > qpos[:, None] - win)
                 logits = jnp.where(keep[None, None, None], logits,
                                    jnp.float32(-1e30))
             weights = jax.nn.softmax(logits, axis=-1)
@@ -651,6 +686,7 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     sp_mesh: Optional[object] = None
     tp_mesh: Optional[object] = None
+    window: int = -1  # per-layer sliding window (see LlamaAttention)
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias, cache, cache_pos,
@@ -658,11 +694,24 @@ class LlamaBlock(nn.Module):
                  ring: bool = False):
         c = self.cfg
         h, new_cache, w = LlamaAttention(c, self.sp_mesh, self.tp_mesh,
-                                         name="attention")(
+                                         self.window, name="attention")(
             RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
                     name="input_norm")(x),
             cos, sin, attn_bias, cache, cache_pos, capture_weights,
             paged_state, ring)
+        if c.post_norms:
+            # Gemma-2 layout: norms AROUND each sublayer (HF
+            # Gemma2DecoderLayer.forward) — post_attn_norm applies to the
+            # attention OUTPUT here, not to the MLP input as in Llama
+            h = RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                        name="post_attn_norm")(h)
+            x = x + h
+            m = LlamaMlp(c, self.tp_mesh, name="mlp")(
+                RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                        name="pre_ffw_norm")(x))
+            m = RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
+                        name="post_ffw_norm")(m)
+            return x + m, new_cache, w
         x = x + h
         x = x + LlamaMlp(c, self.tp_mesh, name="mlp")(
             RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
@@ -716,7 +765,8 @@ class LlamaModel(nn.Module):
             if paged_caches is not None:
                 kp, vp = paged_caches[i]
                 pstate = (kp, vp) + tuple(paged_meta)
-            x, nc, w = LlamaBlock(c, self.sp_mesh, self.tp_mesh,
+            win_i = c.layer_windows[i] if c.layer_windows else -1
+            x, nc, w = LlamaBlock(c, self.sp_mesh, self.tp_mesh, win_i,
                                   name=f"layer_{i}")(
                 x, cos, sin, attn_bias, cache, cache_pos, cap, pstate, ring)
             if paged_caches is not None:
@@ -774,6 +824,9 @@ class LlamaModel(nn.Module):
             logits = jnp.dot(x.astype(head.dtype), head,
                              preferred_element_type=jnp.float32
                              ).astype(jnp.float32)
+        if c.final_softcap:
+            # Gemma-2 final-logit softcapping (f32, after the head read)
+            logits = jnp.tanh(logits / c.final_softcap) * c.final_softcap
         out = {"logits": logits}
         if caches is not None:
             out["caches"] = new_caches

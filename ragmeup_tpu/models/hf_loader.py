@@ -203,11 +203,12 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     # per-head Q/K norms. Anything else with a different layout must fail
     # loudly rather than load garbage.
     mt = c.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma"):
+    if mt not in ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
+                  "gemma2"):
         raise ValueError(
             f"unsupported model_type {mt!r} in {checkpoint_dir}/config.json "
             "(supported Llama-layout families: llama, mistral, qwen2, "
-            "qwen3, phi3, gemma)")
+            "qwen3, phi3, gemma, gemma2)")
     qkv_bias = bool(c.get("attention_bias", mt == "qwen2"))
     # mistral/phi3 ship sliding_window at top level (null on mistral
     # v0.2+); qwen2/qwen3 gate it behind use_sliding_window (false on
@@ -217,12 +218,24 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     sw = c.get("sliding_window") or 0
     if mt in ("qwen2", "qwen3") and not c.get("use_sliding_window", False):
         sw = 0
+    # gemma2 alternates sliding/full layers: HF layer_types lists them
+    # explicitly; older configs imply sliding on even layer indices
+    layer_windows = ()
+    if mt == "gemma2" and sw:
+        lt = c.get("layer_types")
+        if lt:
+            layer_windows = tuple(
+                int(sw) if t == "sliding_attention" else 0 for t in lt)
+        else:
+            layer_windows = tuple(
+                int(sw) if i % 2 == 0 else 0
+                for i in range(c["num_hidden_layers"]))
     # MLP activation: Gemma checkpoints say gelu/gelu_pytorch_tanh (HF
     # GemmaMLP resolves both to the tanh approximation); everything else
     # here is SwiGLU-silu. An unknown activation must not load silently.
     act = c.get("hidden_activation") or c.get("hidden_act") or "silu"
     act_map = {"silu": "silu", "gelu_pytorch_tanh": "gelu_tanh",
-               "gelu": "gelu_tanh" if mt == "gemma" else "gelu"}
+               "gelu": "gelu_tanh" if mt.startswith("gemma") else "gelu"}
     if act not in act_map:
         raise ValueError(f"unsupported hidden activation {act!r} in "
                          f"{checkpoint_dir}/config.json")
@@ -265,16 +278,24 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
                         max_seq_len or 32768),
         rms_eps=c.get("rms_norm_eps", 1e-5),
         # Gemma always ties the lm_head to the embedding table
-        tie_embeddings=c.get("tie_word_embeddings", mt == "gemma"),
+        tie_embeddings=c.get("tie_word_embeddings", mt.startswith("gemma")),
         qkv_bias=qkv_bias,
         sliding_window=int(sw),
         # Mistral-Nemo / Gemma / Qwen3-class checkpoints carry an explicit
         # head_dim that is NOT hidden_size / num_heads
         head_dim_override=int(c.get("head_dim") or 0),
         act_fn=act_map[act],
-        norm_offset=1.0 if mt == "gemma" else 0.0,
-        embed_scale=mt == "gemma",
+        norm_offset=1.0 if mt.startswith("gemma") else 0.0,
+        embed_scale=mt.startswith("gemma"),
         qk_norm=mt == "qwen3",
+        # gemma2: norms around each sublayer, logit softcaps, explicit
+        # attention scale, alternating per-layer sliding windows
+        post_norms=mt == "gemma2",
+        attn_softcap=float(c.get("attn_logit_softcapping") or 0.0),
+        final_softcap=float(c.get("final_logit_softcapping") or 0.0),
+        query_scale=(float(c["query_pre_attn_scalar"]) ** -0.5
+                     if c.get("query_pre_attn_scalar") else 0.0),
+        layer_windows=layer_windows,
         # phi3 checkpoints store Q/K/V (and gate/up) pre-packed; the
         # tensors split at load (_split_packed_tensors), so the flax
         # module keeps its standard per-projection layout
@@ -370,6 +391,12 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
             "post_attn_norm": {"scale": t[p + "post_attention_layernorm.weight"].astype(np.float32)},
             "mlp": mlp,
         }
+        for hfk, ours in (("pre_feedforward_layernorm", "pre_ffw_norm"),
+                          ("post_feedforward_layernorm", "post_ffw_norm")):
+            # gemma2-class around-sublayer norms
+            if p + hfk + ".weight" in t:
+                params[f"layer_{i}"][ours] = {
+                    "scale": t[p + hfk + ".weight"].astype(np.float32)}
     return params
 
 
@@ -446,6 +473,12 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
                 "down_proj": quant_T(p + "mlp.down_proj.weight"),
             },
         }
+        for hfk, ours in (("pre_feedforward_layernorm", "pre_ffw_norm"),
+                          ("post_feedforward_layernorm", "post_ffw_norm")):
+            # gemma2-class around-sublayer norms
+            if p + hfk + ".weight" in t:
+                params[f"layer_{i}"][ours] = {
+                    "scale": t[p + hfk + ".weight"].astype(np.float32)}
     return params
 
 
@@ -540,6 +573,12 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
                 "down_proj": quant_T(p + "mlp.down_proj.weight"),
             },
         }
+        for hfk, ours in (("pre_feedforward_layernorm", "pre_ffw_norm"),
+                          ("post_feedforward_layernorm", "post_ffw_norm")):
+            # gemma2-class around-sublayer norms
+            if p + hfk + ".weight" in t:
+                params[f"layer_{i}"][ours] = {
+                    "scale": t[p + hfk + ".weight"].astype(np.float32)}
     return params
 
 

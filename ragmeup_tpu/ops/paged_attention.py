@@ -240,7 +240,7 @@ def _unpack_pages(pages: jnp.ndarray, hd: int) -> jnp.ndarray:
 
 def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
                         sm_scale: Optional[float] = None,
-                        window: int = 0) -> jnp.ndarray:
+                        window: int = 0, softcap: float = 0.0) -> jnp.ndarray:
     """q (b, nh, hd); pages (nkv, P, ps, hd); page_indices (b, max_pages);
     lengths (b,). Returns (b, nh, hd)."""
     b, nh, hd = q.shape
@@ -257,6 +257,8 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
     v = jnp.repeat(v, g, axis=2)
     s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * sm_scale
+    if softcap:
+        s = jnp.tanh(s / softcap) * softcap
     valid = jnp.arange(mp * ps)[None, :] < lengths[:, None]
     if window:
         valid = valid & (jnp.arange(mp * ps)[None, :]
@@ -268,7 +270,8 @@ def paged_attention_ref(q, k_pages, v_pages, page_indices, lengths,
 
 def paged_attention_chunk_ref(q, k_pages, v_pages, page_indices, lengths,
                               sm_scale: Optional[float] = None,
-                              window: int = 0) -> jnp.ndarray:
+                              window: int = 0,
+                              softcap: float = 0.0) -> jnp.ndarray:
     """Multi-query (chunk-append) variant: q (b, s, nh, hd); lengths counts
     tokens INCLUDING the s-token chunk; query i attends key positions
     <= lengths - s + i (causal within the chunk, full prefix before it).
@@ -287,6 +290,8 @@ def paged_attention_chunk_ref(q, k_pages, v_pages, page_indices, lengths,
     v = jnp.repeat(v, g, axis=2)
     sc = jnp.einsum("bqhd,bthd->bhqt", q.astype(jnp.float32),
                     k.astype(jnp.float32)) * sm_scale
+    if softcap:
+        sc = jnp.tanh(sc / softcap) * softcap
     limit = (lengths[:, None] - s_ + jnp.arange(s_)[None, :] + 1)  # (b, s)
     valid = (jnp.arange(mp * ps)[None, None, :]
              < limit[:, :, None])                                  # (b, s, T)
@@ -308,7 +313,7 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                   k_buf, v_buf, sems, buf_idx, m_scr, l_scr, acc_scr,
                   *, page_size: int, blocks: int, pages_per_block: int,
                   nkv: int, q_len: int, g: int, tok_per_row: int,
-                  sm_scale: float, window: int = 0):
+                  sm_scale: float, window: int = 0, softcap: float = 0.0):
     """Grid (b, blocks); every DMA copies one page for ALL kv heads (a
     strided (nkv, ps, hd) rectangle). The previous (b, nkv, blocks) grid
     issued nkv× more, nkv× smaller copies and was DMA-issue bound on the
@@ -397,6 +402,10 @@ def _paged_kernel(lengths_ref, page_idx_ref,
                         lim = length - q_len + qpos + 1
                     limits[j] = (tok, lim)
                 tok, lim = limits[j]
+                if softcap:
+                    # Gemma-2 logit softcapping on the SCALED scores,
+                    # before masking (tanh of MASK_VALUE would erase it)
+                    s_j = jnp.tanh(s_j / softcap) * softcap
                 keep = tok < lim
                 if window:
                     # sliding window (Mistral-class): the query at absolute
@@ -429,7 +438,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     pages_per_block: int = 4,
                     interpret: Optional[bool] = None,
                     sm_scale: Optional[float] = None,
-                    window: int = 0) -> jnp.ndarray:
+                    window: int = 0, softcap: float = 0.0) -> jnp.ndarray:
     """Decode-step paged attention. q (b, nh, hd); pages (nkv, P, ps, hd);
     page_indices (b, max_pages) int32; lengths (b,) int32."""
     if interpret is None:
@@ -445,7 +454,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, cols - hd)))
         out = paged_attention(qp, k_pages, v_pages, page_indices, lengths,
                               pages_per_block, interpret, sm_scale=sm_scale,
-                              window=window)
+                              window=window, softcap=softcap)
         return out[..., :hd]
     c = cols // hd            # tokens packed per row (see pages_tok_per_row)
     ps = rows * c             # logical page size in tokens
@@ -459,7 +468,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         return paged_attention_ref(q, _unpack_pages(k_pages, hd),
                                    _unpack_pages(v_pages, hd),
                                    page_indices, lengths,
-                                   sm_scale=sm_scale, window=window)
+                                   sm_scale=sm_scale, window=window,
+                                   softcap=softcap)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -468,7 +478,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     g = nh // nkv
     out = _paged_attention_call(q.reshape(b, nkv, g, hd), k_pages, v_pages,
                                 page_indices, lengths, pages_per_block,
-                                interpret, ps, 1, sm_scale, window)
+                                interpret, ps, 1, sm_scale, window, softcap)
     return out.reshape(b, nh, hd)
 
 
@@ -476,7 +486,8 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int = 4,
                           interpret: Optional[bool] = None,
                           sm_scale: Optional[float] = None,
-                          window: int = 0) -> jnp.ndarray:
+                          window: int = 0,
+                          softcap: float = 0.0) -> jnp.ndarray:
     """Chunk-append paged attention (speculative verify / chunked prefill):
     q (b, s, nh, hd); lengths counts tokens INCLUDING the chunk; query i
     attends key positions <= lengths - s + i. Returns (b, s, nh, hd)."""
@@ -490,7 +501,8 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, cols - hd)))
         out = paged_attention_chunk(qp, k_pages, v_pages, page_indices,
                                     lengths, pages_per_block, interpret,
-                                    sm_scale=sm_scale, window=window)
+                                    sm_scale=sm_scale, window=window,
+                                    softcap=softcap)
         return out[..., :hd]
     c = cols // hd
     ps = rows * c
@@ -499,7 +511,8 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
         return paged_attention_chunk_ref(q, _unpack_pages(k_pages, hd),
                                          _unpack_pages(v_pages, hd),
                                          page_indices, lengths,
-                                         sm_scale=sm_scale, window=window)
+                                         sm_scale=sm_scale, window=window,
+                                         softcap=softcap)
     mp = page_indices.shape[1]
     if mp % pages_per_block != 0:
         pad = pages_per_block - mp % pages_per_block
@@ -510,18 +523,20 @@ def paged_attention_chunk(q, k_pages, v_pages, page_indices, lengths,
                        (0, 2, 1, 3, 4)).reshape(b, nkv, s_ * g, hd)
     out = _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
                                 pages_per_block, interpret, ps, s_, sm_scale,
-                                window)
+                                window, softcap)
     out = out.reshape(b, nkv, s_, g, hd)
     return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, s_, nh, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret",
                                              "page_size", "q_len",
-                                             "sm_scale", "window"))
+                                             "sm_scale", "window",
+                                             "softcap"))
 def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
                           pages_per_block: int, interpret: bool,
                           page_size: int, q_len: int,
-                          sm_scale: float, window: int = 0) -> jnp.ndarray:
+                          sm_scale: float, window: int = 0,
+                          softcap: float = 0.0) -> jnp.ndarray:
     b, nkv, qrows, hd = qg.shape  # qrows = q_len * g
     _, P, rows, cols = k_pages.shape
     ps = page_size
@@ -531,7 +546,8 @@ def _paged_attention_call(qg, k_pages, v_pages, page_indices, lengths,
     kern = functools.partial(_paged_kernel, page_size=ps, blocks=blocks,
                              pages_per_block=pages_per_block, nkv=nkv,
                              q_len=q_len, g=g, tok_per_row=cols // hd,
-                             sm_scale=sm_scale, window=window)
+                             sm_scale=sm_scale, window=window,
+                             softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, blocks),

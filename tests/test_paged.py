@@ -474,3 +474,67 @@ def test_paged_window_chunk_matches_oracle(rng):
                                     jnp.asarray(vp), jnp.asarray(page_idx),
                                     jnp.asarray(lengths), window=window)
     np.testing.assert_allclose(np.asarray(ref), oracle, atol=2e-4)
+
+
+def test_paged_softcap_matches_oracle(rng):
+    """Gemma-2 logit softcapping in the paged kernels: tanh-capped scaled
+    scores before masking, decode and chunk variants, kernel and XLA ref
+    vs a numpy oracle (including a non-default sm_scale)."""
+    from ragmeup_tpu.ops.paged_attention import (paged_attention_chunk,
+                                                 paged_attention_chunk_ref,
+                                                 paged_attention_ref)
+    b, nh, nkv, hd, ps, P = 2, 8, 4, 128, 16, 16
+    lengths = np.asarray([57, 33], np.int32)
+    mp = 4
+    cap, sm = 0.7, 0.11
+    q = rng.standard_normal((b, nh, hd)).astype(np.float32)
+    kp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    vp = rng.standard_normal((nkv, P, ps, hd)).astype(np.float32)
+    page_idx = np.stack([rng.permutation(P)[:mp] for _ in range(b)]).astype(
+        np.int32)
+
+    def oracle(q_, q_len=1):
+        outs = []
+        for i in range(b):
+            T = int(lengths[i])
+            k = kp[:, page_idx[i]].reshape(nkv, -1, hd)[:, :T]
+            v = vp[:, page_idx[i]].reshape(nkv, -1, hd)[:, :T]
+            k = np.repeat(k, nh // nkv, axis=0)
+            v = np.repeat(v, nh // nkv, axis=0)
+            rows = []
+            qi = q_[i] if q_len > 1 else q_[i][None]
+            for r in range(q_len):
+                pos = T - q_len + r
+                s = np.einsum("hd,htd->ht", qi[r].astype(np.float64),
+                              k[:, :pos + 1].astype(np.float64)) * sm
+                s = np.tanh(s / cap) * cap
+                w = np.exp(s - s.max(axis=1, keepdims=True))
+                w /= w.sum(axis=1, keepdims=True)
+                rows.append(np.einsum("ht,htd->hd", w,
+                                      v[:, :pos + 1].astype(np.float64)))
+            outs.append(np.stack(rows) if q_len > 1 else rows[0])
+        return np.stack(outs).astype(np.float32)
+
+    out = paged_attention(jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                          jnp.asarray(page_idx), jnp.asarray(lengths),
+                          pages_per_block=2, sm_scale=sm, softcap=cap)
+    np.testing.assert_allclose(np.asarray(out), oracle(q), atol=2e-4)
+    ref = paged_attention_ref(jnp.asarray(q), jnp.asarray(kp),
+                              jnp.asarray(vp), jnp.asarray(page_idx),
+                              jnp.asarray(lengths), sm_scale=sm, softcap=cap)
+    np.testing.assert_allclose(np.asarray(ref), oracle(q), atol=2e-4)
+    # chunk variant (s=3 rows, each its own causal limit)
+    s_ = 3
+    qc = rng.standard_normal((b, s_, nh, hd)).astype(np.float32)
+    outc = paged_attention_chunk(jnp.asarray(qc), jnp.asarray(kp),
+                                 jnp.asarray(vp), jnp.asarray(page_idx),
+                                 jnp.asarray(lengths), pages_per_block=2,
+                                 sm_scale=sm, softcap=cap)
+    np.testing.assert_allclose(np.asarray(outc), oracle(qc, q_len=s_),
+                               atol=2e-4)
+    refc = paged_attention_chunk_ref(jnp.asarray(qc), jnp.asarray(kp),
+                                     jnp.asarray(vp), jnp.asarray(page_idx),
+                                     jnp.asarray(lengths), sm_scale=sm,
+                                     softcap=cap)
+    np.testing.assert_allclose(np.asarray(refc), oracle(qc, q_len=s_),
+                               atol=2e-4)
