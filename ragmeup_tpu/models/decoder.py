@@ -126,6 +126,20 @@ class LlamaConfig:
     # HF config key layer_types). Empty = every layer uses
     # ``sliding_window``. Entries: 0 = full attention, N = window size.
     layer_windows: tuple = ()
+    # Sparse MoE (Mixtral / Qwen3-MoE family): num_experts > 0 swaps the
+    # dense MLP for top-k routed experts (LlamaMoeMlp). Expert weights are
+    # stacked (E, h, f) tensors; decode gathers only the routed experts'
+    # tiles (ops/moe_matmul.py), prefill runs an all-experts batched
+    # einsum with the 'expert' axis sharded over the mesh (EP).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0  # 0 = intermediate_size
+    # renormalize the kept top-k routing weights to sum 1 (Mixtral always
+    # does; Qwen-MoE gates it behind config norm_topk_prob)
+    norm_topk_prob: bool = True
+    # per-layer MoE flags (Qwen3-MoE mlp_only_layers / decoder_sparse_step
+    # keep some layers dense). Empty = every layer MoE when num_experts>0.
+    moe_layers: tuple = ()
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -682,11 +696,143 @@ class LlamaMlp(nn.Module):
                           tp_mesh=self.tp_mesh, name="down_proj")(a * u)
 
 
+class LlamaMoeMlp(nn.Module):
+    """Top-k routed sparse-MoE MLP (Mixtral / Qwen3-MoE family).
+
+    Routing matches HF Mixtral exactly (MixtralSparseMoeBlock.forward):
+    router logits → softmax over ALL experts in f32 → top-k → optionally
+    renormalize the kept weights (norm_topk_prob) → weighted sum of expert
+    outputs. Reference capability: ``RAGHelper_local.py:61-89`` loads
+    Mixtral-class checkpoints through AutoModelForCausalLM + bitsandbytes.
+
+    TPU-native design: expert weights are STACKED ``(E, h, f)`` tensors —
+    one HBM-resident array per projection, no per-expert Python objects.
+    Two compute paths:
+
+    - decode (tokens·top_k ≤ E): per-slot expert-GATHERED matmuls
+      (ops/moe_matmul.py — scalar-prefetched index map streams only the
+      routed experts' tiles), so a step reads ``top_k/E`` of the expert
+      bytes. MoE decode is weight-bandwidth bound; this is the whole win.
+    - prefill/train: all-experts batched einsum with one-hot combine
+      weights. E/top_k more FLOPs than the routed minimum but pure dense
+      MXU work (no sort/scatter), and the ``expert`` logical axis shards
+      over the mesh ('model' axis) — GSPMD expert parallelism with the
+      combine contraction as the one collective.
+
+    Quantization: none | int8 (per-expert per-output-channel scales,
+    same scheme as QuantDense). int4 experts are rejected at config time.
+    """
+
+    cfg: LlamaConfig
+    tp_mesh: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        e_num, top_k = c.num_experts, c.num_experts_per_tok
+        f = c.moe_intermediate_size or c.intermediate_size
+        h = c.hidden_size
+        assert c.quantization in ("none", "int8"), \
+            f"MoE experts support none|int8 quantization, not {c.quantization}"
+        quant = c.quantization == "int8"
+        lead = x.shape[:-1]
+        t = 1
+        for d in lead:
+            t *= d
+        xf = x.reshape(t, h)
+        router = self.param("router", dense_init(("embed", "expert")),
+                            (h, e_num), jnp.float32)
+        # routing stays f32 end-to-end (HF computes softmax and the
+        # renormalization in float before casting back)
+        logits = jnp.dot(xf.astype(jnp.float32), router)
+        probs = jax.nn.softmax(logits, axis=-1)
+        topw, topi = jax.lax.top_k(probs, top_k)  # ties → lowest index
+        if c.norm_topk_prob:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+        n_up = ("expert", "embed", "moe_inter")
+        n_dn = ("expert", "moe_inter", "embed")
+        if quant:
+            wg = self.param("gate_q", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_up), (e_num, h, f), jnp.int8)
+            sg = self.param("gate_s", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("expert", "moe_inter")),
+                (e_num, f), jnp.float32)
+            wu = self.param("up_q", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_up), (e_num, h, f), jnp.int8)
+            su = self.param("up_s", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("expert", "moe_inter")),
+                (e_num, f), jnp.float32)
+            wn = self.param("down_q", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_dn), (e_num, f, h), jnp.int8)
+            sn = self.param("down_s", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("expert", "embed")),
+                (e_num, h), jnp.float32)
+        else:
+            wg = self.param("gate", dense_init(n_up), (e_num, h, f),
+                            jnp.float32)
+            wu = self.param("up", dense_init(n_up), (e_num, h, f),
+                            jnp.float32)
+            wn = self.param("down", dense_init(n_dn), (e_num, f, h),
+                            jnp.float32)
+            sg = su = sn = None
+
+        def act(g):
+            if c.act_fn == "silu":
+                return nn.silu(g)
+            if c.act_fn == "gelu_tanh":
+                return nn.gelu(g, approximate=True)
+            if c.act_fn == "gelu":
+                return nn.gelu(g, approximate=False)
+            raise ValueError(f"unsupported act_fn {c.act_fn!r}")
+
+        if t * top_k <= e_num and self.tp_mesh is None:
+            # decode path: gather only the routed experts' weights.
+            # Slot layout: row s = token s//top_k, expert slot s%top_k.
+            from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
+            xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)
+            ids = topi.reshape(t * top_k)
+            g = moe_gather_matmul(xs, wg, ids, sg)
+            u = moe_gather_matmul(xs, wu, ids, su)
+            a = (act(g) * u).astype(c.jdtype)
+            y = moe_gather_matmul(a, wn, ids, sn)  # (t*top_k, h)
+            y = y.astype(jnp.float32) * topw.reshape(t * top_k, 1)
+            out = y.reshape(t, top_k, h).sum(axis=1)
+            return out.astype(c.jdtype).reshape(lead + (h,))
+
+        # prefill/train path: all experts on all tokens, one-hot combine.
+        # Under a mesh the 'expert' axis of wg/wu/wn is sharded; XLA turns
+        # the final contraction over e into the EP collective.
+        cw = (jax.nn.one_hot(topi, e_num, dtype=jnp.float32)
+              * topw[..., None]).sum(axis=1)  # (t, E)
+        xb = xf.astype(c.jdtype)
+        if quant:
+            wgd = wg.astype(c.jdtype) * sg[:, None, :].astype(c.jdtype)
+            wud = wu.astype(c.jdtype) * su[:, None, :].astype(c.jdtype)
+            wnd = wn.astype(c.jdtype) * sn[:, None, :].astype(c.jdtype)
+        else:
+            wgd, wud, wnd = (w.astype(c.jdtype) for w in (wg, wu, wn))
+        g = jnp.einsum("th,ehf->etf", xb, wgd,
+                       preferred_element_type=c.jdtype)
+        u = jnp.einsum("th,ehf->etf", xb, wud,
+                       preferred_element_type=c.jdtype)
+        a = act(g) * u
+        # dots stay in jdtype (a bf16xbf16->f32 batched dot is unsupported
+        # by the CPU thunk runtime the tests use); the combine over experts
+        # accumulates in f32
+        y = jnp.einsum("etf,efh->eth", a, wnd,
+                       preferred_element_type=c.jdtype)
+        out = jnp.einsum("te,eth->th", cw, y.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return out.astype(c.jdtype).reshape(lead + (h,))
+
+
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     sp_mesh: Optional[object] = None
     tp_mesh: Optional[object] = None
     window: int = -1  # per-layer sliding window (see LlamaAttention)
+    moe: bool = False  # this layer's MLP is routed-MoE (see LlamaMoeMlp)
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias, cache, cache_pos,
@@ -699,6 +845,7 @@ class LlamaBlock(nn.Module):
                     name="input_norm")(x),
             cos, sin, attn_bias, cache, cache_pos, capture_weights,
             paged_state, ring)
+        mcls = LlamaMoeMlp if self.moe else LlamaMlp
         if c.post_norms:
             # Gemma-2 layout: norms AROUND each sublayer (HF
             # Gemma2DecoderLayer.forward) — post_attn_norm applies to the
@@ -706,14 +853,14 @@ class LlamaBlock(nn.Module):
             h = RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
                         name="post_attn_norm")(h)
             x = x + h
-            m = LlamaMlp(c, self.tp_mesh, name="mlp")(
+            m = mcls(c, self.tp_mesh, name="mlp")(
                 RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
                         name="pre_ffw_norm")(x))
             m = RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
                         name="post_ffw_norm")(m)
             return x + m, new_cache, w
         x = x + h
-        x = x + LlamaMlp(c, self.tp_mesh, name="mlp")(
+        x = x + mcls(c, self.tp_mesh, name="mlp")(
             RMSNorm(c.rms_eps, c.jdtype, c.norm_offset,
                     name="post_attn_norm")(x))
         return x, new_cache, w
@@ -766,8 +913,10 @@ class LlamaModel(nn.Module):
                 kp, vp = paged_caches[i]
                 pstate = (kp, vp) + tuple(paged_meta)
             win_i = c.layer_windows[i] if c.layer_windows else -1
+            moe_i = bool(c.num_experts) and (
+                bool(c.moe_layers[i]) if c.moe_layers else True)
             x, nc, w = LlamaBlock(c, self.sp_mesh, self.tp_mesh, win_i,
-                                  name=f"layer_{i}")(
+                                  moe=moe_i, name=f"layer_{i}")(
                 x, cos, sin, attn_bias, cache, cache_pos, cap, pstate, ring)
             if paged_caches is not None:
                 new_paged.append(nc)

@@ -204,11 +204,36 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     # loudly rather than load garbage.
     mt = c.get("model_type", "llama")
     if mt not in ("llama", "mistral", "qwen2", "qwen3", "phi3", "gemma",
-                  "gemma2"):
+                  "gemma2", "mixtral", "qwen3_moe"):
         raise ValueError(
             f"unsupported model_type {mt!r} in {checkpoint_dir}/config.json "
             "(supported Llama-layout families: llama, mistral, qwen2, "
-            "qwen3, phi3, gemma, gemma2)")
+            "qwen3, phi3, gemma, gemma2, mixtral, qwen3_moe)")
+    # Sparse-MoE families: Mixtral routes top-k of num_local_experts and
+    # ALWAYS renormalizes the kept weights (HF MixtralSparseMoeBlock);
+    # Qwen3-MoE gates renorm behind norm_topk_prob, sizes experts by
+    # moe_intermediate_size, and can keep some layers dense
+    # (mlp_only_layers / decoder_sparse_step — HF Qwen3MoeDecoderLayer).
+    moe_kw = {}
+    if mt == "mixtral":
+        moe_kw = dict(num_experts=int(c["num_local_experts"]),
+                      num_experts_per_tok=int(c["num_experts_per_tok"]),
+                      norm_topk_prob=True)
+    elif mt == "qwen3_moe":
+        step = int(c.get("decoder_sparse_step", 1))
+        only = set(c.get("mlp_only_layers") or ())
+        flags = tuple(
+            i not in only and step > 0 and (i + 1) % step == 0
+            for i in range(c["num_hidden_layers"]))
+        moe_kw = dict(num_experts=int(c["num_experts"]),
+                      num_experts_per_tok=int(c["num_experts_per_tok"]),
+                      moe_intermediate_size=int(c["moe_intermediate_size"]),
+                      norm_topk_prob=bool(c.get("norm_topk_prob", True)),
+                      moe_layers=() if all(flags) else flags)
+    if moe_kw and quantization == "int4":
+        raise ValueError(
+            "int4 quantization is not supported for MoE experts "
+            "(stacked-expert int4 packing is unimplemented); use int8")
     qkv_bias = bool(c.get("attention_bias", mt == "qwen2"))
     # mistral/phi3 ship sliding_window at top level (null on mistral
     # v0.2+); qwen2/qwen3 gate it behind use_sliding_window (false on
@@ -216,7 +241,8 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
     # only below layer N) is intentionally not reproduced — window
     # applies to all layers.
     sw = c.get("sliding_window") or 0
-    if mt in ("qwen2", "qwen3") and not c.get("use_sliding_window", False):
+    if mt in ("qwen2", "qwen3", "qwen3_moe") \
+            and not c.get("use_sliding_window", False):
         sw = 0
     # gemma2 alternates sliding/full layers: HF layer_types lists them
     # explicitly; older configs imply sliding on even layer indices
@@ -261,6 +287,7 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
             f"{checkpoint_dir}/config.json (supported: llama3, linear)")
     return LlamaConfig(
         **rs_kw,
+        **moe_kw,
         vocab_size=c["vocab_size"],
         hidden_size=c["hidden_size"],
         num_layers=c["num_hidden_layers"],
@@ -287,7 +314,7 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
         act_fn=act_map[act],
         norm_offset=1.0 if mt.startswith("gemma") else 0.0,
         embed_scale=mt.startswith("gemma"),
-        qk_norm=mt == "qwen3",
+        qk_norm=mt in ("qwen3", "qwen3_moe"),
         # gemma2: norms around each sublayer, logit softcaps, explicit
         # attention scale, alternating per-layer sliding windows
         post_norms=mt == "gemma2",
@@ -330,6 +357,29 @@ def _split_packed_tensors(tensors: Dict[str, np.ndarray], num_heads: int,
     return out
 
 
+def _moe_layer_tensors(t: Dict[str, np.ndarray], p: str):
+    """Per-layer MoE tensors in torch (out, in) layout, or None if this
+    layer's MLP is dense. Mixtral stores experts at
+    ``block_sparse_moe.experts.{e}.w1/w3/w2`` (gate/up/down); Qwen3-MoE at
+    ``mlp.experts.{e}.gate_proj/up_proj/down_proj``. Returns
+    (router (E, h), gates, ups, downs) with per-expert lists."""
+    if p + "block_sparse_moe.gate.weight" in t:       # mixtral
+        rw = t[p + "block_sparse_moe.gate.weight"]
+        base = p + "block_sparse_moe.experts."
+        names = ("w1", "w3", "w2")
+    elif p + "mlp.gate.weight" in t:                  # qwen3_moe
+        rw = t[p + "mlp.gate.weight"]
+        base = p + "mlp.experts."
+        names = ("gate_proj", "up_proj", "down_proj")
+    else:
+        return None
+    n_exp = rw.shape[0]
+    return (rw,
+            [t[f"{base}{e}.{names[0]}.weight"] for e in range(n_exp)],
+            [t[f"{base}{e}.{names[1]}.weight"] for e in range(n_exp)],
+            [t[f"{base}{e}.{names[2]}.weight"] for e in range(n_exp)])
+
+
 def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                          tie_embeddings: bool,
                          fused_projections: bool = False) -> dict:
@@ -350,6 +400,15 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
             tensors["lm_head.weight"].T.astype(np.float32))
     for i in range(num_layers):
         p = f"layers.{i}."
+        moe = _moe_layer_tensors(t, p)
+        if moe is not None:
+            rw, gates, ups, downs = moe
+            mlp_moe = {
+                "router": np.ascontiguousarray(rw.T.astype(np.float32)),
+                "gate": np.stack([w.T.astype(np.float32) for w in gates]),
+                "up": np.stack([w.T.astype(np.float32) for w in ups]),
+                "down": np.stack([w.T.astype(np.float32) for w in downs]),
+            }
         if fused_projections:
             attn = {"qkv_proj": {"kernel": np.concatenate(
                         [W(p + "self_attn.q_proj.weight"),
@@ -361,10 +420,13 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                     [t[p + "self_attn.q_proj.bias"].astype(np.float32),
                      t[p + "self_attn.k_proj.bias"].astype(np.float32),
                      t[p + "self_attn.v_proj.bias"].astype(np.float32)])
-            mlp = {"gate_up_proj": {"kernel": np.concatenate(
-                        [W(p + "mlp.gate_proj.weight"),
-                         W(p + "mlp.up_proj.weight")], axis=1)},
-                   "down_proj": {"kernel": W(p + "mlp.down_proj.weight")}}
+            # MoE layers keep the routed layout regardless of projection
+            # fusing (fused_projections only concatenates dense kernels)
+            mlp = mlp_moe if moe is not None else \
+                {"gate_up_proj": {"kernel": np.concatenate(
+                    [W(p + "mlp.gate_proj.weight"),
+                     W(p + "mlp.up_proj.weight")], axis=1)},
+                 "down_proj": {"kernel": W(p + "mlp.down_proj.weight")}}
         else:
             attn = {
                 "q_proj": {"kernel": W(p + "self_attn.q_proj.weight")},
@@ -380,7 +442,7 @@ def llama_params_from_hf(tensors: Dict[str, np.ndarray], num_layers: int,
                 nk = p + f"self_attn.{nrm}.weight"
                 if nk in t:
                     attn[nrm] = {"scale": t[nk].astype(np.float32)}
-            mlp = {
+            mlp = mlp_moe if moe is not None else {
                 "gate_proj": {"kernel": W(p + "mlp.gate_proj.weight")},
                 "up_proj": {"kernel": W(p + "mlp.up_proj.weight")},
                 "down_proj": {"kernel": W(p + "mlp.down_proj.weight")},
@@ -460,6 +522,33 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
             nk = p + f"self_attn.{nrm}.weight"
             if nk in t:
                 attn[nrm] = {"scale": t[nk].astype(np.float32)}
+        moe = _moe_layer_tensors(t, p)
+        if moe is not None:
+            # stacked-expert int8: each expert quantizes on device in its
+            # source dtype (same streaming contract as the dense path),
+            # then stacks into the (E, in, out) layout LlamaMoeMlp and the
+            # gather kernel read
+            rw, gates, ups, downs = moe
+
+            def quant_stack(ws):
+                qs, ss = zip(*(dev_quant(jnp.asarray(w)) for w in ws))
+                return jnp.stack(qs), jnp.stack(ss)
+
+            gq, gsc = quant_stack(gates)
+            uq, usc = quant_stack(ups)
+            dq, dsc = quant_stack(downs)
+            mlp = {
+                "router": np.ascontiguousarray(rw.T.astype(np.float32)),
+                "gate_q": gq, "gate_s": gsc,
+                "up_q": uq, "up_s": usc,
+                "down_q": dq, "down_s": dsc,
+            }
+        else:
+            mlp = {
+                "gate_proj": quant_T(p + "mlp.gate_proj.weight"),
+                "up_proj": quant_T(p + "mlp.up_proj.weight"),
+                "down_proj": quant_T(p + "mlp.down_proj.weight"),
+            }
         params[f"layer_{i}"] = {
             "attention": attn,
             "input_norm": {
@@ -467,11 +556,7 @@ def llama_int8_params_from_hf(tensors: Dict[str, np.ndarray],
             "post_attn_norm": {
                 "scale": t[p + "post_attention_layernorm.weight"].astype(
                     np.float32)},
-            "mlp": {
-                "gate_proj": quant_T(p + "mlp.gate_proj.weight"),
-                "up_proj": quant_T(p + "mlp.up_proj.weight"),
-                "down_proj": quant_T(p + "mlp.down_proj.weight"),
-            },
+            "mlp": mlp,
         }
         for hfk, ours in (("pre_feedforward_layernorm", "pre_ffw_norm"),
                           ("post_feedforward_layernorm", "post_ffw_norm")):
@@ -546,6 +631,11 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             params["lm_head"] = jnp.asarray(hw, jnp.bfloat16).T
     for i in range(num_layers):
         p = f"layers.{i}."
+        if _moe_layer_tensors(t, p) is not None:
+            # unreachable via load_local_llm (llama_config_from_hf rejects
+            # int4 + MoE), kept as a hard stop for direct callers
+            raise ValueError("int4 quantization is not supported for MoE "
+                             "experts; use the int8 loader")
         attn = {
             "q_proj": quant_T(p + "self_attn.q_proj.weight"),
             "k_proj": quant_T(p + "self_attn.k_proj.weight"),
@@ -601,10 +691,29 @@ def quantize_decoder_params(params: dict, bits: int = 8,
         q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
         return q, scale[0].astype(np.float32)
 
+    def quant8_stack(w: np.ndarray):  # stacked MoE experts (E, in, out)
+        amax = np.abs(w).max(axis=1, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 127
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return q, scale[:, 0, :].astype(np.float32)
+
     def walk(node):
         if bits not in (4, 8):  # head-only quantization (bits=0)
             return node
         if isinstance(node, dict):
+            if {"router", "gate", "up", "down"} <= set(node.keys()):
+                # MoE mlp: per-expert per-output-channel int8 on the
+                # stacked tensors; the router stays f32 (routing quality
+                # is all that matters at its size)
+                if bits == 4:
+                    raise ValueError("int4 quantization is not supported "
+                                     "for MoE experts; use int8")
+                out = {"router": node["router"]}
+                for nm in ("gate", "up", "down"):
+                    q, s = quant8_stack(np.asarray(node[nm], np.float32))
+                    out[f"{nm}_q"] = q
+                    out[f"{nm}_s"] = s
+                return out
             if set(node.keys()) in ({"kernel"}, {"kernel", "bias"}) \
                     and getattr(node.get("kernel"), "ndim", 0) == 2:
                 w = np.asarray(node["kernel"], np.float32)

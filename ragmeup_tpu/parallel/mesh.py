@@ -12,8 +12,11 @@ The framework's parallelism is first-class where the reference had none
 
 Communication is XLA collectives over ICI (psum/all_gather inserted by the
 compiler from shardings) — the TPU-native answer to the reference's absent
-NCCL/MPI layer (SURVEY.md §5.8). EP/PP are out of scope for parity (no MoE;
-shallow pipelines — SURVEY.md §2.4).
+NCCL/MPI layer (SURVEY.md §5.8). EP (expert parallelism for Mixtral-class
+MoE checkpoints) rides the ``model`` axis: the stacked expert tensors'
+``expert`` logical axis shards over it, and the MoE combine contraction is
+the one collective (models/decoder.py LlamaMoeMlp). PP stays out of scope
+(shallow pipelines — SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ LOGICAL_RULES = (
     ("qkv", "model"),
     ("kv", "model"),
     ("mlp", "model"),
+    ("expert", "model"),    # EP: stacked MoE experts shard over 'model'
+    ("moe_inter", None),    # per-expert ffn dim stays local under EP
     ("vocab", None),
     ("corpus", "corpus"),
     ("unmodeled", None),
