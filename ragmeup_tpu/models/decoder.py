@@ -713,11 +713,13 @@ class LlamaMoeMlp(nn.Module):
       (ops/moe_matmul.py — scalar-prefetched index map streams only the
       routed experts' tiles), so a step reads ``top_k/E`` of the expert
       bytes. MoE decode is weight-bandwidth bound; this is the whole win.
-    - prefill/train: all-experts batched einsum with one-hot combine
-      weights. E/top_k more FLOPs than the routed minimum but pure dense
-      MXU work (no sort/scatter), and the ``expert`` logical axis shards
-      over the mesh ('model' axis) — GSPMD expert parallelism with the
-      combine contraction as the one collective.
+    - prefill/train: grouped GEMMs — rows sorted by routed expert, then
+      ``lax.ragged_dot`` against the stacked expert tensors (megablocks-
+      class; S·h·f FLOPs where S = t·top_k, vs E/top_k more for an
+      all-experts einsum — 16x at Qwen3-MoE's E=128/top_k=8).
+    - under a mesh (EP): all-experts batched einsum with one-hot combine;
+      the ``expert`` logical axis shards over 'model' — GSPMD expert
+      parallelism with the combine contraction as the one collective.
 
     Quantization: none | int8 (per-expert per-output-channel scales,
     same scheme as QuantDense). int4 experts are rejected at config time.
@@ -749,6 +751,12 @@ class LlamaMoeMlp(nn.Module):
         topw, topi = jax.lax.top_k(probs, top_k)  # ties → lowest index
         if c.norm_topk_prob:
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        # training hook: the load-balancing auxiliary loss (HF
+        # load_balancing_loss_func / Switch eq. 4) reads these via
+        # apply(..., mutable=["intermediates"]) — see train/train.py
+        # moe_load_balancing_loss
+        self.sow("intermediates", "router_probs", probs)
+        self.sow("intermediates", "router_topi", topi)
 
         n_up = ("expert", "embed", "moe_inter")
         n_dn = ("expert", "moe_inter", "embed")
@@ -800,11 +808,6 @@ class LlamaMoeMlp(nn.Module):
             out = y.reshape(t, top_k, h).sum(axis=1)
             return out.astype(c.jdtype).reshape(lead + (h,))
 
-        # prefill/train path: all experts on all tokens, one-hot combine.
-        # Under a mesh the 'expert' axis of wg/wu/wn is sharded; XLA turns
-        # the final contraction over e into the EP collective.
-        cw = (jax.nn.one_hot(topi, e_num, dtype=jnp.float32)
-              * topw[..., None]).sum(axis=1)  # (t, E)
         xb = xf.astype(c.jdtype)
         if quant:
             wgd = wg.astype(c.jdtype) * sg[:, None, :].astype(c.jdtype)
@@ -812,6 +815,40 @@ class LlamaMoeMlp(nn.Module):
             wnd = wn.astype(c.jdtype) * sn[:, None, :].astype(c.jdtype)
         else:
             wgd, wud, wnd = (w.astype(c.jdtype) for w in (wg, wu, wn))
+
+        if self.tp_mesh is None:
+            # prefill/train path: GROUPED GEMMs (megablocks-class). Sort
+            # the (token, slot) rows by routed expert and run ragged dots
+            # against the stacked expert tensors — S·h·f FLOPs (S = t·top_k)
+            # instead of the all-experts einsum's E·t·h·f, an E/top_k
+            # saving that dominates at large E (Qwen3-MoE ships E=128,
+            # top_k=8: 16x). lax.ragged_dot is the TPU-native grouped
+            # matmul (tiled MXU GEMM with group offsets); sort/unsort are
+            # O(S log S) on the VPU, negligible next to the GEMMs.
+            s_tot = t * top_k
+            ids = topi.reshape(s_tot)
+            order = jnp.argsort(ids)             # stable: slot order kept
+            inv = jnp.argsort(order)
+            xs = jnp.repeat(xb, top_k, axis=0)[order]
+            gsz = jnp.bincount(ids, length=e_num).astype(jnp.int32)
+            g = jax.lax.ragged_dot(xs, wgd, gsz,
+                                   preferred_element_type=c.jdtype)
+            u = jax.lax.ragged_dot(xs, wud, gsz,
+                                   preferred_element_type=c.jdtype)
+            a = (act(g) * u).astype(c.jdtype)
+            y = jax.lax.ragged_dot(a, wnd, gsz,
+                                   preferred_element_type=c.jdtype)
+            y = y[inv].astype(jnp.float32) * topw.reshape(s_tot, 1)
+            out = y.reshape(t, top_k, h).sum(axis=1)
+            return out.astype(c.jdtype).reshape(lead + (h,))
+
+        # EP path under a mesh: all experts on all tokens, one-hot combine.
+        # The 'expert' axis of wg/wu/wn is sharded over 'model'; XLA turns
+        # the final contraction over e into the EP collective. (ragged_dot
+        # has no GSPMD partitioning rule, so the sharded path keeps the
+        # dense batched einsum — E/top_k extra FLOPs, split P ways.)
+        cw = (jax.nn.one_hot(topi, e_num, dtype=jnp.float32)
+              * topw[..., None]).sum(axis=1)  # (t, E)
         g = jnp.einsum("th,ehf->etf", xb, wgd,
                        preferred_element_type=c.jdtype)
         u = jnp.einsum("th,ehf->etf", xb, wud,

@@ -14,8 +14,10 @@ Sharding (SURVEY.md §2.4): one pjit'd train step over the
 - **sp**: sequence-sharded logits/loss over the ``corpus`` axis via a
   sharding constraint (ring/blockwise attention SP lives in
   ``ops/attention.py``);
-- **ep/pp**: out of scope for parity (no MoE, shallow pipelines —
-  SURVEY.md §2.4).
+- **ep**: sparse-MoE expert tensors shard over ``model`` (the 'expert'
+  logical axis — parallel/mesh.py); MoE training adds the router
+  load-balancing auxiliary loss (``moe_load_balancing_loss``);
+- **pp**: out of scope for parity (shallow pipelines — SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -59,6 +61,28 @@ def decoder_loss(logits: jnp.ndarray, ids: jnp.ndarray,
     logp = jax.nn.log_softmax(lg, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def moe_load_balancing_loss(intermediates: Dict, num_experts: int
+                            ) -> jnp.ndarray:
+    """Switch-Transformer load-balancing loss over every MoE layer's sown
+    router state: ``E * Σ_e f_e · P_e`` per layer, averaged over layers,
+    where f_e is the fraction of (token, slot) assignments routed to
+    expert e and P_e the mean router probability for e (matches HF
+    ``load_balancing_loss_func`` semantics — minimized at uniform
+    routing, value 1.0). Returns 0 when the model has no MoE layers."""
+    flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
+    probs = [v for path, v in flat if "router_probs" in jax.tree_util.keystr(path)]
+    topis = [v for path, v in flat if "router_topi" in jax.tree_util.keystr(path)]
+    if not probs:
+        return jnp.zeros((), jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    for p, ti in zip(probs, topis):
+        frac = jnp.mean(jax.nn.one_hot(ti, num_experts, dtype=jnp.float32),
+                        axis=tuple(range(ti.ndim)))      # (E,) sums to 1
+        mean_p = jnp.mean(p.reshape(-1, num_experts), axis=0)
+        total = total + num_experts * jnp.sum(frac * mean_p)
+    return total / len(probs)
 
 
 def contrastive_loss(q_emb: jnp.ndarray, d_emb: jnp.ndarray,
@@ -106,12 +130,16 @@ def make_decoder_train_step(model, mesh: Mesh,
                             learning_rate: float = 1e-4,
                             seq_parallel: bool = True,
                             seed: int = 0,
-                            example_batch: Optional[Dict] = None
+                            example_batch: Optional[Dict] = None,
+                            router_aux_coef: float = 0.02
                             ) -> Tuple[TrainState, Callable]:
     """Build (state, jitted step) for causal-LM training on the mesh.
 
     The returned step takes (state, batch{'ids','mask'}) with batch arrays
-    sharded P('data', None) and returns (state, metrics)."""
+    sharded P('data', None) and returns (state, metrics). For sparse-MoE
+    decoders the router load-balancing auxiliary loss is added with weight
+    ``router_aux_coef`` (HF router_aux_loss_coef default 0.02) and reported
+    in metrics as ``aux_loss``."""
     optimizer = optimizer or optax.adamw(learning_rate)
     if example_batch is None:
         example_batch = {"ids": np.zeros((mesh.shape["data"], 16), np.int32),
@@ -131,26 +159,40 @@ def make_decoder_train_step(model, mesh: Mesh,
         "mask": NamedSharding(mesh, P("data", None)),
     }
 
+    num_experts = int(getattr(getattr(model, "cfg", None), "num_experts",
+                              0) or 0)
+    moe = num_experts > 0 and router_aux_coef > 0.0
+
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             seq = batch["ids"].shape[1]
             out = model.apply({"params": params}, batch["ids"],
                               positions=jnp.arange(seq),
-                              attn_bias=causal_bias(seq, seq))
+                              attn_bias=causal_bias(seq, seq),
+                              mutable=["intermediates"] if moe else False)
+            aux = jnp.zeros((), jnp.float32)
+            if moe:
+                out, variables = out
+                aux = moe_load_balancing_loss(
+                    variables["intermediates"], num_experts)
             logits = out["logits"]
             if seq_parallel:
                 # SP: loss computed with logits sequence-sharded over 'corpus'
                 logits = jax.lax.with_sharding_constraint(
                     logits, NamedSharding(mesh, P("data", "corpus", None)))
-            return decoder_loss(logits, batch["ids"], batch["mask"])
+            lm = decoder_loss(logits, batch["ids"], batch["mask"])
+            return lm + router_aux_coef * aux, aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if moe:
+            metrics["aux_loss"] = aux
         return (state.replace(step=state.step + 1, params=new_params,
-                              opt_state=new_opt),
-                {"loss": loss, "grad_norm": gnorm})
+                              opt_state=new_opt), metrics)
 
     step = jax.jit(step_fn, in_shardings=(None, batch_sharding),
                    donate_argnums=(0,))

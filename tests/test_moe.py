@@ -177,6 +177,75 @@ def test_mixtral_generate_and_int4_rejection(tmp_path):
         load_local_llm(d, quantization="int4")
 
 
+def test_moe_train_step_with_load_balancing_loss():
+    """Causal-LM training on a tiny MoE decoder over the mesh: the router
+    load-balancing auxiliary loss (Switch eq. 4 / HF
+    load_balancing_loss_func) is sown by LlamaMoeMlp, added with
+    router_aux_coef, and reported; the loss stays finite and the router
+    receives gradient (it would get none without the aux hook's probs
+    feeding the combine)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaModel
+    from ragmeup_tpu.parallel.mesh import make_mesh, mesh_shape_for
+    from ragmeup_tpu.train.train import make_decoder_train_step
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32",
+                           num_experts=4, num_experts_per_tok=2)
+    model = LlamaModel(cfg)
+    mesh = make_mesh(mesh_shape_for(8, model_parallel=2))
+    rng = np.random.default_rng(0)
+    batch = {"ids": rng.integers(0, cfg.vocab_size, (4, 16)).astype(np.int32),
+             "mask": np.ones((4, 16), np.int32)}
+    state, step = make_decoder_train_step(model, mesh, example_batch=batch,
+                                          learning_rate=1e-3)
+    r0 = np.asarray(state.params["layer_0"]["mlp"]["router"])
+    aux_hist = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        aux_hist.append(float(metrics["aux_loss"]))
+    # Switch aux loss is minimized at 1.0 (uniform routing); top-k of a
+    # softmax can only over-concentrate, so it must be >= 1
+    assert all(a >= 1.0 - 1e-5 for a in aux_hist), aux_hist
+    r1 = np.asarray(state.params["layer_0"]["mlp"]["router"])
+    assert not np.allclose(r0, r1), "router got no gradient"
+
+
+def test_moe_load_balancing_loss_uniform_is_one():
+    """Exactly uniform routing scores the theoretical minimum 1.0."""
+    from ragmeup_tpu.train.train import moe_load_balancing_loss
+    e, t, k = 4, 8, 2
+    probs = jnp.full((t, e), 1.0 / e, jnp.float32)
+    # assignments spread exactly evenly: each expert gets t*k/e slots
+    topi = jnp.asarray([[i % e, (i + 1) % e] for i in range(t)], jnp.int32)
+    inter = {"layer_0": {"mlp": {"router_probs": (probs,),
+                                 "router_topi": (topi,)}}}
+    val = float(moe_load_balancing_loss(inter, e))
+    np.testing.assert_allclose(val, 1.0, rtol=1e-6)
+    assert float(moe_load_balancing_loss({}, e)) == 0.0
+
+
+def test_moe_through_serving_engine():
+    """A sparse-MoE decoder through the paged-KV continuous-batching
+    engine: wave decode of concurrent requests must match each request's
+    solo LocalLLM.generate (the per-step token count crosses the
+    gather/dense path switch at t*top_k vs E)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.pipeline.serving import ServingEngine
+    cfg = LlamaConfig.tiny(dtype="float32", num_experts=4,
+                           num_experts_per_tok=2)
+    llm = LocalLLM(cfg, SimpleTokenizer(cfg.vocab_size), seed=0)
+    prompts = {"a": [5, 17, 101], "b": [9, 8, 7, 6, 5], "c": [200, 300]}
+    want = {k: llm.generate(v, max_new_tokens=5, temperature=0.0,
+                            repetition_penalty=1.0, speculative="off")
+            for k, v in prompts.items()}
+    eng = ServingEngine(llm, num_pages=64, page_size=16,
+                        max_pages_per_seq=8)
+    for k, v in prompts.items():
+        eng.add_request(k, v, max_new_tokens=5, temperature=0.0,
+                        repetition_penalty=1.0)
+    assert eng.run_wave(steps_per_dispatch=2) == want
+
+
 def test_moe_expert_parallel_matches_single_device(tmp_path):
     """EP: stacked expert tensors sharded over the 'model' mesh axis
     (4 virtual CPU devices, one expert each) — logits identical to the
