@@ -140,6 +140,16 @@ class LlamaConfig:
     # per-layer MoE flags (Qwen3-MoE mlp_only_layers / decoder_sparse_step
     # keep some layers dense). Empty = every layer MoE when num_experts>0.
     moe_layers: tuple = ()
+    # prefill compute path. "auto"/"off": all-experts einsum — measured
+    # on v5e it runs at ~160 TFLOP/s (MXU peak) and beats the grouped
+    # pallas GEMM at every tested shape DESPITE the E/top_k FLOP
+    # multiple (Mixtral shape: 8.9 vs 12.1 ms bf16, 8.3 vs 8.7 int8;
+    # E=64/top8: 2.0 vs 1.8-2.6 ms across runs — scripts/
+    # moe_decode_bench.py --prefill). "on" forces the grouped kernel
+    # (ops/moe_matmul.moe_grouped_matmul): routed-only FLOPs with
+    # weights streamed once, currently held back by per-tile loop
+    # overhead in Mosaic — the lever to revisit on a libtpu upgrade.
+    moe_grouped: str = "auto"
     # RoPE frequency scaling. Meta-Llama-3.1+ checkpoints ship a
     # rope_scaling block in config.json (rope_type "llama3"); without the
     # transform, logits diverge from HF at every context length.
@@ -713,13 +723,17 @@ class LlamaMoeMlp(nn.Module):
       (ops/moe_matmul.py — scalar-prefetched index map streams only the
       routed experts' tiles), so a step reads ``top_k/E`` of the expert
       bytes. MoE decode is weight-bandwidth bound; this is the whole win.
-    - prefill/train: grouped GEMMs — rows sorted by routed expert, then
-      ``lax.ragged_dot`` against the stacked expert tensors (megablocks-
-      class; S·h·f FLOPs where S = t·top_k, vs E/top_k more for an
-      all-experts einsum — 16x at Qwen3-MoE's E=128/top_k=8).
-    - under a mesh (EP): all-experts batched einsum with one-hot combine;
-      the ``expert`` logical axis shards over 'model' — GSPMD expert
-      parallelism with the combine contraction as the one collective.
+    - prefill/train (default): all-experts batched einsum with one-hot
+      combine — E/top_k more FLOPs than the routed minimum, but it runs
+      at MXU peak (~160 TFLOP/s measured) and beats the grouped kernel
+      at every tested shape on this libtpu (see ``moe_grouped``). Under
+      a mesh the ``expert`` logical axis shards over 'model' — GSPMD
+      expert parallelism with the combine contraction as the one
+      collective.
+    - ``moe_grouped="on"``: megablocks-class grouped GEMMs — rows sorted
+      by routed expert through ``ops/moe_matmul.moe_grouped_matmul``
+      (routed-only FLOPs, weights streamed once, in-kernel int8 dequant);
+      kept behind the knob until Mosaic's per-tile overhead drops.
 
     Quantization: none | int8 (per-expert per-output-channel scales,
     same scheme as QuantDense). int4 experts are rejected at config time.
@@ -809,44 +823,46 @@ class LlamaMoeMlp(nn.Module):
             return out.astype(c.jdtype).reshape(lead + (h,))
 
         xb = xf.astype(c.jdtype)
-        if quant:
-            wgd = wg.astype(c.jdtype) * sg[:, None, :].astype(c.jdtype)
-            wud = wu.astype(c.jdtype) * su[:, None, :].astype(c.jdtype)
-            wnd = wn.astype(c.jdtype) * sn[:, None, :].astype(c.jdtype)
-        else:
-            wgd, wud, wnd = (w.astype(c.jdtype) for w in (wg, wu, wn))
-
-        if self.tp_mesh is None:
+        use_grouped = c.moe_grouped == "on"
+        if self.tp_mesh is None and use_grouped:
             # prefill/train path: GROUPED GEMMs (megablocks-class). Sort
-            # the (token, slot) rows by routed expert and run ragged dots
-            # against the stacked expert tensors — S·h·f FLOPs (S = t·top_k)
-            # instead of the all-experts einsum's E·t·h·f, an E/top_k
-            # saving that dominates at large E (Qwen3-MoE ships E=128,
-            # top_k=8: 16x). lax.ragged_dot is the TPU-native grouped
-            # matmul (tiled MXU GEMM with group offsets); sort/unsort are
-            # O(S log S) on the VPU, negligible next to the GEMMs.
+            # the (token, slot) rows by routed expert and run grouped
+            # matmuls against the stacked expert tensors — S·h·f FLOPs
+            # (S = t·top_k) instead of the all-experts einsum's E·t·h·f,
+            # an E/top_k saving that dominates at large E (Qwen3-MoE
+            # ships E=128, top_k=8: 16x). moe_grouped_matmul pads each
+            # group to MXU row tiles (pallas kernel, in-epilogue int8
+            # dequant — no (E, h, f) bf16 copy in HBM); off-TPU or on
+            # non-tiling shapes it falls back to lax.ragged_dot.
+            # Sort/unsort are O(S log S) on the VPU, negligible next to
+            # the GEMMs.
+            from ragmeup_tpu.ops.moe_matmul import moe_grouped_matmul
             s_tot = t * top_k
             ids = topi.reshape(s_tot)
             order = jnp.argsort(ids)             # stable: slot order kept
             inv = jnp.argsort(order)
             xs = jnp.repeat(xb, top_k, axis=0)[order]
             gsz = jnp.bincount(ids, length=e_num).astype(jnp.int32)
-            g = jax.lax.ragged_dot(xs, wgd, gsz,
-                                   preferred_element_type=c.jdtype)
-            u = jax.lax.ragged_dot(xs, wud, gsz,
-                                   preferred_element_type=c.jdtype)
+            g = moe_grouped_matmul(xs, wg, gsz, sg)
+            u = moe_grouped_matmul(xs, wu, gsz, su)
             a = (act(g) * u).astype(c.jdtype)
-            y = jax.lax.ragged_dot(a, wnd, gsz,
-                                   preferred_element_type=c.jdtype)
+            y = moe_grouped_matmul(a, wn, gsz, sn)
             y = y[inv].astype(jnp.float32) * topw.reshape(s_tot, 1)
             out = y.reshape(t, top_k, h).sum(axis=1)
             return out.astype(c.jdtype).reshape(lead + (h,))
 
-        # EP path under a mesh: all experts on all tokens, one-hot combine.
-        # The 'expert' axis of wg/wu/wn is sharded over 'model'; XLA turns
-        # the final contraction over e into the EP collective. (ragged_dot
-        # has no GSPMD partitioning rule, so the sharded path keeps the
-        # dense batched einsum — E/top_k extra FLOPs, split P ways.)
+        # All-experts einsum with one-hot combine: the EP path under a
+        # mesh (the 'expert' axis of wg/wu/wn shards over 'model' and XLA
+        # turns the combine contraction into the EP collective — the
+        # grouped kernel has no GSPMD rule), and the single-device path
+        # at small E/top_k where a dense batched GEMM at MXU peak beats
+        # the grouped kernel despite the FLOP multiple (see moe_grouped).
+        if quant:
+            wgd = wg.astype(c.jdtype) * sg[:, None, :].astype(c.jdtype)
+            wud = wu.astype(c.jdtype) * su[:, None, :].astype(c.jdtype)
+            wnd = wn.astype(c.jdtype) * sn[:, None, :].astype(c.jdtype)
+        else:
+            wgd, wud, wnd = (w.astype(c.jdtype) for w in (wg, wu, wn))
         cw = (jax.nn.one_hot(topi, e_num, dtype=jnp.float32)
               * topw[..., None]).sum(axis=1)  # (t, E)
         g = jnp.einsum("th,ehf->etf", xb, wgd,

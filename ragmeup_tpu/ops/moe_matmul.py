@@ -1,4 +1,13 @@
-"""Expert-gathered matmul for sparse-MoE decode.
+"""Expert-gathered and grouped matmuls for sparse-MoE models.
+
+Two kernels, both reading the stacked ``(E, k, n)`` expert tensors:
+
+- ``moe_gather_matmul`` (decode, few rows): per-slot expert gather via a
+  scalar-prefetched index map — reads only the routed experts' bytes.
+- ``moe_grouped_matmul`` (prefill/train, many rows): megablocks-class
+  grouped GEMM — rows sorted by expert, groups padded to m-tiles, m
+  innermost so same-expert weight blocks revisit (copy elided) and the
+  whole expert set streams from HBM once; int8 dequant in the epilogue.
 
 The reference serves MoE checkpoints (Mixtral-class) through
 ``AutoModelForCausalLM`` + bitsandbytes (``RAGHelper_local.py:61-89``),
@@ -109,6 +118,349 @@ def _moe_matmul_call(x, w, scale, ids, tile_k: int, tile_n: int,
         interpret=interpret,
     )(ids, xp, w, sp)
     return out[:, 0, :]
+
+
+def _grouped_kernel(texp_ref, x_ref, w_ref, s_ref, o_ref, acc, *,
+                    k_tiles: int, tm: int, scaled: bool):
+    kb = pl.program_id(1)
+    m = pl.program_id(2)
+    rows = pl.ds(m * tm, tm)
+
+    x = x_ref[...]                    # (tm, tile_k)
+    w = w_ref[0].astype(x.dtype)      # (tile_k, tile_n) this tile's expert
+    part = jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc[rows, :] = part
+
+    @pl.when(kb != 0)
+    def _accum():
+        acc[rows, :] = acc[rows, :] + part
+
+    @pl.when(kb == k_tiles - 1)
+    def _emit():
+        out = acc[rows, :]
+        if scaled:
+            out = out * s_ref[0, 0][None, :].astype(jnp.float32)
+        o_ref[rows, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tile_k", "tile_n",
+                                             "interpret", "out_dtype"))
+def _grouped_matmul_call(xp, w, scale, texp, tm: int, tile_k: int,
+                         tile_n: int, interpret: bool, out_dtype):
+    """Grid (n_tiles, k_tiles, m_tiles) with m INNERMOST: consecutive
+    m-tiles of the same expert revisit the same weight block, and the
+    Pallas pipeline elides the re-copy — expert weights stream from HBM
+    exactly once per (kb, nb) strip (E·k·n bytes total), the property
+    that makes the grouped GEMM weight-traffic-optimal. The f32
+    accumulator holds the whole padded-m strip for the current n tile
+    (k is not innermost, so per-m-tile partials must persist)."""
+    mp, k = xp.shape
+    e, _, n = w.shape
+    k_tiles = k // tile_k
+    scaled = scale is not None
+    if scaled:
+        sp = jnp.pad(scale[:, None, :].astype(jnp.float32),
+                     ((0, 0), (0, 7), (0, 0)))
+    else:
+        sp = jnp.zeros((e, 8, 128), jnp.float32)  # unread placeholder
+    kern = functools.partial(_grouped_kernel, k_tiles=k_tiles, tm=tm,
+                             scaled=scaled)
+    sn = tile_n if scaled else 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n, k_tiles, mp // tm),
+        in_specs=[
+            pl.BlockSpec((tm, tile_k), lambda nb, kb, m, te: (m, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k, tile_n),
+                         lambda nb, kb, m, te: (te[m], kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, sn),
+                         lambda nb, kb, m, te: (te[m], 0,
+                                                nb if scaled else 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # one output block per n strip (visited contiguously); rows are
+        # written as their m-tile finishes its last k tile
+        out_specs=pl.BlockSpec((mp, tile_n), lambda nb, kb, m, te: (0, nb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=e * k * n * w.dtype.itemsize
+            + (n // tile_n) * mp * k * xp.dtype.itemsize
+            + mp * n * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(texp, xp, w, sp)
+
+
+def _grouped_fallback(xs, w, gsz, scale):
+    """lax.ragged_dot path: correct everywhere, differentiable, but runs
+    far off MXU peak on this backend (measured 38 vs 162 TFLOP/s)."""
+    wd = w
+    if scale is not None:
+        wd = w.astype(xs.dtype) * scale[:, None, :].astype(xs.dtype)
+    return jax.lax.ragged_dot(xs, wd.astype(xs.dtype),
+                              gsz.astype(jnp.int32),
+                              preferred_element_type=xs.dtype)
+
+
+def _stack_kernel(texp_ref, x_ref, w_ref, s_ref, o_ref, acc, *,
+                  k_tiles: int, tm: int, m_tiles: int, scaled: bool):
+    """Full-expert-stack variant: each grid step holds ALL experts'
+    (tile_k, tile_n) tiles in VMEM and an in-kernel loop walks the
+    m-tiles, picking each tile's expert by dynamic leading-dim index —
+    expert weights are fetched from HBM exactly once per (kb, nb),
+    by construction (no reliance on pipeline revisit elision)."""
+    kb = pl.program_id(1)
+
+    def body(i, carry):
+        e_i = texp_ref[i]
+        rows = pl.ds(i * tm, tm)
+        x = x_ref[rows, :]
+        w = w_ref[e_i].astype(x.dtype)
+        part = jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+        @pl.when(kb == 0)
+        def _init():
+            acc[rows, :] = part
+
+        @pl.when(kb != 0)
+        def _accum():
+            acc[rows, :] = acc[rows, :] + part
+
+        @pl.when(kb == k_tiles - 1)
+        def _emit():
+            out = acc[rows, :]
+            if scaled:
+                out = out * s_ref[e_i, 0][None, :].astype(jnp.float32)
+            o_ref[rows, :] = out.astype(o_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, m_tiles, body, 0, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tile_k", "tile_n",
+                                             "interpret", "out_dtype"))
+def _grouped_stack_call(xp, w, scale, texp, tm: int, tile_k: int,
+                        tile_n: int, interpret: bool, out_dtype):
+    mp, k = xp.shape
+    e, _, n = w.shape
+    k_tiles = k // tile_k
+    scaled = scale is not None
+    if scaled:
+        sp = jnp.pad(scale[:, None, :].astype(jnp.float32),
+                     ((0, 0), (0, 7), (0, 0)))
+    else:
+        sp = jnp.zeros((e, 8, 128), jnp.float32)  # unread placeholder
+    kern = functools.partial(_stack_kernel, k_tiles=k_tiles, tm=tm,
+                             m_tiles=mp // tm, scaled=scaled)
+    sn = tile_n if scaled else 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((mp, tile_k), lambda nb, kb, te: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, tile_k, tile_n),
+                         lambda nb, kb, te: (0, kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, 8, sn),
+                         lambda nb, kb, te: (0, 0, nb if scaled else 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mp, tile_n), lambda nb, kb, te: (0, nb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=e * k * n * w.dtype.itemsize
+            + (n // tile_n) * mp * k * xp.dtype.itemsize
+            + mp * n * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(texp, xp, w, sp)
+
+
+def _grouped_tm(e: int, dtype) -> int:
+    """Largest m-tile whose worst-case per-call padding (E·(tm-1) rows)
+    stays within the strip budget; bf16 needs ≥ 16 sublanes."""
+    floor = 16 if dtype == jnp.bfloat16 else 8
+    for tm in (128, 64, 32, 16, 8):
+        if tm <= floor:
+            break
+        if e * (tm - 1) <= 1024:
+            return tm
+    return floor
+
+
+def _stack_tiles(mp: int, e: int, k: int, n: int, wb: int, xb: int):
+    """Pick (tile_k, tile_n) for the full-stack kernel so the VMEM
+    footprint (double-buffered x strip, expert stack, out strip + the
+    f32 accumulator) fits the ~16 MB budget. Prefer a wide n tile (the
+    x strip refetches once per n tile). None if nothing fits."""
+    best = None
+    for tn in (512, 256, 128):
+        if n % tn:
+            continue
+        for tk in (512, 256, 128):
+            if k % tk:
+                continue
+            est = (2 * mp * tk * xb + 2 * e * tk * tn * wb
+                   + 2 * mp * tn * xb + mp * tn * 4
+                   + 2 * e * 8 * tn * 4)
+            if est <= 14 << 20:
+                cand = (tn, tk)
+                if best is None or cand > best:
+                    best = cand
+    return (best[1], best[0]) if best else None
+
+
+def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret):
+    """Pad each group to a tm-row multiple, scatter rows into the padded
+    layout (every tile then reads exactly ONE expert), run the kernel,
+    gather the real rows back."""
+    m, k = xs.shape
+    e = w.shape[0]
+    mp = -(-(m + e * (tm - 1)) // tm) * tm
+    csum = jnp.cumsum(gsz)
+    pgs = -(-gsz // tm) * tm
+    pcs = jnp.cumsum(pgs)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    eid = jnp.searchsorted(csum, idx, side="right").astype(jnp.int32)
+    dst = (pcs - pgs)[eid] + (idx - (csum - gsz)[eid])
+    xp = jnp.zeros((mp, k), xs.dtype).at[dst].set(xs)
+    tid = jnp.arange(mp // tm, dtype=jnp.int32) * tm
+    texp = jnp.minimum(jnp.searchsorted(pcs, tid, side="right"),
+                       e - 1).astype(jnp.int32)
+    k, n = w.shape[1], w.shape[2]
+    st = _stack_tiles(mp, e, k, n, w.dtype.itemsize, xs.dtype.itemsize)
+    if st is not None:
+        # full expert stack per tile fits VMEM: weights stream once,
+        # guaranteed (Mixtral-class E; the in-kernel m loop does the rest)
+        yp = _grouped_stack_call(xp, w, scale, texp, tm, st[0], st[1],
+                                 interpret, xs.dtype)
+    else:
+        yp = _grouped_matmul_call(xp, w, scale, texp, tm, tile_k, tile_n,
+                                  interpret, xs.dtype)
+    return yp[dst]
+
+
+def _grouped_forward(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
+                     mp_cap):
+    """Chunk rows so each kernel call's padded strip fits VMEM; group
+    sizes per chunk are the (dynamic) overlap of each group's row range
+    with the chunk window — rows stay sorted, so chunks stay grouped."""
+    m = xs.shape[0]
+    gsz = gsz.astype(jnp.int32)
+    chunk = max(tm, mp_cap - w.shape[0] * (tm - 1))
+    if m <= chunk:
+        return _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n,
+                                 interpret)
+    csum = jnp.cumsum(gsz)
+    outs = []
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        g_hi = jnp.clip(csum, lo, hi)
+        g_lo = jnp.clip(csum - gsz, lo, hi)
+        outs.append(_pad_scatter_call(xs[lo:hi], w, scale, g_hi - g_lo,
+                                      tm, tile_k, tile_n, interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _grouped_kernel_path(xs, w, gsz, tiles, interpret):
+    tm, tile_k, tile_n, mp_cap = tiles
+    return _grouped_forward(xs, w, None, gsz, tm, tile_k, tile_n,
+                            interpret, mp_cap)
+
+
+def _grouped_kp_fwd(xs, w, gsz, tiles, interpret):
+    return _grouped_kernel_path(xs, w, gsz, tiles, interpret), (xs, w, gsz)
+
+
+def _grouped_kp_bwd(tiles, interpret, res, dy):
+    xs, w, gsz = res
+    # dx rides the kernel with transposed expert tiles; dw is the
+    # per-group outer product — a one-hot masked einsum (XLA), fine for
+    # the training path where the forward GEMMs dominate
+    dx = moe_grouped_matmul(dy, jnp.swapaxes(w, 1, 2), gsz,
+                            interpret=interpret)
+    e = w.shape[0]
+    csum = jnp.cumsum(gsz)
+    eid = jnp.searchsorted(csum, jnp.arange(xs.shape[0]), side="right")
+    mask = jax.nn.one_hot(eid, e, dtype=xs.dtype)        # (m, E)
+    dw = jnp.einsum("me,mk,mn->ekn", mask, xs, dy,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx.astype(xs.dtype), dw, None
+
+
+_grouped_kernel_path.defvjp(_grouped_kp_fwd, _grouped_kp_bwd)
+
+
+def moe_grouped_matmul(xs: jnp.ndarray, w: jnp.ndarray, gsz: jnp.ndarray,
+                       scale: Optional[jnp.ndarray] = None,
+                       tm: int = 0, tile_k: int = 0, tile_n: int = 0,
+                       interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Grouped (megablocks-class) GEMM for MoE prefill: rows of ``xs``
+    sorted by expert, ``gsz[e]`` rows for expert e, out[i] = xs[i] @
+    dequant(w[expert_of(i)]).
+
+    xs (M, k); w (E, k, n) int8 (scale (E, n)) or float (scale None);
+    gsz (E,) int32 summing to M. Kernel path: groups pad to ``tm``-row
+    tiles so each tile reads exactly one expert's weight tiles; m runs
+    innermost so same-expert tiles revisit (and skip re-copying) the
+    weight block — routed FLOPs (+ padding) with weights streamed ONCE,
+    and int8 experts dequantize IN the kernel epilogue (no (E, k, n)
+    bf16 copy in HBM). Long row sets chunk to bound the VMEM strip.
+    Falls back to lax.ragged_dot off-TPU or when shapes don't tile.
+    Differentiable (custom VJP) in the float-expert case."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, k = xs.shape
+    e, kw, n = w.shape
+    assert kw == k, (w.shape, xs.shape)
+    tm = tm or _grouped_tm(e, xs.dtype)
+    tile_k = tile_k or (512 if k % 512 == 0 else 0)
+    tile_n = tile_n or (512 if n % 512 == 0 else 0)
+    if e * (tm - 1) > 1024:
+        # large-E (Qwen3-MoE class): widen the strip so padding doesn't
+        # dominate the chunk, and narrow the n tile to keep the f32
+        # accumulator strip inside VMEM
+        mp_cap, tile_n = 4096, (256 if n % 256 == 0 else 0)
+    else:
+        mp_cap = 2048
+    if not (tile_k and tile_n) or m < tm // 2:
+        return _grouped_fallback(xs, w, gsz, scale)
+    if scale is None:
+        return _grouped_kernel_path(xs, w, gsz,
+                                    (tm, tile_k, tile_n, mp_cap),
+                                    interpret)
+    # int8 experts: no gradient path needed (quantized weights are
+    # inference-only) — straight to the kernel with in-epilogue dequant
+    return _grouped_forward(xs, w, scale, gsz.astype(jnp.int32), tm,
+                            tile_k, tile_n, interpret, mp_cap)
 
 
 def moe_gather_matmul(x: jnp.ndarray, w: jnp.ndarray,

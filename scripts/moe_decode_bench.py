@@ -40,6 +40,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def sync(r):
     import jax.numpy as jnp
     float(jnp.asarray(r.reshape(-1)[0], jnp.float32))
@@ -80,18 +85,22 @@ def bench_op(iters: int):
     x = jnp.asarray(rng.standard_normal((slots, k)), jnp.bfloat16)
     rows = []
 
+    # weights are passed as ARGUMENTS to the jitted chains — closed-over
+    # device arrays would be folded into the program as constants and
+    # shipped to the remote compile service (gigabytes of proto)
     @jax.jit
-    def chain_gather(x):
+    def chain_gather(x, ws, ss, idss):
         acc = x
         for c in range(C):
             y = moe_gather_matmul(acc, ws[c], idss[c], ss[c])
             acc = y[:, :k]
         return acc
-    rows.append(("gather-kernel", slope_time(lambda: chain_gather(x), iters),
+    rows.append(("gather-kernel",
+                 slope_time(lambda: chain_gather(x, ws, ss, idss), iters),
                  slots * k * n))
 
     @jax.jit
-    def chain_take(x):
+    def chain_take(x, ws, ss, idss):
         acc = x
         for c in range(C):
             wd = jnp.take(ws[c], idss[c], axis=0).astype(acc.dtype)
@@ -101,11 +110,12 @@ def bench_op(iters: int):
                            preferred_element_type=acc.dtype)
             acc = y[:, :k]
         return acc
-    rows.append(("xla-take-dot", slope_time(lambda: chain_take(x), iters),
+    rows.append(("xla-take-dot",
+                 slope_time(lambda: chain_take(x, ws, ss, idss), iters),
                  slots * k * n))
 
     @jax.jit
-    def chain_all(x):
+    def chain_all(x, ws, ss, idss):
         acc = x
         for c in range(C):
             wd = ws[c].astype(acc.dtype) * ss[c][:, None, :].astype(acc.dtype)
@@ -116,7 +126,8 @@ def bench_op(iters: int):
             y = (y[idss[c][0]] + y[idss[c][1]]) * 0.5
             acc = y[:, :k]
         return acc
-    rows.append(("all-experts", slope_time(lambda: chain_all(x), iters),
+    rows.append(("all-experts",
+                 slope_time(lambda: chain_all(x, ws, ss, idss), iters),
                  e * k * n))
 
     wq = [jnp.asarray(rng.integers(-127, 128, (k, n), dtype=np.int8))
@@ -124,13 +135,14 @@ def bench_op(iters: int):
     sq = [jnp.full((n,), 1e-3, jnp.float32) for _ in range(C)]
 
     @jax.jit
-    def chain_dense(x):
+    def chain_dense(x, wq, sq):
         acc = x
         for c in range(C):
             y = int8_matmul(acc, wq[c], sq[c])
             acc = y[:, :k]
         return acc
-    rows.append(("dense-active", slope_time(lambda: chain_dense(x), iters),
+    rows.append(("dense-active",
+                 slope_time(lambda: chain_dense(x, wq, sq), iters),
                  k * n))
 
     print(f"\nMoE op (E={e}, top_k={top_k}, k={k}, n={n}, one token, "
@@ -143,43 +155,64 @@ def bench_op(iters: int):
               f"ideal {wbytes / 819e9 * 1e6:6.1f} us)")
 
 
-def bench_prefill(iters: int):
-    """Grouped ragged-dot prefill vs the all-experts einsum at t=512.
+def bench_prefill(iters: int, e: int = 8, top_k: int = 2, h: int = 4096,
+                  f: int = 14336, t: int = 512, quant: bool = False):
+    """Grouped-GEMM prefill vs the all-experts einsum.
 
-    Same LlamaMoeMlp module; the all-experts leg is forced by passing a
-    non-None tp_mesh sentinel (the module only tests ``tp_mesh is None``
-    to pick the path — the EP einsum itself never touches the mesh)."""
+    Same LlamaMoeMlp module, paths forced via the ``moe_grouped``
+    config knob. With ``quant`` the experts are int8: the grouped kernel
+    dequantizes in its epilogue while the einsum must materialize
+    (E, h, f) bf16 dequant copies in HBM first."""
     import jax
     import jax.numpy as jnp
     from ragmeup_tpu.models.decoder import LlamaConfig, LlamaMoeMlp
 
-    e, top_k, h, f, t = 8, 2, 4096, 14336, 512
+    import dataclasses
     cfg = LlamaConfig(vocab_size=64, hidden_size=h, num_layers=1,
                       num_heads=32, num_kv_heads=8, intermediate_size=f,
                       num_experts=e, num_experts_per_tok=top_k,
+                      quantization="int8" if quant else "none",
                       dtype="bfloat16")
     rng = np.random.default_rng(0)
-    grouped = LlamaMoeMlp(cfg)
-    allexp = LlamaMoeMlp(cfg, tp_mesh=object())
+    grouped = LlamaMoeMlp(dataclasses.replace(cfg, moe_grouped="on"))
+    allexp = LlamaMoeMlp(dataclasses.replace(cfg, moe_grouped="off"))
     x = jnp.asarray(rng.standard_normal((1, t, h)) * 0.1, jnp.bfloat16)
-    params = {
-        "router": jnp.asarray(rng.standard_normal((h, e)) * 0.2,
-                              jnp.float32),
-        "gate": jnp.asarray(rng.standard_normal((e, h, f)) * 0.02,
-                            jnp.float32),
-        "up": jnp.asarray(rng.standard_normal((e, h, f)) * 0.02,
-                          jnp.float32),
-        "down": jnp.asarray(rng.standard_normal((e, f, h)) * 0.02,
-                            jnp.float32),
-    }
-    fg = jax.jit(lambda xx: grouped.apply({"params": params}, xx))
-    fa = jax.jit(lambda xx: allexp.apply({"params": params}, xx))
-    og, oa = np.asarray(fg(x), np.float32), np.asarray(fa(x), np.float32)
+    # params as jit ARGUMENTS (closure constants would ship to the remote
+    # compile service) and generated ON DEVICE — host-side normals at
+    # these sizes cost minutes of the single host CPU
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = {"router": jax.random.normal(ks[0], (h, e), jnp.float32) * 0.2}
+    if quant:
+        for nm, kk, sh in (("gate", ks[1], (e, h, f)),
+                           ("up", ks[2], (e, h, f)),
+                           ("down", ks[3], (e, f, h))):
+            params[nm + "_q"] = jax.random.randint(kk, sh, -127, 128,
+                                                   jnp.int8)
+            params[nm + "_s"] = jnp.full((e, sh[2]), 1e-3, jnp.float32)
+    else:
+        params.update({
+            "gate": jax.random.normal(ks[1], (e, h, f), jnp.bfloat16) * 0.02,
+            "up": jax.random.normal(ks[2], (e, h, f), jnp.bfloat16) * 0.02,
+            "down": jax.random.normal(ks[3], (e, f, h), jnp.bfloat16) * 0.02,
+        })
+    params = jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, params)
+    log("prefill: params built")
+    fg = jax.jit(lambda p, xx: grouped.apply({"params": p}, xx))
+    fa = jax.jit(lambda p, xx: allexp.apply({"params": p}, xx))
+    og = np.asarray(fg(params, x), np.float32)
+    log("prefill: grouped compiled + fetched")
+    oa = np.asarray(fa(params, x), np.float32)
+    log("prefill: all-experts compiled + fetched")
     err = np.max(np.abs(og - oa)) / max(np.max(np.abs(oa)), 1e-9)
-    tg = slope_time(lambda: fg(x), iters)
-    ta = slope_time(lambda: fa(x), iters)
+    tg = slope_time(lambda: fg(params, x), iters)
+    log("prefill: grouped timed")
+    ta = slope_time(lambda: fa(params, x), iters)
+    log("prefill: all-experts timed")
     gflop_routed = 2 * 3 * t * top_k * h * f / 1e9
-    print(f"\nMoE prefill (t={t}, E={e}, top_k={top_k}, h={h}, f={f}; "
+    print(f"\nMoE prefill (t={t}, E={e}, top_k={top_k}, h={h}, f={f}, "
+          f"{'int8' if quant else 'bf16'} experts; "
           f"routed work {gflop_routed:.0f} GFLOP):")
     print(f"  grouped ragged_dot {tg:8.2f} ms "
           f"({gflop_routed / tg:6.1f} TFLOP/s of routed work)")
@@ -201,35 +234,41 @@ def build_moe_llm():
                       quantization="int8", tie_embeddings=False,
                       use_flash=True, max_seq_len=2048)
     kvh = cfg.num_kv_heads * cfg.head_dim
-    rng = np.random.default_rng(1)
 
+    # device-side zeros/fulls: the same bytes/FLOPs as a real checkpoint
+    # without hauling 5.6 GB through the 200 MB/s tunnel
     def qlin(d_in, d_out):
-        return {"kernel_q": np.zeros((d_in, d_out), np.int8),
-                "scale": np.full(d_out, 1e-3, np.float32)}
+        return {"kernel_q": jnp.zeros((d_in, d_out), jnp.int8),
+                "scale": jnp.full((d_out,), 1e-3, jnp.float32)}
 
-    params = {"token_embedding": jnp.zeros((v, h), jnp.bfloat16),
+    # token embeddings RANDOM, not zero: zero embeddings make every
+    # activation zero, so routing degenerates to constant experts [0, 1]
+    # every layer/step and the measured rate exceeds the bandwidth roof
+    # (not a realistic decode). Random embeddings vary the routing per
+    # token like a real checkpoint.
+    params = {"token_embedding": jax.random.normal(
+                  jax.random.PRNGKey(99), (v, h), jnp.bfloat16) * 0.02,
               "lm_head": jnp.zeros((h, v), jnp.bfloat16),
-              "final_norm": {"scale": np.ones(h, np.float32)}}
+              "final_norm": {"scale": jnp.ones(h, jnp.float32)}}
     for i in range(cfg.num_layers):
         params[f"layer_{i}"] = {
             "attention": {"q_proj": qlin(h, h), "k_proj": qlin(h, kvh),
                           "v_proj": qlin(h, kvh), "o_proj": qlin(h, h)},
-            "input_norm": {"scale": np.ones(h, np.float32)},
-            "post_attn_norm": {"scale": np.ones(h, np.float32)},
+            "input_norm": {"scale": jnp.ones(h, jnp.float32)},
+            "post_attn_norm": {"scale": jnp.ones(h, jnp.float32)},
             "mlp": {
                 # random router so tokens route across all experts
-                "router": rng.standard_normal((h, e)).astype(np.float32),
-                "gate_q": np.zeros((e, h, f), np.int8),
-                "gate_s": np.full((e, f), 1e-3, np.float32),
-                "up_q": np.zeros((e, h, f), np.int8),
-                "up_s": np.full((e, f), 1e-3, np.float32),
-                "down_q": np.zeros((e, f, h), np.int8),
-                "down_s": np.full((e, h), 1e-3, np.float32)}}
-    dev = jax.device_put(params)
-    jax.tree_util.tree_leaves(dev)[0].block_until_ready()
-    del params
+                "router": jax.random.normal(jax.random.PRNGKey(i),
+                                            (h, e), jnp.float32),
+                "gate_q": jnp.zeros((e, h, f), jnp.int8),
+                "gate_s": jnp.full((e, f), 1e-3, jnp.float32),
+                "up_q": jnp.zeros((e, h, f), jnp.int8),
+                "up_s": jnp.full((e, f), 1e-3, jnp.float32),
+                "down_q": jnp.zeros((e, f, h), jnp.int8),
+                "down_s": jnp.full((e, h), 1e-3, jnp.float32)}}
+    jax.tree_util.tree_leaves(params)[0].block_until_ready()
     gc.collect()
-    return LocalLLM(cfg, SimpleTokenizer(v), params=dev), cfg
+    return LocalLLM(cfg, SimpleTokenizer(v), params=params), cfg
 
 
 def build_dense_llm(intermediate: int):
@@ -243,30 +282,29 @@ def build_dense_llm(intermediate: int):
                       num_heads=16, num_kv_heads=8,
                       intermediate_size=intermediate,
                       quantization="int8", tie_embeddings=False,
+                      quant_kernel=True,  # like-for-like: pallas dequant
                       use_flash=True, max_seq_len=2048)
     kvh = cfg.num_kv_heads * cfg.head_dim
 
     def qlin(d_in, d_out):
-        return {"kernel_q": np.zeros((d_in, d_out), np.int8),
-                "scale": np.full(d_out, 1e-3, np.float32)}
+        return {"kernel_q": jnp.zeros((d_in, d_out), jnp.int8),
+                "scale": jnp.full((d_out,), 1e-3, jnp.float32)}
 
     params = {"token_embedding": jnp.zeros((v, h), jnp.bfloat16),
               "lm_head": jnp.zeros((h, v), jnp.bfloat16),
-              "final_norm": {"scale": np.ones(h, np.float32)}}
+              "final_norm": {"scale": jnp.ones(h, jnp.float32)}}
     for i in range(cfg.num_layers):
         params[f"layer_{i}"] = {
             "attention": {"q_proj": qlin(h, h), "k_proj": qlin(h, kvh),
                           "v_proj": qlin(h, kvh), "o_proj": qlin(h, h)},
-            "input_norm": {"scale": np.ones(h, np.float32)},
-            "post_attn_norm": {"scale": np.ones(h, np.float32)},
+            "input_norm": {"scale": jnp.ones(h, jnp.float32)},
+            "post_attn_norm": {"scale": jnp.ones(h, jnp.float32)},
             "mlp": {"gate_proj": qlin(h, intermediate),
                     "up_proj": qlin(h, intermediate),
                     "down_proj": qlin(intermediate, h)}}
-    dev = jax.device_put(params)
-    jax.tree_util.tree_leaves(dev)[0].block_until_ready()
-    del params
+    jax.tree_util.tree_leaves(params)[0].block_until_ready()
     gc.collect()
-    return LocalLLM(cfg, SimpleTokenizer(v), params=dev)
+    return LocalLLM(cfg, SimpleTokenizer(v), params=params)
 
 
 def bench_model(n1: int, n2: int, repeat: int):
@@ -311,6 +349,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", action="store_true")
     ap.add_argument("--prefill", action="store_true")
+    ap.add_argument("--prefill-large-e", action="store_true",
+                    help="Qwen3-MoE-class shape (E=64, top_k=8): the "
+                    "regime the grouped kernel exists for")
     ap.add_argument("--model", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--n1", type=int, default=64)
@@ -320,11 +361,17 @@ def main():
     args = ap.parse_args()
     from ragmeup_tpu.utils.platform import ensure_platform
     print("backend:", ensure_platform(args.platform), file=sys.stderr)
-    do_all = not (args.op or args.model or args.prefill)
+    do_all = not (args.op or args.model or args.prefill
+                  or args.prefill_large_e)
     if args.op or do_all:
         bench_op(args.iters)
     if args.prefill or do_all:
         bench_prefill(args.iters)
+        bench_prefill(args.iters, quant=True)
+    if args.prefill_large_e or do_all:
+        bench_prefill(args.iters, e=64, top_k=8, h=2048, f=768)
+        bench_prefill(args.iters, e=64, top_k=8, h=2048, f=768,
+                      quant=True)
     if args.model or do_all:
         bench_model(args.n1, args.n2, args.repeat)
 

@@ -70,6 +70,26 @@ def test_mixtral_logits_match_hf(tmp_path):
     np.testing.assert_allclose(ours, golden, atol=3e-4, rtol=3e-4)
 
 
+def test_mixtral_grouped_path_matches_hf(tmp_path):
+    """The forced grouped-GEMM prefill path (moe_grouped='on' — sort by
+    expert, grouped matmuls, unsort) is the same math: HF parity holds
+    through it too."""
+    import dataclasses as dc
+    from ragmeup_tpu.models.decoder import LlamaModel, causal_bias
+    d, golden, _ = _save_tiny_mixtral(tmp_path)
+    cfg = dc.replace(llama_config_from_hf(d), dtype="float32",
+                     moe_grouped="on")
+    tensors = load_safetensors(d)
+    params = llama_params_from_hf(tensors, cfg.num_layers,
+                                  cfg.tie_embeddings)
+    out = LlamaModel(cfg).apply(
+        {"params": params}, jnp.asarray([IDS], jnp.int32),
+        positions=jnp.arange(len(IDS)),
+        attn_bias=causal_bias(len(IDS), len(IDS)))
+    np.testing.assert_allclose(np.asarray(out["logits"][0], np.float32),
+                               golden, atol=3e-4, rtol=3e-4)
+
+
 def test_mixtral_int8_close_to_hf(tmp_path):
     """int8 stacked-expert quantization keeps the torch golden ranking."""
     d, golden, _ = _save_tiny_mixtral(tmp_path)
@@ -221,6 +241,73 @@ def test_moe_load_balancing_loss_uniform_is_one():
     val = float(moe_load_balancing_loss(inter, e))
     np.testing.assert_allclose(val, 1.0, rtol=1e-6)
     assert float(moe_load_balancing_loss({}, e)) == 0.0
+
+
+def test_moe_grouped_matmul_matches_oracle():
+    """Grouped (megablocks-class) prefill kernel vs a per-row oracle in
+    interpret mode: rows sorted by expert, ragged group sizes (incl. an
+    empty group and a non-tile-multiple group), int8 + f32 experts."""
+    from ragmeup_tpu.ops.moe_matmul import moe_grouped_matmul
+    rng = np.random.default_rng(1)
+    e, k, n = 4, 1024, 512
+    gsz = np.asarray([130, 0, 37, 89], np.int32)   # ragged, one empty
+    m = int(gsz.sum())
+    ids = np.repeat(np.arange(e), gsz)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w8 = rng.integers(-127, 128, (e, k, n), dtype=np.int8)
+    sc = (rng.random((e, n)).astype(np.float32) + 0.1) * 0.01
+    out = moe_grouped_matmul(jnp.asarray(x), jnp.asarray(w8),
+                             jnp.asarray(gsz), jnp.asarray(sc))
+    ref = np.stack([x[i] @ (w8[ids[i]].astype(np.float32)
+                            * sc[ids[i]][None, :]) for i in range(m)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=1e-3)
+    wf = rng.standard_normal((e, k, n)).astype(np.float32) * 0.02
+    out2 = moe_grouped_matmul(jnp.asarray(x), jnp.asarray(wf),
+                              jnp.asarray(gsz))
+    ref2 = np.stack([x[i] @ wf[ids[i]] for i in range(m)])
+    np.testing.assert_allclose(np.asarray(out2), ref2, rtol=2e-3, atol=1e-3)
+    # small m falls back to ragged_dot and stays exact
+    out3 = moe_grouped_matmul(jnp.asarray(x[:8]), jnp.asarray(wf),
+                              jnp.asarray([3, 0, 2, 3], np.int32))
+    ids3 = np.repeat(np.arange(e), [3, 0, 2, 3])
+    ref3 = np.stack([x[i] @ wf[ids3[i]] for i in range(8)])
+    np.testing.assert_allclose(np.asarray(out3), ref3, rtol=1e-5, atol=1e-5)
+    # large m exercises the VMEM-bounded chunking (group split mid-chunk)
+    gsz4 = np.asarray([700, 1100, 0, 700], np.int32)
+    m4 = int(gsz4.sum())
+    ids4 = np.repeat(np.arange(e), gsz4)
+    x4 = rng.standard_normal((m4, k)).astype(np.float32)
+    out4 = moe_grouped_matmul(jnp.asarray(x4), jnp.asarray(wf),
+                              jnp.asarray(gsz4))
+    ref4 = np.stack([x4[i] @ wf[ids4[i]] for i in range(m4)])
+    np.testing.assert_allclose(np.asarray(out4), ref4, rtol=2e-3, atol=1e-3)
+
+
+def test_moe_grouped_matmul_gradients():
+    """The kernel path's custom VJP must agree with the differentiable
+    ragged_dot fallback for both operands (float experts — the training
+    path)."""
+    from ragmeup_tpu.ops.moe_matmul import (_grouped_fallback,
+                                            moe_grouped_matmul)
+    rng = np.random.default_rng(2)
+    e, k, n = 4, 1024, 512
+    gsz = jnp.asarray([70, 30, 0, 28], jnp.int32)
+    m = 128
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((e, k, n)) * 0.05, jnp.float32)
+
+    def loss_k(x, w):
+        return jnp.sum(moe_grouped_matmul(x, w, gsz) ** 2)
+
+    def loss_r(x, w):
+        return jnp.sum(_grouped_fallback(x, w, gsz, None) ** 2)
+
+    gkx, gkw = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    grx, grw = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gkx), np.asarray(grx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gkw), np.asarray(grw),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_moe_through_serving_engine():
