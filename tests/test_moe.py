@@ -333,6 +333,32 @@ def test_moe_through_serving_engine():
     assert eng.run_wave(steps_per_dispatch=2) == want
 
 
+def test_moe_tp_ep_generation_matches_single_device():
+    """A mesh LocalLLM on an MoE config: attention TP (kv heads over
+    'model') and EP (the 'expert' logical axis over 'model' via the
+    flax partitioning rules) together, through the full fused
+    generation loop — tokens identical to the single-device LLM."""
+    from flax import linen as fnn
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.parallel.mesh import make_mesh, mesh_shape_for
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=2, dtype="float32",
+                           num_experts=4, num_experts_per_tok=2)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    solo = LocalLLM(cfg, tok, seed=11)
+    params = fnn.meta.unbox(solo.params)
+    mesh = make_mesh(mesh_shape_for(8, model_parallel=2))
+    tp = LocalLLM(cfg, tok, params=params, mesh=mesh)
+    spec = tp.params["layer_0"]["mlp"]["gate"].sharding.spec
+    assert "model" in str(spec), f"experts not EP-sharded: {spec}"
+    prompt = [3, 9, 4, 17, 2]
+    want = solo.generate(prompt, max_new_tokens=6, temperature=0.0,
+                         speculative="off")
+    got = tp.generate(prompt, max_new_tokens=6, temperature=0.0,
+                      speculative="off")
+    assert want == got, (want, got)
+
+
 def test_moe_expert_parallel_matches_single_device(tmp_path):
     """EP: stacked expert tensors sharded over the 'model' mesh axis
     (4 virtual CPU devices, one expert each) — logits identical to the
