@@ -119,6 +119,16 @@ def test_qwen3_moe_logits_match_hf(tmp_path):
     assert cfg.moe_layers == (True, False, True)
     assert cfg.moe_intermediate_size == 96 and cfg.qk_norm
     np.testing.assert_allclose(ours, golden, atol=3e-4, rtol=3e-4)
+    # int8 streaming loader must handle the MoE/dense layer mix (stacked
+    # per-expert quantization on MoE layers, QuantDense on the dense one)
+    import json
+    from ragmeup_tpu.models.hf_loader import load_local_llm
+    with open(f"{d}/generation_config.json", "w") as fh:
+        json.dump({"eos_token_id": 999}, fh)
+    llm8 = load_local_llm(str(d), quantization="int8")
+    out8 = llm8.generate(IDS, max_new_tokens=4, temperature=0.0,
+                         repetition_penalty=1.0)
+    assert len(out8) == 4
 
 
 def test_moe_decode_gather_path_matches_dense_path(tmp_path):
