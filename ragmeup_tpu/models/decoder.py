@@ -742,15 +742,71 @@ class LlamaMoeMlp(nn.Module):
     cfg: LlamaConfig
     tp_mesh: Optional[object] = None
 
+    def _ep_decode_gather(self, xf, ids, wslot, gate, up, down, act,
+                          e_local, t, top_k):
+        """shard_map EP decode: per-device expert gather + psum combine.
+
+        xf (t, h) replicated activations; ids/wslot (S,) routed expert
+        ids and combine weights (S = t·top_k ≤ E/D, the engage gate).
+        gate/up/down are (stacked_weights, scale-or-None) pairs whose
+        leading 'expert' dim shards over the mesh 'model' axis. Each
+        device runs the gather kernel (ops/moe_matmul.py) on its LOCAL
+        (E/D, k, n) stack — pallas has no GSPMD rule, but under
+        shard_map partitioning is manual and the kernel sees only local
+        shapes (same design as QuantDense._tp_shard_matmul)."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
+        c = self.cfg
+        mesh = self.tp_mesh
+        h = c.hidden_size
+        quant = gate[1] is not None
+        xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)  # (S, h)
+
+        def local_fn(xs, ids, wslot, wg, sg, wu, su, wn, sn):
+            lo = jax.lax.axis_index("model").astype(jnp.int32) * e_local
+            mine = (ids >= lo) & (ids < lo + e_local)
+            idl = jnp.where(mine, ids - lo, 0)
+            g = moe_gather_matmul(xs, wg, idl, sg)
+            u = moe_gather_matmul(xs, wu, idl, su)
+            a = (act(g) * u).astype(c.jdtype)
+            y = moe_gather_matmul(a, wn, idl, sn)  # (S, h)
+            y = y.astype(jnp.float32) * jnp.where(mine, wslot, 0.0)[:, None]
+            return jax.lax.psum(y, "model")
+
+        w_spec = P("model", None, None)
+        s_spec = P("model", None)
+        if quant:
+            args = (xs, ids, wslot, gate[0], gate[1], up[0], up[1],
+                    down[0], down[1])
+            specs = (P(), P(), P(), w_spec, s_spec, w_spec, s_spec,
+                     w_spec, s_spec)
+            fn = local_fn
+        else:
+            args = (xs, ids, wslot, gate[0], up[0], down[0])
+            specs = (P(), P(), P(), w_spec, w_spec, w_spec)
+
+            def fn(xs, ids, wslot, wg, wu, wn):
+                return local_fn(xs, ids, wslot, wg, None, wu, None,
+                                wn, None)
+
+        y = shard_map(fn, mesh=mesh, in_specs=specs, out_specs=P(),
+                      check_vma=False)(*args)
+        return y.reshape(t, top_k, h).sum(axis=1)
+
     @nn.compact
     def __call__(self, x):
         c = self.cfg
         e_num, top_k = c.num_experts, c.num_experts_per_tok
         f = c.moe_intermediate_size or c.intermediate_size
         h = c.hidden_size
-        assert c.quantization in ("none", "int8"), \
-            f"MoE experts support none|int8 quantization, not {c.quantization}"
+        assert c.quantization in ("none", "int8", "int4"), \
+            f"MoE experts support none|int8|int4, not {c.quantization}"
         quant = c.quantization == "int8"
+        quant4 = c.quantization == "int4"
         lead = x.shape[:-1]
         t = 1
         for d in lead:
@@ -774,7 +830,41 @@ class LlamaMoeMlp(nn.Module):
 
         n_up = ("expert", "embed", "moe_inter")
         n_dn = ("expert", "moe_inter", "embed")
-        if quant:
+        if quant4:
+            # stacked-expert packed int4 + group-wise scales: the same
+            # two-per-byte layout as QuantDense's dense int4 (the
+            # TPU-native nf4, ops/quant_matmul.py pack_int4), one packed
+            # tensor per projection with a leading expert dim. This is
+            # the MEMORY knob for MoE: Mixtral-class experts in half the
+            # int8 bytes (~28B total params on one 16 GB chip). Compute
+            # dequantizes per routed expert (decode: only the routed
+            # slots' packed bytes are gathered) — slower than int8's
+            # gather kernel, same tradeoff as dense int4 (BENCH_NOTES).
+            from ragmeup_tpu.ops.quant_matmul import int4_tiling
+            tk_h, grp_h = int4_tiling(h)
+            tk_f, grp_f = int4_tiling(f)
+            if c.int4_group:
+                grp_h = min(c.int4_group, tk_h)
+                grp_f = min(c.int4_group, tk_f)
+            wg = self.param("gate_p", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_up),
+                (e_num, h // 2, f), jnp.int8)
+            sg = self.param("gate_gs", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), n_up),
+                (e_num, h // grp_h, f), jnp.float32)
+            wu = self.param("up_p", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_up),
+                (e_num, h // 2, f), jnp.int8)
+            su = self.param("up_gs", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), n_up),
+                (e_num, h // grp_h, f), jnp.float32)
+            wn = self.param("down_p", nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), n_dn),
+                (e_num, f // 2, h), jnp.int8)
+            sn = self.param("down_gs", nn.with_logical_partitioning(
+                nn.initializers.ones_init(), n_dn),
+                (e_num, f // grp_f, h), jnp.float32)
+        elif quant:
             wg = self.param("gate_q", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), n_up), (e_num, h, f), jnp.int8)
             sg = self.param("gate_s", nn.with_logical_partitioning(
@@ -808,22 +898,75 @@ class LlamaMoeMlp(nn.Module):
                 return nn.gelu(g, approximate=False)
             raise ValueError(f"unsupported act_fn {c.act_fn!r}")
 
-        if t * top_k <= e_num and self.tp_mesh is None:
+        def dq4(wp, gs, tile_k, group):
+            # packed (..., k/2, n) + gscale (..., k/group, n) → (..., k, n)
+            from ragmeup_tpu.ops.quant_matmul import unpack_int4
+            import functools as _ft
+            unp = _ft.partial(unpack_int4, tile_k=tile_k)
+            if wp.ndim == 3:
+                unp = jax.vmap(unp)
+            q = unp(wp).astype(c.jdtype)
+            return q * jnp.repeat(gs, group, axis=-2).astype(c.jdtype)
+
+        s_tot = t * top_k
+        if s_tot <= e_num and self.tp_mesh is None:
             # decode path: gather only the routed experts' weights.
             # Slot layout: row s = token s//top_k, expert slot s%top_k.
             from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
             xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)
-            ids = topi.reshape(t * top_k)
-            g = moe_gather_matmul(xs, wg, ids, sg)
-            u = moe_gather_matmul(xs, wu, ids, su)
-            a = (act(g) * u).astype(c.jdtype)
-            y = moe_gather_matmul(a, wn, ids, sn)  # (t*top_k, h)
-            y = y.astype(jnp.float32) * topw.reshape(t * top_k, 1)
+            ids = topi.reshape(s_tot)
+            if quant4:
+                # int4 decode: take the routed slots' PACKED bytes (half
+                # the int8 traffic at the HBM read), unpack + group
+                # dequant per slot, dense dots. No pallas path — same
+                # memory-over-speed contract as dense int4.
+                wgs = dq4(jnp.take(wg, ids, 0), jnp.take(sg, ids, 0),
+                          tk_h, grp_h)
+                wus = dq4(jnp.take(wu, ids, 0), jnp.take(su, ids, 0),
+                          tk_h, grp_h)
+                wns = dq4(jnp.take(wn, ids, 0), jnp.take(sn, ids, 0),
+                          tk_f, grp_f)
+                g = jnp.einsum("sk,skn->sn", xs, wgs,
+                               preferred_element_type=c.jdtype)
+                u = jnp.einsum("sk,skn->sn", xs, wus,
+                               preferred_element_type=c.jdtype)
+                a = (act(g) * u).astype(c.jdtype)
+                y = jnp.einsum("sk,skn->sn", a, wns,
+                               preferred_element_type=c.jdtype)
+            else:
+                g = moe_gather_matmul(xs, wg, ids, sg)
+                u = moe_gather_matmul(xs, wu, ids, su)
+                a = (act(g) * u).astype(c.jdtype)
+                y = moe_gather_matmul(a, wn, ids, sn)  # (t*top_k, h)
+            y = y.astype(jnp.float32) * topw.reshape(s_tot, 1)
             out = y.reshape(t, top_k, h).sum(axis=1)
             return out.astype(c.jdtype).reshape(lead + (h,))
 
+        if self.tp_mesh is not None and not quant4:
+            ntp = self.tp_mesh.shape["model"]
+            if e_num % ntp == 0 and s_tot <= e_num // ntp:
+                # EP decode under a mesh: shard_map per-device gather.
+                # Each device holds E/D stacked experts ('expert' logical
+                # axis → 'model'); it rebases the routed ids into its
+                # local range, gathers ONLY its own experts' tiles
+                # (non-local slots clamp to local expert 0 and zero their
+                # combine weight), and the partial slot outputs psum over
+                # 'model'. Per-device weight traffic is ≤ S·3·k·n bytes vs
+                # the all-experts einsum's (E/D)·3·k·n — engaged exactly
+                # when S = t·top_k ≤ E/D, so this path never reads more
+                # than the einsum and does routed-only FLOPs (the einsum
+                # does E/top_k more). Closes the "EP path runs the
+                # all-experts einsum at decode" gap: Qwen3-MoE-class
+                # (E=128, top_k=8) on an 8-way mesh reads 8 experts per
+                # device per token instead of 16.
+                out = self._ep_decode_gather(
+                    xf, topi.reshape(s_tot), topw.reshape(s_tot),
+                    (wg, sg), (wu, su), (wn, sn), act,
+                    e_num // ntp, t, top_k)
+                return out.astype(c.jdtype).reshape(lead + (h,))
+
         xb = xf.astype(c.jdtype)
-        use_grouped = c.moe_grouped == "on"
+        use_grouped = c.moe_grouped == "on" and not quant4
         if self.tp_mesh is None and use_grouped:
             # prefill/train path: GROUPED GEMMs (megablocks-class). Sort
             # the (token, slot) rows by routed expert and run grouped
@@ -857,7 +1000,15 @@ class LlamaMoeMlp(nn.Module):
         # grouped kernel has no GSPMD rule), and the single-device path
         # at small E/top_k where a dense batched GEMM at MXU peak beats
         # the grouped kernel despite the FLOP multiple (see moe_grouped).
-        if quant:
+        if quant4:
+            # prefill/EP: dequantize the full stacks (one bf16 copy per
+            # projection per layer — prefill is MXU-bound so the unpack
+            # bandwidth amortizes over t; under a mesh the unpack shards
+            # along the leading 'expert' axis with the weights)
+            wgd = dq4(wg, sg, tk_h, grp_h)
+            wud = dq4(wu, su, tk_h, grp_h)
+            wnd = dq4(wn, sn, tk_f, grp_f)
+        elif quant:
             wgd = wg.astype(c.jdtype) * sg[:, None, :].astype(c.jdtype)
             wud = wu.astype(c.jdtype) * su[:, None, :].astype(c.jdtype)
             wnd = wn.astype(c.jdtype) * sn[:, None, :].astype(c.jdtype)

