@@ -183,10 +183,11 @@ def test_moe_gather_matmul_matches_oracle():
     np.testing.assert_allclose(np.asarray(out3), ref3, rtol=1e-5, atol=1e-5)
 
 
-def test_mixtral_generate_and_int4_rejection(tmp_path):
+def test_mixtral_generate_int8_and_int4(tmp_path):
     """load_local_llm drives a real Mixtral save_pretrained layout
-    end-to-end (greedy tokens match torch generate), int8 streaming loader
-    included; int4 is rejected with a clear error."""
+    end-to-end (greedy tokens match torch generate); the int8 AND int4
+    streaming loaders both load the same layout and generate (int4 MoE
+    experts landed in 90500a1; the former rejection is gone)."""
     import json
     d, golden, model = _save_tiny_mixtral(tmp_path)
     with open(f"{d}/generation_config.json", "w") as f:
@@ -203,8 +204,10 @@ def test_mixtral_generate_and_int4_rejection(tmp_path):
     out8 = llm8.generate(IDS, max_new_tokens=4, temperature=0.0,
                          repetition_penalty=1.0)
     assert len(out8) == 4
-    with pytest.raises(ValueError, match="int4.*MoE|MoE.*int4"):
-        load_local_llm(d, quantization="int4")
+    llm4 = load_local_llm(d, quantization="int4")
+    out4 = llm4.generate(IDS, max_new_tokens=4, temperature=0.0,
+                         repetition_penalty=1.0)
+    assert len(out4) == 4
 
 
 def test_moe_train_step_with_load_balancing_loss():
