@@ -273,10 +273,8 @@ class QuantDense(nn.Module):
         this layer's sharding doesn't fit the manual path (caller falls
         back to the GSPMD XLA implementation)."""
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+
+        from ragmeup_tpu.parallel.mesh import shard_map_compat
         mesh = self.tp_mesh
         ntp = mesh.shape["model"]
         ax_in = _tp_axis(self.names[0])
@@ -293,16 +291,16 @@ class QuantDense(nn.Module):
         w_spec = P(ax_in, ax_out)
         s_spec = P(ax_out) if s.ndim == 1 else P(ax_in, ax_out)
         if ax_out:  # column-parallel: replicate x, keep output sharded
-            fn = shard_map(
+            fn = shard_map_compat(
                 lambda xl, wl, sl: matmul(xl, wl, sl), mesh=mesh,
                 in_specs=(P(), w_spec, s_spec),
-                out_specs=P(None, ax_out), check_vma=False)
+                out_specs=P(None, ax_out))
         else:       # row-parallel: x sharded on features; psum partials
-            fn = shard_map(
+            fn = shard_map_compat(
                 lambda xl, wl, sl: jax.lax.psum(matmul(xl, wl, sl), "model"),
                 mesh=mesh,
                 in_specs=(P(None, "model"), w_spec, s_spec),
-                out_specs=P(), check_vma=False)
+                out_specs=P())
         return fn(x2, w, s)
 
     @nn.compact
@@ -612,15 +610,13 @@ class LlamaAttention(nn.Module):
                 # TP: each chip flashes its own heads (q and kv heads both
                 # shard over 'model'; rep is preserved per shard)
                 from jax.sharding import PartitionSpec as P
-                try:
-                    from jax import shard_map
-                except ImportError:
-                    from jax.experimental.shard_map import shard_map
+
+                from ragmeup_tpu.parallel.mesh import shard_map_compat
                 hspec = P(None, None, "model", None)
-                out = shard_map(
+                out = shard_map_compat(
                     _flash_local, mesh=self.tp_mesh,
-                    in_specs=(hspec, hspec, hspec), out_specs=hspec,
-                    check_vma=False)(q, k, v)
+                    in_specs=(hspec, hspec, hspec),
+                    out_specs=hspec)(q, k, v)
             else:
                 out = _flash_local(q, k, v)
             weights = None
@@ -755,11 +751,9 @@ class LlamaMoeMlp(nn.Module):
         shard_map partitioning is manual and the kernel sees only local
         shapes (same design as QuantDense._tp_shard_matmul)."""
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+
         from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
+        from ragmeup_tpu.parallel.mesh import shard_map_compat
         c = self.cfg
         mesh = self.tp_mesh
         h = c.hidden_size
@@ -793,8 +787,8 @@ class LlamaMoeMlp(nn.Module):
                 return local_fn(xs, ids, wslot, wg, None, wu, None,
                                 wn, None)
 
-        y = shard_map(fn, mesh=mesh, in_specs=specs, out_specs=P(),
-                      check_vma=False)(*args)
+        y = shard_map_compat(fn, mesh=mesh, in_specs=specs,
+                             out_specs=P())(*args)
         return y.reshape(t, top_k, h).sum(axis=1)
 
     @nn.compact
@@ -954,8 +948,10 @@ class LlamaMoeMlp(nn.Module):
                 # 'model'. Per-device weight traffic is ≤ S·3·k·n bytes vs
                 # the all-experts einsum's (E/D)·3·k·n — engaged exactly
                 # when S = t·top_k ≤ E/D, so this path never reads more
-                # than the einsum and does routed-only FLOPs (the einsum
-                # does E/top_k more). Closes the "EP path runs the
+                # than the einsum and does routed-only FLOPs (per device
+                # the einsum does E/(D·top_k) more — 2x for Qwen3-MoE
+                # E=128, top_k=8 on a D=8 mesh). Closes the "EP path runs
+                # the
                 # all-experts einsum at decode" gap: Qwen3-MoE-class
                 # (E=128, top_k=8) on an 8-way mesh reads 8 experts per
                 # device per token instead of 16.

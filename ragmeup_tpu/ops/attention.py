@@ -347,18 +347,15 @@ def ring_attention(mesh, q, k, v, axis_name: str = "corpus",
     over that mesh axis — composes SP with TP when the head projections
     are already model-sharded (each chip rings only its own heads)."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+
+    from ragmeup_tpu.parallel.mesh import shard_map_compat
     spec = P(head_axis, axis_name, None)
-    fn = shard_map(
+    fn = shard_map_compat(
         functools.partial(ring_attention_local, axis_name=axis_name,
                           causal=causal),
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_vma=False)
+        out_specs=spec)
     return fn(q, k, v)
 
 

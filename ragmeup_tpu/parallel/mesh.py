@@ -46,6 +46,26 @@ LOGICAL_RULES = (
 )
 
 
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """``shard_map`` across jax versions with replication checks off.
+
+    Newer jax exposes ``jax.shard_map`` taking ``check_vma``; the older
+    ``jax.experimental.shard_map.shard_map`` takes ``check_rep`` instead.
+    Every manual-partitioning call site in the package goes through here so
+    the version fallback is exercised (or fails) in exactly one place.
+    """
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:  # older signature
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
 def mesh_shape_for(n_devices: int,
                    model_parallel: Optional[int] = None,
                    corpus_parallel: Optional[int] = None) -> Tuple[int, int, int]:

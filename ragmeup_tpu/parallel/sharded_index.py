@@ -19,12 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
 
 from ragmeup_tpu.ops.topk import NEG_INF
+from ragmeup_tpu.parallel.mesh import shard_map_compat
 
 
 def _local_topk(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -83,11 +80,11 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, corpus_t: jnp.ndarray,
         cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, -1)
         return _merge_sorted(cat_s, cat_i, k)
 
-    fn = shard_map(
+    fn = shard_map_compat(
         per_shard, mesh=mesh,
         in_specs=(P(), P(), P(None, "corpus"), P(None, "corpus"),
                   P(None, "corpus")),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()))
     return fn(jnp.asarray(queries, jnp.float32),
               jnp.asarray(q_scale, jnp.float32), corpus_t, mask, scales)
 
@@ -412,10 +409,10 @@ def sharded_bm25_topk(mesh: Mesh, qsel, head, docs_cat, con_cat, qid_cat,
         cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(nq, -1)
         return _merge_sorted(cat_s, cat_i, k)
 
-    fn = shard_map(
+    fn = shard_map_compat(
         per_shard, mesh=mesh,
         in_specs=(P(), P(None, "corpus"), P(), P(), P(), P("corpus")),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()))
     return fn(qsel, head, docs_cat, con_cat, qid_cat, mask)
 
 
@@ -502,12 +499,12 @@ def _sharded_hybrid(qv, corpus_t, dscales, dmask, qsel, head, docs_cat,
         ss, si = _merge_sorted(scat_s, scat_i, k)
         return ds, di, ss, si
 
-    fn = shard_map(
+    fn = shard_map_compat(
         per_shard, mesh=mesh,
         in_specs=(P(), P(), P(None, "corpus"), P(None, "corpus"),
                   P(None, "corpus"), P(), P(None, "corpus"), P(), P(), P(),
                   P("corpus")),
-        out_specs=(P(), P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P(), P()))
     ds, di, ss, si = fn(q_eff, q_scale, corpus_t, dscales, dmask, qsel, head,
                         docs_cat, con_cat, qid_cat, smask)
     valid = ds > NEG_INF / 2
