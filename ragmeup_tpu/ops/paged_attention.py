@@ -60,12 +60,20 @@ class PagedKVCache:
     pages_tok_per_row). Row r column-group j holds token r*c + j."""
 
     def __init__(self, num_pages: int, page_size: int, num_kv_heads: int,
-                 head_dim: int, num_layers: int, dtype=jnp.bfloat16):
+                 head_dim: int, num_layers: int, dtype=jnp.bfloat16,
+                 mesh=None):
+        """With ``mesh`` (the ('data','corpus','model') Mesh): the pools'
+        kv-head dim shards over 'model' — each device's HBM holds only its
+        own heads' pages, mirroring how LocalLLM shards the dense KV cache.
+        Host bookkeeping (page lists, lengths) is unchanged: page ids are
+        global, and every device stores the same page layout for its local
+        head slice."""
         self.num_pages = num_pages
         self.page_size = page_size
         self.nkv = num_kv_heads
         self.hd = head_dim
         self.num_layers = num_layers
+        self.mesh = mesh
         c = pages_tok_per_row(head_dim, page_size)
         self.tok_per_row = c
         store_hd = head_dim
@@ -80,8 +88,22 @@ class PagedKVCache:
             store_hd = -(-head_dim // 128) * 128
         self.store_hd = store_hd
         shape = (num_kv_heads, num_pages, page_size // c, store_hd * c)
-        self.k_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
-        self.v_pages = [jnp.zeros(shape, dtype) for _ in range(num_layers)]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ntp = mesh.shape["model"]
+            assert num_kv_heads % ntp == 0, (
+                f"num_kv_heads={num_kv_heads} not divisible by model axis "
+                f"{ntp}")
+            sh = NamedSharding(mesh, P("model", None, None, None))
+            self.k_pages = [jax.device_put(jnp.zeros(shape, dtype), sh)
+                            for _ in range(num_layers)]
+            self.v_pages = [jax.device_put(jnp.zeros(shape, dtype), sh)
+                            for _ in range(num_layers)]
+        else:
+            self.k_pages = [jnp.zeros(shape, dtype)
+                            for _ in range(num_layers)]
+            self.v_pages = [jnp.zeros(shape, dtype)
+                            for _ in range(num_layers)]
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
         self.seq_pages: dict = {}   # seq_id → [page ids]
         self.seq_len: dict = {}     # seq_id → tokens used

@@ -316,9 +316,16 @@ class ServingEngine:
         self.topk_support = min(topk_support, cfg.vocab_size)
         self.max_pages_per_seq = max_pages_per_seq
         self.max_batch = max_batch
+        # mesh mode (round-3 verdict #2): when the LLM is model-sharded,
+        # the page pools shard their kv-head dim over 'model' and every
+        # engine program (paged decode, waves, spec-waves, chunked
+        # prefill) runs the paged kernel on per-shard local shapes inside
+        # shard_map (LlamaAttention._paged_tp). Host bookkeeping — page
+        # tables, admission, sampling state — is mesh-agnostic.
+        self.mesh = getattr(llm, "mesh", None)
         self.cache = PagedKVCache(num_pages, page_size, cfg.num_kv_heads,
                                   cfg.head_dim, cfg.num_layers,
-                                  dtype=cfg.jdtype)
+                                  dtype=cfg.jdtype, mesh=self.mesh)
         # reserved trash page: batch-padding rows write here harmlessly
         self.cache.allocate("__pad__", 1)
         self._wave_counter = 0
