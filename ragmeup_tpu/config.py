@@ -373,6 +373,13 @@ class ServerConfig:
     # requests emit up to this many tokens per forward, byte-identical.
     # 0 disables (plain waves).
     llm_spec_draft: int = 8
+    # hash-block KV prefix reuse on the page pool: retired sequences
+    # register their full pages (sha1 chain digests over the token
+    # prefix), later prompts sharing the prefix skip re-prefilling it —
+    # the 3-4 LLM forwards in one /chat share system+docs context, and
+    # the next turn of a thread re-sends the whole history. Byte-
+    # identical outputs; LRU eviction under page pressure.
+    kv_prefix_cache: bool = True
 
 
 @dataclass

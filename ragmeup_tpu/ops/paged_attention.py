@@ -107,18 +107,120 @@ class PagedKVCache:
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
         self.seq_pages: dict = {}   # seq_id → [page ids]
         self.seq_len: dict = {}     # seq_id → tokens used
+        # -- prefix cache (hash-block KV reuse, round-3 verdict #3) --
+        # A FULL page holding positions [i*ps, (i+1)*ps) of some token
+        # stream is immutable once written and its contents depend only on
+        # the tokens at positions [0, (i+1)*ps) (K/V of position p are a
+        # deterministic function of the prefix + absolute position). So
+        # full pages are keyed by a sha1 CHAIN digest over the whole
+        # prefix; on a later request with the same leading tokens the
+        # pages are reused (refcounted, read-only — decode always writes
+        # at positions past the reused prefix) instead of re-prefilled.
+        # Registered pages with no live references stay resident and are
+        # evicted LRU when an allocation needs their slots.
+        import numpy as _np
+        self.refs = _np.zeros(num_pages, _np.int64)
+        from collections import OrderedDict
+        self.registry: "OrderedDict[str, int]" = OrderedDict()  # digest → page
+        self.page_digest: dict = {}  # page → digest (registered pages)
+        # digest → (parent digest | None, block token tuple): the lookup
+        # verifies both, so a reuse is content-compared by induction —
+        # a sha1 collision alone can never alias two different prefixes.
+        self.reg_meta: dict = {}
+        self.prefix_hits = 0      # pages served from the cache (stats)
+        self.prefix_lookups = 0   # prefixed allocations attempted
 
     # -- allocation -------------------------------------------------------------
+
+    def _take(self, need: int) -> List[int]:
+        """Pop `need` pages, evicting LRU unreferenced registered pages
+        when the free list runs short."""
+        if len(self._free) < need:
+            for digest in list(self.registry):
+                if len(self._free) >= need:
+                    break
+                page = self.registry[digest]
+                if self.refs[page] == 0:
+                    self._unregister(digest)
+                    self._free.append(page)
+        if len(self._free) < need:
+            raise MemoryError("KV page pool exhausted")
+        return [self._free.pop() for _ in range(need)]
+
+    def _unregister(self, digest: str) -> None:
+        page = self.registry.pop(digest)
+        self.page_digest.pop(page, None)
+        self.reg_meta.pop(digest, None)
 
     def allocate(self, seq_id, num_tokens: int) -> List[int]:
         """Reserve pages for a new sequence of num_tokens."""
         need = -(-num_tokens // self.page_size)
-        if len(self._free) < need:
-            raise MemoryError("KV page pool exhausted")
-        pages = [self._free.pop() for _ in range(need)]
+        pages = self._take(need)
+        self.refs[pages] += 1
         self.seq_pages[seq_id] = pages
         self.seq_len[seq_id] = num_tokens
         return pages
+
+    def _chain_digests(self, tokens) -> List[Tuple[str, tuple]]:
+        """[(digest, block token tuple)] for each FULL page of `tokens`;
+        digest i accumulates blocks 0..i (the whole prefix)."""
+        import hashlib
+        ps = self.page_size
+        out = []
+        h = hashlib.sha1()
+        for i in range(len(tokens) // ps):
+            blk = tuple(int(t) for t in tokens[i * ps:(i + 1) * ps])
+            h.update(np.asarray(blk, np.int64).tobytes())
+            out.append((h.hexdigest(), blk))
+        return out
+
+    def match_prefix(self, prompt_ids) -> List[int]:
+        """Longest run of leading full pages already resident for this
+        prompt. Always leaves >= 1 token to prefill (the caller needs the
+        last prompt token's logits). Each hit is content-verified: the
+        digest, the parent linkage, AND the block tokens must all match,
+        so equality of the full prefix follows by induction."""
+        ps = self.page_size
+        n_full = max(0, (len(prompt_ids) - 1) // ps)
+        pages: List[int] = []
+        parent = None
+        for digest, blk in self._chain_digests(
+                list(prompt_ids)[:n_full * ps]):
+            page = self.registry.get(digest)
+            if page is None:
+                break
+            meta = self.reg_meta.get(digest)
+            if meta is None or meta[0] != parent or meta[1] != blk:
+                break  # digest collision / stale entry: content mismatch
+            pages.append(page)
+            parent = digest
+        return pages
+
+    def allocate_prefixed(self, seq_id, prompt_ids) -> int:
+        """Allocate a sequence reusing cached prefix pages where their
+        chain digests match. Returns the number of prompt tokens whose
+        K/V is already resident (a multiple of page_size; the caller
+        prefills only positions >= that)."""
+        ps = self.page_size
+        n = len(prompt_ids)
+        self.prefix_lookups += 1
+        hit = self.match_prefix(prompt_ids)
+        # pin the hits FIRST so _take's eviction can never steal them
+        for p in hit:
+            self.refs[p] += 1
+            self.registry.move_to_end(self.page_digest[p])
+        need = -(-n // ps) - len(hit)
+        try:
+            fresh = self._take(need)
+        except MemoryError:
+            for p in hit:
+                self.refs[p] -= 1
+            raise
+        self.refs[fresh] += 1
+        self.seq_pages[seq_id] = hit + fresh
+        self.seq_len[seq_id] = n
+        self.prefix_hits += len(hit)
+        return len(hit) * ps
 
     def extend(self, seq_id, extra_tokens: int = 1) -> None:
         """Grow a sequence; grabs a new page when the last one fills."""
@@ -126,15 +228,47 @@ class PagedKVCache:
         new = cur + extra_tokens
         have = len(self.seq_pages[seq_id]) * self.page_size
         while new > have:
-            if not self._free:
-                raise MemoryError("KV page pool exhausted")
-            self.seq_pages[seq_id].append(self._free.pop())
+            page = self._take(1)[0]
+            self.refs[page] += 1
+            self.seq_pages[seq_id].append(page)
             have += self.page_size
         self.seq_len[seq_id] = new
 
-    def free(self, seq_id) -> None:
-        self._free.extend(reversed(self.seq_pages.pop(seq_id, [])))
+    def free(self, seq_id, register_tokens=None) -> None:
+        """Release a sequence's pages. With ``register_tokens`` (the
+        sequence's confirmed token stream: prompt + generated), its full
+        pages enter the prefix registry before the refcounts drop, so a
+        later request sharing the prefix reuses them (decode-time K/V of a
+        generated token equals prefill K/V of the same token at the same
+        position, so generated spans are reusable too — exactly what a
+        multi-turn thread re-sends)."""
+        pages = self.seq_pages.pop(seq_id, [])
         self.seq_len.pop(seq_id, None)
+        if register_tokens is not None and pages:
+            parent = None
+            for i, (digest, blk) in enumerate(
+                    self._chain_digests(register_tokens)):
+                if i >= len(pages):
+                    break
+                if digest not in self.registry \
+                        and pages[i] not in self.page_digest:
+                    self.registry[digest] = pages[i]
+                    self.page_digest[pages[i]] = digest
+                    self.reg_meta[digest] = (parent, blk)
+                if digest in self.registry:
+                    self.registry.move_to_end(digest)
+                parent = digest
+        for p in reversed(pages):
+            self.refs[p] -= 1
+            if self.refs[p] == 0 and p not in self.page_digest:
+                self._free.append(p)
+
+    @property
+    def available_pages(self) -> int:
+        """Pages an allocation could obtain: free + evictable (registered,
+        unreferenced). Admission control must use this, not len(_free)."""
+        evictable = sum(1 for p in self.page_digest if self.refs[p] == 0)
+        return len(self._free) + evictable
 
     @property
     def pages_in_use(self) -> int:

@@ -307,7 +307,7 @@ class ServingEngine:
     def __init__(self, llm: LocalLLM, num_pages: int = 256,
                  page_size: int = 64, max_pages_per_seq: int = 16,
                  max_batch: int = 16, topk_support: int = 64,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256, prefix_cache: bool = True):
         self.llm = llm
         cfg = llm.cfg
         self.page_size = page_size
@@ -362,6 +362,12 @@ class ServingEngine:
         # hd=96-class pools (store_hd padded to 128) — only the PACKED
         # c-tokens-per-row layout is excluded (chunk rows would collide)
         self.chunked_prefill = self.cache.tok_per_row == 1
+        # hash-block prefix reuse (round-3 verdict #3): retired sequences
+        # register their full pages; later prompts sharing the prefix skip
+        # re-prefilling it. Needs chunked prefill (the dense-prefill
+        # fallback always recomputes the whole prompt). Byte-identical:
+        # reused K/V equals what re-prefilling would write.
+        self.prefix_cache = prefix_cache and self.chunked_prefill
         if self.chunked_prefill:
             # two traces: non-final chunks skip the lm_head entirely (a
             # ~0.5 GB weight read per chunk at 8B whose result would be
@@ -405,7 +411,7 @@ class ServingEngine:
                 continue
             held = len(self.cache.seq_pages.get(sid, []))
             outstanding += max(0, getattr(st, "reserved_pages", held) - held)
-        return len(self.cache._free) - outstanding >= need
+        return self.cache.available_pages - outstanding >= need
 
     # -- request lifecycle -------------------------------------------------------
 
@@ -455,12 +461,22 @@ class ServingEngine:
 
     def _prefill_into_pages(self, seq_id, prompt_ids):
         """Chunked paged prefill (see _prefill_chunk_program). Returns the
-        last real token's logits (the same contract as llm._prefill)."""
+        last real token's logits (the same contract as llm._prefill).
+
+        With the prefix cache, leading full pages whose chain digests are
+        already registered are reused and prefill starts at the first
+        uncached position — the chunk-append kernel attends the reused
+        prefix through the same page tables it would attend a prefilled
+        one, so outputs are byte-identical."""
         llm = self.llm
         ps = self.page_size
         cs = self.prefill_chunk
         n = len(prompt_ids)
-        self.cache.allocate(seq_id, n)
+        if self.prefix_cache:
+            n_cached = self.cache.allocate_prefixed(seq_id, prompt_ids)
+        else:
+            self.cache.allocate(seq_id, n)
+            n_cached = 0
         plist = self.cache.seq_pages[seq_id]
         mp = self.max_pages_per_seq
         page_idx = np.zeros((1, mp), np.int32)
@@ -469,7 +485,7 @@ class ServingEngine:
         pad_page = self.cache.seq_pages["__pad__"][0]
         max_pos = llm.cfg.max_seq_len - 1
         logits = None
-        for c0 in range(0, n, cs):
+        for c0 in range(n_cached, n, cs):
             chunk = prompt_ids[c0:c0 + cs]
             m = len(chunk)
             ids = np.zeros((1, cs), np.int32)
@@ -525,21 +541,29 @@ class ServingEngine:
                 max_prompt = min(mpp * ps - r["max_new"],
                                  msl - min(r["max_new"], msl // 2))
                 pids = list(r["prompt_ids"])[-max(max_prompt, 8):]
-                self.cache.allocate(r["id"], len(pids))
-                items.append((r, pids))
+                if self.prefix_cache:
+                    n_cached = self.cache.allocate_prefixed(r["id"], pids)
+                else:
+                    self.cache.allocate(r["id"], len(pids))
+                    n_cached = 0
+                items.append((r, pids, n_cached))
         except Exception:
-            for r, _ in items:  # release the group's partial allocations
+            for r, _, _ in items:  # release the group's partial allocations
                 self.cache.free(r["id"])
             raise
         try:
             self._run_batched_prefill(items)
         except Exception:
-            for r, _ in items:
+            for r, _, _ in items:
                 self.cache.free(r["id"])
                 self.seqs.pop(r["id"], None)
             raise
 
     def _run_batched_prefill(self, items) -> None:
+        """items: [(req, pids, n_cached)]. Rows prefill only their UNCACHED
+        tail (positions >= n_cached — prefix-cache pages already hold the
+        rest); per-row positions/lengths keep the chunk program shape-
+        stable, so cached and uncached rows share each dispatch."""
         from ragmeup_tpu.ops.topk import pack_scores_ids, unpack_scores_ids
         llm = self.llm
         ps = self.page_size
@@ -548,10 +572,10 @@ class ServingEngine:
         b = len(items)
         pad_page = self.cache.seq_pages["__pad__"][0]
         max_pos = llm.cfg.max_seq_len - 1
-        max_n = max(len(p) for _, p in items)
+        n_chunks = max(-(-(len(p) - nc) // cs) for _, p, nc in items)
         page_idx = np.zeros((b, mpp), np.int32)
         page_idx[:, 0] = pad_page
-        for i, (r, pids) in enumerate(items):
+        for i, (r, pids, _) in enumerate(items):
             plist = self.cache.seq_pages[r["id"]]
             page_idx[i, :len(plist)] = plist
         page_idx_d = jnp.asarray(page_idx)
@@ -559,20 +583,23 @@ class ServingEngine:
         if jits is None:
             jits = llm._batched_prefill_jits = {}
         logits_rows = [None] * b
-        for c0 in range(0, max_n, cs):
+        for ci in range(n_chunks):
             ids = np.zeros((b, cs), np.int32)
-            positions = np.tile(np.clip(np.arange(c0, c0 + cs), 0, max_pos),
-                                (b, 1)).astype(np.int32)
+            positions = np.tile(
+                np.clip(np.arange(ci * cs, (ci + 1) * cs), 0, max_pos),
+                (b, 1)).astype(np.int32)
             pages = np.full((b, cs), pad_page, np.int32)
             slots = np.tile(np.arange(cs, dtype=np.int32) % ps, (b, 1))
             lengths = np.full(b, cs, np.int32)
             head_at = np.zeros(b, np.int32)
             ends_here = []
-            for i, (r, pids) in enumerate(items):
+            for i, (r, pids, nc) in enumerate(items):
+                c0 = nc + ci * cs  # this row's absolute chunk start
                 m = min(len(pids) - c0, cs)
                 if m <= 0:
                     continue
                 ids[i, :m] = pids[c0:c0 + m]
+                positions[i] = np.clip(np.arange(c0, c0 + cs), 0, max_pos)
                 plist = self.cache.seq_pages[r["id"]]
                 for j in range(m):
                     pos = c0 + j
@@ -605,7 +632,7 @@ class ServingEngine:
                                       self.topk_support)
         packed = np.asarray(pack_scores_ids(vals_d, ids_d))
         vals2, ids2 = unpack_scores_ids(packed)
-        for i, (r, pids) in enumerate(items):
+        for i, (r, pids, _) in enumerate(items):
             st = _SeqState(
                 len(pids), vals2[i].copy(), ids2[i].copy(),
                 jax.random.PRNGKey(r.get("seed", 0)),
@@ -722,12 +749,18 @@ class ServingEngine:
                 if sid != "__pad__"}
 
     def retire(self, seq_id) -> List[int]:
-        """Free a finished sequence's pages and return its tokens."""
+        """Free a finished sequence's pages and return its tokens. With the
+        prefix cache, the sequence's confirmed stream (prompt + generated)
+        registers its full pages for reuse by later requests that share
+        the prefix (the next turn of the same thread, or the next LLM
+        forward of the same /chat sharing system+docs context)."""
         # flush first: surviving rows keep their current logits, and a later
         # add_request reusing this seq_id can't inherit the old carry
         self._flush_wave_state()
         st = self.seqs.pop(seq_id)
-        self.cache.free(seq_id)
+        reg = (list(st.prompt_ids) + list(st.out)
+               if self.prefix_cache and st.prompt_ids else None)
+        self.cache.free(seq_id, register_tokens=reg)
         return list(st.out)
 
 

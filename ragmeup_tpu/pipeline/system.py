@@ -101,7 +101,8 @@ class RagSystem:
                 if cfg.server.batched_llm:
                     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
                     ekw = dict(num_pages=cfg.server.kv_pages,
-                               page_size=cfg.server.kv_page_size)
+                               page_size=cfg.server.kv_page_size,
+                               prefix_cache=cfg.server.kv_prefix_cache)
                     if cfg.server.kv_max_pages_per_seq > 0:
                         ekw["max_pages_per_seq"] = \
                             cfg.server.kv_max_pages_per_seq

@@ -740,3 +740,139 @@ def test_mesh_batched_backend_concurrent(tp_llms):
     assert len(outs) == 3
     for v in outs.values():
         assert isinstance(v, str)
+
+
+# ---------------------------------------------------------------------------
+# Prefix cache: hash-block KV reuse on the page pool (round-3 verdict #3)
+# ---------------------------------------------------------------------------
+
+def _rand_prompt(rng, n):
+    return [int(x) for x in rng.integers(1, 400, n)]
+
+
+def test_prefix_cache_reuse_byte_identical(llm):
+    """A second request with the same prompt reuses the retired first
+    request's full pages (prefix_hits > 0) and generates byte-identical
+    output; a third multi-turn request (prompt + reply + more) reuses
+    pages covering the GENERATED span too."""
+    rng = np.random.default_rng(11)
+    prompt = _rand_prompt(rng, 40)  # ps=16 → 2 reusable full pages
+    want = llm.generate(prompt, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0, speculative="off")
+    eng = _engine(llm, prefill_chunk=32)
+    eng.add_request("a", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("a") == want
+    assert eng.cache.prefix_hits == 0
+    eng.add_request("b", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("b") == want
+    assert eng.cache.prefix_hits == 2
+    # multi-turn: the new prompt embeds the previous reply
+    turn2 = prompt + want + _rand_prompt(rng, 10)
+    want2 = llm.generate(turn2, max_new_tokens=6, temperature=0.0,
+                         repetition_penalty=1.0, speculative="off")
+    eng.add_request("c", turn2, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("c") == want2
+    assert eng.cache.prefix_hits == 4  # 2 prompt pages + 2 incl. generated
+
+
+def test_prefix_cache_wave_and_spec_paths(llm):
+    """Wave and spec-wave decoding over a reused prefix stay byte-exact
+    (decode writes only past the shared pages)."""
+    rng = np.random.default_rng(12)
+    prompt = _rand_prompt(rng, 40)
+    want = llm.generate(prompt, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0, speculative="off")
+    for runner in (lambda e: e.run_wave(4), lambda e: e.run_spec(2, 4)):
+        eng = _engine(llm, prefill_chunk=32)
+        eng.add_request("seed", prompt, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0)
+        eng.run()
+        eng.retire("seed")
+        eng.add_request("r", prompt, max_new_tokens=6, temperature=0.0,
+                        repetition_penalty=1.0)
+        assert runner(eng)["r"] == want
+        assert eng.cache.prefix_hits == 2
+
+
+def test_prefix_cache_eviction_under_pressure(llm):
+    """Registered pages are evicted LRU when allocations need them, and
+    outputs stay correct afterwards (the evicted prefix re-prefills)."""
+    rng = np.random.default_rng(13)
+    # tiny pool: 8 usable pages (1 is __pad__)
+    eng = _engine(llm, num_pages=9, page_size=16, max_pages_per_seq=4,
+                  prefill_chunk=32)
+    pa = _rand_prompt(rng, 40)
+    wa = llm.generate(pa, max_new_tokens=4, temperature=0.0,
+                      repetition_penalty=1.0, speculative="off")
+    eng.add_request("a", pa, max_new_tokens=4, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("a") == wa
+    assert len(eng.cache.registry) >= 2
+    # churn through different prompts until a's pages must be evicted
+    for i in range(3):
+        p = _rand_prompt(rng, 40)
+        eng.add_request(f"c{i}", p, max_new_tokens=4, temperature=0.0,
+                        repetition_penalty=1.0)
+        eng.run()
+        eng.retire(f"c{i}")
+    # pool only has 8 pages but ~4 retired prefixes of 2-3 pages each were
+    # registered: eviction must have dropped the LRU ones, and a repeat of
+    # prompt a (hit or miss) must still be exact
+    eng.add_request("a2", pa, max_new_tokens=4, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("a2") == wa
+    assert len(eng.cache.registry) <= 8
+
+
+def test_prefix_cache_collision_content_compare(llm):
+    """A forged registry entry whose digest matches but whose content
+    does not must NOT be reused (the lookup verifies parent linkage and
+    block tokens, i.e. content compare)."""
+    import hashlib
+    rng = np.random.default_rng(14)
+    pa = _rand_prompt(rng, 40)
+    pb = _rand_prompt(rng, 40)
+    want_b = llm.generate(pb, max_new_tokens=4, temperature=0.0,
+                          repetition_penalty=1.0, speculative="off")
+    eng = _engine(llm, prefill_chunk=32)
+    eng.add_request("a", pa, max_new_tokens=4, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    eng.retire("a")
+    cache = eng.cache
+    a_digest = next(iter(cache.registry))
+    a_page = cache.registry[a_digest]
+    # forge: register prompt-b's first-page digest pointing at prompt-a's
+    # page, keeping a's (mismatching) meta — simulates a digest collision
+    h = hashlib.sha1()
+    h.update(np.asarray(pb[:16], np.int64).tobytes())
+    forged = h.hexdigest()
+    cache.registry[forged] = a_page
+    cache.reg_meta[forged] = cache.reg_meta[a_digest]
+    eng.add_request("b", pb, max_new_tokens=4, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("b") == want_b  # content guard rejected the forgery
+    assert cache.prefix_hits == 0
+
+
+def test_prefix_cache_disabled_knob(llm):
+    """prefix_cache=False keeps the old behavior: no registry, no hits."""
+    rng = np.random.default_rng(15)
+    prompt = _rand_prompt(rng, 40)
+    eng = _engine(llm, prefill_chunk=32, prefix_cache=False)
+    for sid in ("a", "b"):
+        eng.add_request(sid, prompt, max_new_tokens=4, temperature=0.0,
+                        repetition_penalty=1.0)
+        eng.run()
+        eng.retire(sid)
+    assert eng.cache.prefix_hits == 0
+    assert not eng.cache.registry
