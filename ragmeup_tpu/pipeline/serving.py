@@ -806,8 +806,31 @@ class BatchedChatBackend(ChatBackend):
         self._submit: "queue.Queue" = queue.Queue()
         self._next_id = 0
         self._id_lock = threading.Lock()
+        # per-request latency metrics ring (TTFT = submit → first token
+        # available; tok_s = generated tokens / decode span). /stats
+        # surfaces p50/p95 via latency_stats() — SURVEY §5.5's "QPS/
+        # latency counters are the benchmark instruments".
+        from collections import deque as _dq
+        self._metrics = _dq(maxlen=1024)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def latency_stats(self) -> dict:
+        """p50/p95 TTFT (ms) and per-request decode throughput (tok/s)
+        over the last <=1024 completed requests."""
+        import numpy as _np
+        snap = list(self._metrics)
+        if not snap:
+            return {"completed": 0}
+        ttft = _np.asarray([m["ttft_ms"] for m in snap])
+        toks = _np.asarray([m["tok_s"] for m in snap if m["tok_s"] > 0])
+        out = {"completed": len(snap),
+               "ttft_ms_p50": round(float(_np.percentile(ttft, 50)), 1),
+               "ttft_ms_p95": round(float(_np.percentile(ttft, 95)), 1)}
+        if len(toks):
+            out["tok_s_p50"] = round(float(_np.percentile(toks, 50)), 1)
+            out["tok_s_p95"] = round(float(_np.percentile(toks, 95)), 1)
+        return out
 
     @staticmethod
     def _fail(req, exc) -> None:
@@ -896,11 +919,25 @@ class BatchedChatBackend(ChatBackend):
                             self.engine.seqs.pop(sid, None)
                     pending.clear()
                     continue
+                import time as _time
+                now = _time.perf_counter()
+                for sid, req in pending.items():
+                    if "t_first" not in req and self.engine.seqs[sid].out:
+                        req["t_first"] = now
                 done = [sid for sid in pending
                         if self.engine.seqs[sid].done]
                 for sid in done:
                     req = pending.pop(sid)
                     req["tokens"] = self.engine.retire(sid)
+                    t0 = req.get("t_submit")
+                    tf = req.get("t_first", now)
+                    if t0 is not None:
+                        span = max(now - tf, 1e-9)
+                        self._metrics.append({
+                            "ttft_ms": (tf - t0) * 1e3,
+                            "tokens": len(req["tokens"]),
+                            "tok_s": (len(req["tokens"]) / span
+                                      if len(req["tokens"]) > 1 else 0.0)})
                     req["event"].set()
             except Exception as exc:  # last resort: never die silently
                 for req in list(pending.values()) + list(waiting):
@@ -916,9 +953,10 @@ class BatchedChatBackend(ChatBackend):
         with self._id_lock:
             self._next_id += 1
             sid = f"req-{self._next_id}"
+        import time as _time
         req = {"id": sid, "prompt_ids": ids, "max_new": max_new_tokens,
                "temperature": temperature, "rp": repetition_penalty,
-               "event": threading.Event()}
+               "event": threading.Event(), "t_submit": _time.perf_counter()}
         self._submit.put(req)
         req["event"].wait()
         if "error" in req:

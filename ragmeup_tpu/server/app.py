@@ -238,6 +238,19 @@ class RagServer:
         s = dict(self.stats)
         if s["chat_requests"]:
             s["chat_latency_ms_avg"] = s["chat_latency_ms_sum"] / s["chat_requests"]
+        # per-request TTFT / decode tok/s percentiles from the batched
+        # serving backend (SURVEY §5.5: latency counters are the benchmark
+        # instruments; round-3 verdict #10)
+        be = getattr(self.system, "backend", None)
+        if be is not None and hasattr(be, "latency_stats"):
+            s["generation"] = be.latency_stats()
+        # prefix-cache effectiveness (hash-block KV reuse)
+        eng = getattr(be, "engine", None)
+        if eng is not None and getattr(eng, "prefix_cache", False):
+            s["prefix_cache"] = {
+                "lookups": eng.cache.prefix_lookups,
+                "page_hits": eng.cache.prefix_hits,
+                "registered_pages": len(eng.cache.registry)}
         return _json(s)
 
     # -- wsgi --------------------------------------------------------------------

@@ -284,6 +284,17 @@ def test_server_with_batched_llm_backend(tmp_path):
         assert r is not None and r["reply"]
         assert r["documents"]
 
+    # /stats surfaces per-request generation percentiles from the batched
+    # backend and prefix-cache counters (round-3 verdict #10)
+    s = c.get("/stats").get_json()
+    gen = s.get("generation")
+    assert gen and gen["completed"] >= 3
+    assert "ttft_ms_p50" in gen and "ttft_ms_p95" in gen
+    assert "prefix_cache" in s
+    assert s["prefix_cache"]["lookups"] >= 3
+    lat = backend.latency_stats()
+    assert lat["completed"] >= 3 and lat["ttft_ms_p95"] >= lat["ttft_ms_p50"]
+
 
 def test_subdirectory_files_list_download_delete(client):
     """Ingestion walks subdirectories; the HTTP surface must too (round-1
