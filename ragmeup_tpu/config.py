@@ -211,6 +211,11 @@ class ModelConfig:
     # nibbles (fastest measured int4 path; forces the 512-group
     # output-scaled quant layout — coarser than the nf4-class default).
     int4_w4a8: bool = False
+    # int4 scale-group size along the input dim (0 = auto: 128-class).
+    # 512 quarters the group-scale memory and takes the faster output-
+    # scaled matmul path at coarser quant granularity — the capacity
+    # knob for ~28B-total int4 MoE on one 16 GB chip.
+    int4_group: int = 0
     # Cloud adapters (RAGHelper_cloud.py:60-88)
     use_openai: bool = False
     openai_model_name: str = "gpt-3.5-turbo"
@@ -431,6 +436,7 @@ _ENV_KEYMAP = {
     "rerank_model": ("retrieval", "rerank_model", str),
     "llm_head_quantization": ("model", "head_quantization", str),
     "llm_int4_w4a8": ("model", "int4_w4a8", _parse_bool),
+    "llm_int4_group": ("model", "int4_group", int),
     "llm_max_seq_len": ("model", "llm_max_seq_len", int),
     "batched_llm": ("server", "batched_llm", _parse_bool),
     "kv_pages": ("server", "kv_pages", int),

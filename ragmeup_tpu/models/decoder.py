@@ -816,7 +816,7 @@ class LlamaMoeMlp(nn.Module):
     tp_mesh: Optional[object] = None
 
     def _ep_decode_gather(self, xf, ids, wslot, gate, up, down, act,
-                          e_local, t, top_k):
+                          e_local, t, top_k, int4_tiles=None):
         """shard_map EP decode: per-device expert gather + psum combine.
 
         xf (t, h) replicated activations; ids/wslot (S,) routed expert
@@ -826,31 +826,48 @@ class LlamaMoeMlp(nn.Module):
         device runs the gather kernel (ops/moe_matmul.py) on its LOCAL
         (E/D, k, n) stack — pallas has no GSPMD rule, but under
         shard_map partitioning is manual and the kernel sees only local
-        shapes (same design as QuantDense._tp_shard_matmul)."""
+        shapes (same design as QuantDense._tp_shard_matmul).
+
+        ``int4_tiles`` = ((tk_h, grp_h), (tk_f, grp_f)) switches the
+        gather to the packed-int4 kernel: weights arrive as (E, k/2, n)
+        nibbles + (E, k/group, n) group scales sharded the same way, so
+        mesh int4-MoE decode gathers only the routed slots' packed bytes
+        per device instead of re-dequantizing the full local stacks
+        every step (the old prefill-style dq4 path: 4x the packed
+        bytes + an HBM transient per step)."""
         from jax.sharding import PartitionSpec as P
 
-        from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
+        from ragmeup_tpu.ops.moe_matmul import (moe_gather_matmul,
+                                                moe_gather_matmul_int4)
         from ragmeup_tpu.parallel.mesh import shard_map_compat
         c = self.cfg
         mesh = self.tp_mesh
         h = c.hidden_size
-        quant = gate[1] is not None
+        quant = gate[1] is not None and int4_tiles is None
         xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)  # (S, h)
 
         def local_fn(xs, ids, wslot, wg, sg, wu, su, wn, sn):
             lo = jax.lax.axis_index("model").astype(jnp.int32) * e_local
             mine = (ids >= lo) & (ids < lo + e_local)
             idl = jnp.where(mine, ids - lo, 0)
-            g = moe_gather_matmul(xs, wg, idl, sg)
-            u = moe_gather_matmul(xs, wu, idl, su)
-            a = (act(g) * u).astype(c.jdtype)
-            y = moe_gather_matmul(a, wn, idl, sn)  # (S, h)
+            if int4_tiles is not None:
+                (tk_h, grp_h), (tk_f, grp_f) = int4_tiles
+                g = moe_gather_matmul_int4(xs, wg, sg, idl, tk_h, grp_h)
+                u = moe_gather_matmul_int4(xs, wu, su, idl, tk_h, grp_h)
+                a = (act(g) * u).astype(c.jdtype)
+                y = moe_gather_matmul_int4(a, wn, sn, idl, tk_f, grp_f)
+            else:
+                g = moe_gather_matmul(xs, wg, idl, sg)
+                u = moe_gather_matmul(xs, wu, idl, su)
+                a = (act(g) * u).astype(c.jdtype)
+                y = moe_gather_matmul(a, wn, idl, sn)  # (S, h)
             y = y.astype(jnp.float32) * jnp.where(mine, wslot, 0.0)[:, None]
             return jax.lax.psum(y, "model")
 
         w_spec = P("model", None, None)
-        s_spec = P("model", None)
-        if quant:
+        s_spec = P("model", None, None) if int4_tiles is not None \
+            else P("model", None)
+        if quant or int4_tiles is not None:
             args = (xs, ids, wslot, gate[0], gate[1], up[0], up[1],
                     down[0], down[1])
             specs = (P(), P(), P(), w_spec, s_spec, w_spec, s_spec,
@@ -980,30 +997,32 @@ class LlamaMoeMlp(nn.Module):
             return q * jnp.repeat(gs, group, axis=-2).astype(c.jdtype)
 
         s_tot = t * top_k
-        if s_tot <= e_num and self.tp_mesh is None:
+        # int4's per-slot gate extends past S <= E: the einsum alternative
+        # dequantizes the FULL packed stacks every step (reads E·kn/2
+        # packed + writes/reads an E·kn·2 bf16 transient ≈ 4.5·E·kn/2
+        # bytes), so per-slot packed reads win while S < ~4.5E; the
+        # kernel's slot cap is 64.
+        slot_gate = (s_tot <= e_num or
+                     (quant4 and s_tot <= min(64, 4 * e_num)))
+        if slot_gate and self.tp_mesh is None:
             # decode path: gather only the routed experts' weights.
             # Slot layout: row s = token s//top_k, expert slot s%top_k.
             from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul
             xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)
             ids = topi.reshape(s_tot)
             if quant4:
-                # int4 decode: take the routed slots' PACKED bytes (half
-                # the int8 traffic at the HBM read), unpack + group
-                # dequant per slot, dense dots. No pallas path — same
-                # memory-over-speed contract as dense int4.
-                wgs = dq4(jnp.take(wg, ids, 0), jnp.take(sg, ids, 0),
-                          tk_h, grp_h)
-                wus = dq4(jnp.take(wu, ids, 0), jnp.take(su, ids, 0),
-                          tk_h, grp_h)
-                wns = dq4(jnp.take(wn, ids, 0), jnp.take(sn, ids, 0),
-                          tk_f, grp_f)
-                g = jnp.einsum("sk,skn->sn", xs, wgs,
-                               preferred_element_type=c.jdtype)
-                u = jnp.einsum("sk,skn->sn", xs, wus,
-                               preferred_element_type=c.jdtype)
+                # int4 decode: gather the routed slots' PACKED bytes (half
+                # the int8 traffic) through the pallas int4 gather kernel —
+                # nibbles unpack + group-dequant in VMEM, so the packed
+                # tiles cross HBM exactly once (the old jnp.take path
+                # materialized a gathered copy: read + write + read, 3x).
+                # Non-tiling shapes fall back to take+dequant inside
+                # moe_gather_matmul_int4 (same numbers either way).
+                from ragmeup_tpu.ops.moe_matmul import moe_gather_matmul_int4
+                g = moe_gather_matmul_int4(xs, wg, sg, ids, tk_h, grp_h)
+                u = moe_gather_matmul_int4(xs, wu, su, ids, tk_h, grp_h)
                 a = (act(g) * u).astype(c.jdtype)
-                y = jnp.einsum("sk,skn->sn", a, wns,
-                               preferred_element_type=c.jdtype)
+                y = moe_gather_matmul_int4(a, wn, sn, ids, tk_f, grp_f)
             else:
                 g = moe_gather_matmul(xs, wg, ids, sg)
                 u = moe_gather_matmul(xs, wu, ids, su)
@@ -1013,7 +1032,7 @@ class LlamaMoeMlp(nn.Module):
             out = y.reshape(t, top_k, h).sum(axis=1)
             return out.astype(c.jdtype).reshape(lead + (h,))
 
-        if self.tp_mesh is not None and not quant4:
+        if self.tp_mesh is not None:
             ntp = self.tp_mesh.shape["model"]
             if e_num % ntp == 0 and s_tot <= e_num // ntp:
                 # EP decode under a mesh: shard_map per-device gather.
@@ -1035,11 +1054,22 @@ class LlamaMoeMlp(nn.Module):
                 out = self._ep_decode_gather(
                     xf, topi.reshape(s_tot), topw.reshape(s_tot),
                     (wg, sg), (wu, su), (wn, sn), act,
-                    e_num // ntp, t, top_k)
+                    e_num // ntp, t, top_k,
+                    int4_tiles=(((tk_h, grp_h), (tk_f, grp_f))
+                                if quant4 else None))
                 return out.astype(c.jdtype).reshape(lead + (h,))
 
         xb = xf.astype(c.jdtype)
-        use_grouped = c.moe_grouped == "on" and not quant4
+        # Batched-decode DEDUP gather (round-3 verdict #6): past the
+        # per-slot gather's gate (s_tot > E) the einsum would read ALL
+        # E experts every step; the grouped kernel reads each UNIQUE
+        # routed expert once (zero-row groups contribute no tiles) and
+        # segment-combines — ≤ min(S, E) expert reads, routed-only FLOPs.
+        # A small decode m-tile (8/16 rows) keeps per-group padding
+        # proportionate; the prefill-sized tm heuristic stays for "on".
+        dedup_decode = (c.moe_grouped == "auto" and not quant4
+                        and e_num < s_tot <= 4 * e_num)
+        use_grouped = (c.moe_grouped == "on" or dedup_decode) and not quant4
         if self.tp_mesh is None and use_grouped:
             # prefill/train path: GROUPED GEMMs (megablocks-class). Sort
             # the (token, slot) rows by routed expert and run grouped
@@ -1059,10 +1089,33 @@ class LlamaMoeMlp(nn.Module):
             inv = jnp.argsort(order)
             xs = jnp.repeat(xb, top_k, axis=0)[order]
             gsz = jnp.bincount(ids, length=e_num).astype(jnp.int32)
-            g = moe_grouped_matmul(xs, wg, gsz, sg)
-            u = moe_grouped_matmul(xs, wu, gsz, su)
+            # decode shapes: small m-tile so per-group padding stays
+            # ~tm rows per routed expert (the prefill tm can be 128), and
+            # no_stack so ONLY the unique routed experts' tiles cross HBM
+            # (the full-stack kernel reads all E — right for prefill,
+            # wrong for the dedup win). Tile sweep on v5e (Mixtral MLP
+            # shape, S=16, 4 unique): tk=2048/tn=1024 runs 567 us vs the
+            # all-experts einsum's 704 — smaller tiles lose to per-tile
+            # overhead (955 us at 512/512).
+            tm = (16 if c.jdtype == jnp.bfloat16 else 8) \
+                if dedup_decode else 0
+
+            def _dtiles(k, n):
+                if not dedup_decode or e_num * (tm - 1) > 1024:
+                    return 0, 0  # large-E: keep the VMEM-guarded defaults
+                tk = next((x for x in (2048, 1024, 512) if k % x == 0), 0)
+                tn = next((x for x in (1024, 512) if n % x == 0), 0)
+                return tk, tn
+
+            tk_up, tn_up = _dtiles(h, f)
+            tk_dn, tn_dn = _dtiles(f, h)
+            g = moe_grouped_matmul(xs, wg, gsz, sg, tm=tm, tile_k=tk_up,
+                                   tile_n=tn_up, no_stack=dedup_decode)
+            u = moe_grouped_matmul(xs, wu, gsz, su, tm=tm, tile_k=tk_up,
+                                   tile_n=tn_up, no_stack=dedup_decode)
             a = (act(g) * u).astype(c.jdtype)
-            y = moe_grouped_matmul(a, wn, gsz, sn)
+            y = moe_grouped_matmul(a, wn, gsz, sn, tm=tm, tile_k=tk_dn,
+                                   tile_n=tn_dn, no_stack=dedup_decode)
             y = y[inv].astype(jnp.float32) * topw.reshape(s_tot, 1)
             out = y.reshape(t, top_k, h).sum(axis=1)
             return out.astype(c.jdtype).reshape(lead + (h,))

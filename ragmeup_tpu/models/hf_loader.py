@@ -778,7 +778,7 @@ def quantize_decoder_params(params: dict, bits: int = 8,
 def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
                    seed: int = 0, head_quantization: str = "none",
                    mesh=None, max_seq_len: int = 0,
-                   int4_w4a8: bool = False):
+                   int4_w4a8: bool = False, int4_group: int = 0):
     """Factory for the local chat LLM: real Llama checkpoint if given (with
     optional int8 weight-only quantization), else a tiny deterministic
     random-init model so the pipeline runs self-contained. With ``mesh``
@@ -800,6 +800,10 @@ def load_local_llm(checkpoint_dir: Optional[str], quantization: str = "none",
         if quantization == "int8":
             # fused dequant matmul on the decode path (see LlamaConfig)
             cfg = _dc.replace(cfg, quant_kernel=True)
+        if quantization == "int4" and int4_group:
+            # coarser scale groups: 1/(group/128) the scale memory, and
+            # group == tile takes the faster output-scaled matmul path
+            cfg = _dc.replace(cfg, int4_group=int4_group)
         if quantization == "int4" and int4_w4a8:
             # W4A8 needs the output-scaled quant layout (group == tile)
             cfg = _dc.replace(cfg, int4_w4a8=True, int4_group=512)

@@ -337,10 +337,15 @@ def _stack_tiles(mp: int, e: int, k: int, n: int, wb: int, xb: int):
     return (best[1], best[0]) if best else None
 
 
-def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret):
+def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
+                      no_stack: bool = False):
     """Pad each group to a tm-row multiple, scatter rows into the padded
     layout (every tile then reads exactly ONE expert), run the kernel,
-    gather the real rows back."""
+    gather the real rows back. ``no_stack`` forces the per-tile kernel:
+    the full-stack variant reads ALL E experts' tiles per grid step
+    (optimal for prefill where every expert is routed anyway), which
+    defeats the batched-decode DEDUP gather — there only the UNIQUE
+    routed experts' tiles may cross HBM."""
     m, k = xs.shape
     e = w.shape[0]
     mp = -(-(m + e * (tm - 1)) // tm) * tm
@@ -355,7 +360,8 @@ def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret):
     texp = jnp.minimum(jnp.searchsorted(pcs, tid, side="right"),
                        e - 1).astype(jnp.int32)
     k, n = w.shape[1], w.shape[2]
-    st = _stack_tiles(mp, e, k, n, w.dtype.itemsize, xs.dtype.itemsize)
+    st = None if no_stack else _stack_tiles(mp, e, k, n, w.dtype.itemsize,
+                                            xs.dtype.itemsize)
     if st is not None:
         # full expert stack per tile fits VMEM: weights stream once,
         # guaranteed (Mixtral-class E; the in-kernel m loop does the rest)
@@ -368,7 +374,7 @@ def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret):
 
 
 def _grouped_forward(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
-                     mp_cap):
+                     mp_cap, no_stack: bool = False):
     """Chunk rows so each kernel call's padded strip fits VMEM; group
     sizes per chunk are the (dynamic) overlap of each group's row range
     with the chunk window — rows stay sorted, so chunks stay grouped."""
@@ -377,7 +383,7 @@ def _grouped_forward(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
     chunk = max(tm, mp_cap - w.shape[0] * (tm - 1))
     if m <= chunk:
         return _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n,
-                                 interpret)
+                                 interpret, no_stack)
     csum = jnp.cumsum(gsz)
     outs = []
     for lo in range(0, m, chunk):
@@ -385,15 +391,16 @@ def _grouped_forward(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
         g_hi = jnp.clip(csum, lo, hi)
         g_lo = jnp.clip(csum - gsz, lo, hi)
         outs.append(_pad_scatter_call(xs[lo:hi], w, scale, g_hi - g_lo,
-                                      tm, tile_k, tile_n, interpret))
+                                      tm, tile_k, tile_n, interpret,
+                                      no_stack))
     return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _grouped_kernel_path(xs, w, gsz, tiles, interpret):
-    tm, tile_k, tile_n, mp_cap = tiles
+    tm, tile_k, tile_n, mp_cap, no_stack = tiles
     return _grouped_forward(xs, w, None, gsz, tm, tile_k, tile_n,
-                            interpret, mp_cap)
+                            interpret, mp_cap, no_stack)
 
 
 def _grouped_kp_fwd(xs, w, gsz, tiles, interpret):
@@ -422,7 +429,8 @@ _grouped_kernel_path.defvjp(_grouped_kp_fwd, _grouped_kp_bwd)
 def moe_grouped_matmul(xs: jnp.ndarray, w: jnp.ndarray, gsz: jnp.ndarray,
                        scale: Optional[jnp.ndarray] = None,
                        tm: int = 0, tile_k: int = 0, tile_n: int = 0,
-                       interpret: Optional[bool] = None) -> jnp.ndarray:
+                       interpret: Optional[bool] = None,
+                       no_stack: bool = False) -> jnp.ndarray:
     """Grouped (megablocks-class) GEMM for MoE prefill: rows of ``xs``
     sorted by expert, ``gsz[e]`` rows for expert e, out[i] = xs[i] @
     dequant(w[expert_of(i)]).
@@ -455,12 +463,140 @@ def moe_grouped_matmul(xs: jnp.ndarray, w: jnp.ndarray, gsz: jnp.ndarray,
         return _grouped_fallback(xs, w, gsz, scale)
     if scale is None:
         return _grouped_kernel_path(xs, w, gsz,
-                                    (tm, tile_k, tile_n, mp_cap),
+                                    (tm, tile_k, tile_n, mp_cap, no_stack),
                                     interpret)
     # int8 experts: no gradient path needed (quantized weights are
     # inference-only) — straight to the kernel with in-epilogue dequant
     return _grouped_forward(xs, w, scale, gsz.astype(jnp.int32), tm,
-                            tile_k, tile_n, interpret, mp_cap)
+                            tile_k, tile_n, interpret, mp_cap, no_stack)
+
+
+def _kernel4(ids_ref, x_ref, w_ref, s_ref, o_ref, acc, *, k_tiles: int,
+             tile_k: int, group: int):
+    """Packed-int4 variant of _kernel: the slot's expert tile arrives as
+    two-per-byte nibbles (tile_k//2 rows) + 8-row-padded group scales;
+    unpack and dequant IN the kernel (the int32 shift dance — Mosaic
+    cannot legalize int8-vector shifts on this libtpu, see
+    ops/quant_matmul._kernel4) so only the packed bytes cross HBM."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+
+    x = x_ref[0]                       # (8, tile_k) slot rows (row 0 real)
+    bi = w_ref[0].astype(jnp.int32)    # (tile_k//2, tile_n) packed nibbles
+    lo = jnp.right_shift(jnp.left_shift(bi, 28), 28)
+    hi = jnp.right_shift(bi, 4)
+    w = jnp.concatenate([lo, hi], axis=0)     # (tile_k, tile_n) int32
+    gpt = tile_k // group
+    s = s_ref[0]                              # (8, tile_n) padded scales
+    if gpt == 1:
+        part = jnp.dot(x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        acc[:] = acc[:] + part * s[0][None, :].astype(jnp.float32)
+    else:
+        srep = jnp.repeat(s[:gpt], group, axis=0)      # (tile_k, tile_n)
+        wd = (w.astype(jnp.float32) * srep).astype(x.dtype)
+        acc[:] = acc[:] + jnp.dot(x, wd, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == k_tiles - 1)
+    def _emit():
+        o_ref[0] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_k", "tile_n", "group",
+                                             "interpret", "out_dtype"))
+def _moe_matmul4_call(x, w_p, gscale, ids, tile_k: int, tile_n: int,
+                      group: int, interpret: bool, out_dtype):
+    s_slots, k = x.shape
+    e = w_p.shape[0]
+    n = w_p.shape[2]
+    k_tiles = k // tile_k
+    gpt = tile_k // group
+    # pad scales to 8 rows per k-tile (Mosaic sublane rule for the block)
+    gs = gscale.reshape(e, k_tiles, gpt, n).astype(jnp.float32)
+    if gpt < 8:
+        gs = jnp.pad(gs, ((0, 0), (0, 0), (0, 8 - gpt), (0, 0)))
+    elif gpt > 8:
+        raise ValueError(f"groups per tile {gpt} > 8 unsupported")
+    gs = gs.reshape(e, k_tiles * 8, n)
+    xp = jnp.pad(x[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    kern = functools.partial(_kernel4, k_tiles=k_tiles, tile_k=tile_k,
+                             group=group)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s_slots, n // tile_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile_k), lambda s, nb, kb, ids_: (s, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k // 2, tile_n),
+                         lambda s, nb, kb, ids_: (ids_[s], kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_n),
+                         lambda s, nb, kb, ids_: (ids_[s], kb, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile_n),
+                               lambda s, nb, kb, ids_: (s, 0, nb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, tile_n), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_slots, 8, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_slots * 8 * k * n,
+            bytes_accessed=s_slots * (k * n // 2 + (k // group) * n * 4
+                                      + k * x.dtype.itemsize
+                                      + n * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids, xp, w_p, gs)
+    return out[:, 0, :]
+
+
+def moe_gather_matmul_int4(x: jnp.ndarray, w_p: jnp.ndarray,
+                           gscale: jnp.ndarray, ids: jnp.ndarray,
+                           tile_k: int, group: int, tile_n: int = 0,
+                           interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Per-slot expert matmul over PACKED int4 experts:
+    ``out[s] = x[s] @ dequant4(w_p[ids[s]], gscale[ids[s]])``.
+
+    x (S, k); w_p (E, k//2, n) two-per-byte nibbles (ops/quant_matmul
+    pack_int4 layout per k-tile); gscale (E, k//group, n) group scales;
+    ids (S,) int32. Returns (S, n) in x.dtype.
+
+    The kernel streams only the routed slots' PACKED bytes (half the
+    int8 gather's HBM read) and dequantizes in VMEM — closing the
+    "int4 MoE decode materializes XLA-take copies" gap (jnp.take wrote
+    a gathered (S, k/2, n) copy back to HBM: read + write + read, 3x
+    the traffic). XLA fallback (take + unpack + dequant + einsum) when
+    shapes don't tile.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    s_slots, k = x.shape
+    e, k2, n = w_p.shape
+    assert k2 * 2 == k, (w_p.shape, x.shape)
+    tile_n = tile_n or (1024 if n % 1024 == 0 else
+                        512 if n % 512 == 0 else
+                        256 if n % 256 == 0 else 0)
+    ok = (tile_n and k % tile_k == 0 and tile_k % group == 0
+          and tile_k // group <= 8 and (tile_k // 2) % 8 == 0)
+    if ok and s_slots <= 64:
+        return _moe_matmul4_call(x, w_p, gscale, ids.astype(jnp.int32),
+                                 tile_k, tile_n, group, interpret, x.dtype)
+    from ragmeup_tpu.ops.quant_matmul import unpack_int4
+    wp_s = jnp.take(w_p, ids, axis=0)            # (S, k/2, n)
+    gs_s = jnp.take(gscale, ids, axis=0)         # (S, k/group, n)
+    q = jax.vmap(functools.partial(unpack_int4, tile_k=tile_k))(wp_s)
+    wd = q.astype(x.dtype) * jnp.repeat(gs_s, group, axis=-2).astype(x.dtype)
+    return jnp.einsum("sk,skn->sn", x, wd, preferred_element_type=x.dtype)
 
 
 def moe_gather_matmul(x: jnp.ndarray, w: jnp.ndarray,

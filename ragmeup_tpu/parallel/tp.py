@@ -39,7 +39,42 @@ def model_param_shardings(model: nn.Module, mesh, init_args: tuple,
     if shard_vocab:
         rules = tuple(("vocab", "model") if name == "vocab" else (name, axis)
                       for name, axis in LOGICAL_RULES)
-    return nn.logical_to_mesh_sharding(specs, mesh, rules)
+    shardings = nn.logical_to_mesh_sharding(specs, mesh, rules)
+    return _drop_indivisible(nn.meta.unbox(abs_vars["params"]), shardings,
+                             mesh)
+
+
+def _drop_indivisible(abs_params, shardings, mesh):
+    """Replicate any param dim whose size the assigned mesh axes do not
+    divide (e.g. an int4 group-scale with k//group == 1 rows on a 4-way
+    'model' axis): GSPMD refuses uneven shardings at device_put, and a
+    small scale tensor is cheaper replicated than padded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fix(leaf, sh):
+        spec = getattr(sh, "spec", None)
+        if spec is None:
+            return sh
+        shape = leaf.shape
+        new = []
+        changed = False
+        for i, entry in enumerate(tuple(spec) + (None,) * (len(shape)
+                                                           - len(spec))):
+            if entry is None:
+                new.append(None)
+                continue
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for ax in axes:
+                size *= mesh.shape[ax]
+            if shape[i] % size:
+                new.append(None)
+                changed = True
+            else:
+                new.append(entry)
+        return NamedSharding(mesh, P(*new)) if changed else sh
+
+    return jax.tree_util.tree_map(fix, abs_params, shardings)
 
 
 def tp_shard_model(model: nn.Module, params, mesh, init_args: tuple,

@@ -843,15 +843,35 @@ class BatchedChatBackend(ChatBackend):
         (b) a request is only admitted to the engine when the page pool can
         cover its full lifetime (see ServingEngine.can_admit), so decoding
         never dies on pool exhaustion — excess requests wait in FIFO order
-        until pages free up."""
+        until pages free up.
+
+        Wave/spec-wave dispatches PIPELINE one deep (wave N+1 dispatches
+        before wave N's packed fetch — the engine's dispatch/collect
+        split), hiding the ~26 ms D2H round-trip behind device compute.
+        Membership changes (admission, a row finishing) drain the
+        in-flight wave first, so host state is current when the batch
+        rebuilds; completion is detected one wave later at most."""
         from collections import deque
         pending = {}          # seq_id → Event-carrying dict (in engine)
         waiting = deque()     # admitted later, FIFO
+        infl = deque()        # in-flight wave entries (pipeline depth 1)
+
+        def collect_one():
+            kind, entry = infl.popleft()
+            if kind == "spec":
+                self.engine._spec_collect(entry)
+            else:
+                self.engine._wave_collect(entry)
+
+        def drain_all():
+            while infl:
+                collect_one()
+
         while True:
             try:
                 # drain new requests (block when fully idle)
                 try:
-                    block = not pending and not waiting
+                    block = not pending and not waiting and not infl
                     while True:
                         req = self._submit.get(
                             block=block, timeout=None if block else 0)
@@ -883,6 +903,7 @@ class BatchedChatBackend(ChatBackend):
                     group_pages += need
                 if group:
                     try:
+                        drain_all()  # prefill changes membership
                         self.engine.add_requests([
                             {"id": r["id"], "prompt_ids": r["prompt_ids"],
                              "max_new": r["max_new"],
@@ -897,19 +918,52 @@ class BatchedChatBackend(ChatBackend):
                             self.engine.seqs.pop(r["id"], None)
                             self._fail(r, exc)
                 if not pending:
+                    drain_all()
                     continue
                 try:
-                    if self.wave_steps > 0 and self.spec_draft > 0 \
-                            and self.engine.spec_supported:
-                        self.engine.spec_wave_once(
-                            iters=self.wave_steps, draft=self.spec_draft,
-                            seed=self.seed)
-                    elif self.wave_steps > 0:
-                        self.engine.wave_once(steps=self.wave_steps,
-                                              seed=self.seed)
+                    use_spec = (self.spec_draft > 0
+                                and self.engine.spec_supported)
+                    if self.wave_steps > 0:
+                        eng = self.engine
+                        imap = getattr(
+                            eng, "_spec_infl" if use_spec
+                            else "_infl_steps", None) or {}
+                        limit = eng.max_pages_per_seq * eng.page_size
+                        # a new wave can only help rows whose budget the
+                        # in-flight waves don't already cover (host
+                        # prediction; EOS still wastes at most one wave)
+                        more = any(
+                            not st.done
+                            and len(st.out) + imap.get(sid, 0) < st.max_new
+                            and st.pos + imap.get(sid, 0) + 1 < limit
+                            for sid, st in eng.seqs.items())
+                        if not more:
+                            drain_all()
+                        else:
+                            if use_spec:
+                                entry = eng._spec_dispatch(
+                                    self.wave_steps, self.spec_draft,
+                                    self.seed, allow_rebuild=not infl)
+                                kind = "spec"
+                            else:
+                                entry = eng._wave_dispatch(
+                                    self.wave_steps, self.seed,
+                                    allow_rebuild=not infl)
+                                kind = "wave"
+                            if entry == "drain":
+                                collect_one()
+                            elif entry is None:
+                                drain_all()
+                            else:
+                                infl.append((kind, entry))
+                                if len(infl) >= 2:
+                                    collect_one()
                     else:
                         self.engine.step()
                 except Exception as exc:  # fail in-flight, keep serving
+                    infl.clear()
+                    for d in ("_infl_steps", "_spec_infl"):
+                        getattr(self.engine, d, {}).clear()
                     for sid, req in list(pending.items()):
                         self._fail(req, exc)
                         try:
@@ -926,6 +980,13 @@ class BatchedChatBackend(ChatBackend):
                         req["t_first"] = now
                 done = [sid for sid in pending
                         if self.engine.seqs[sid].done]
+                if done and infl:
+                    # retire flushes the wave carry back into per-row
+                    # state; that is only consistent when every dispatched
+                    # wave has been collected (the sync-path ordering)
+                    drain_all()
+                    done = [sid for sid in pending
+                            if self.engine.seqs[sid].done]
                 for sid in done:
                     req = pending.pop(sid)
                     req["tokens"] = self.engine.retire(sid)
@@ -1225,9 +1286,10 @@ class _SpecWaveMixin:
     Each dispatch runs `iters` chunk forwards of width `draft`; greedy
     rows emit up to `draft` tokens per forward via 2-gram prompt-lookup
     drafts verified in-batch, temperature rows decode one per forward.
-    Not pipelined: a row's advance per wave is data-dependent (accepted
-    draft counts), so the next wave's page tables need this wave's
-    positions — the packed fetch carries them back."""
+    A row's advance per wave is data-dependent (accepted draft counts),
+    but the WRITE COVER is not — run_spec(pipeline=True) dispatches wave
+    N+1 against the pre-extended cover before wave N's fetch (round-3
+    verdict #4); spec_wave_once stays synchronous."""
 
     @property
     def spec_supported(self) -> bool:
@@ -1236,15 +1298,36 @@ class _SpecWaveMixin:
 
     def spec_wave_once(self, iters: int = 4, draft: int = 8,
                        seed: int = 0) -> int:
+        """One synchronous spec wave (dispatch + collect)."""
+        if not self.spec_supported:
+            return self.wave_once(steps=iters, seed=seed)
+        entry = self._spec_dispatch(iters, draft, seed, allow_rebuild=True)
+        if entry is None:
+            return 0
+        return self._spec_collect(entry)
+
+    def _spec_dispatch(self, iters: int, draft: int, seed: int,
+                       allow_rebuild: bool):
+        """Dispatch one spec wave without fetching its tokens.
+
+        Pipelining (round-3 verdict #4): a spec row's advance is data-
+        dependent, but the WRITE COVER is not — the host pre-extends each
+        row's pages to an upper bound (current pos + outstanding in-
+        flight advance + this wave's iters*draft, clamped by max_new and
+        the page limit), and the device clamps writes past the cover to
+        the trash page while emission stays bounded by max_new/limit on
+        device. So wave N+1 can dispatch against the cover BEFORE wave
+        N's tokens arrive; the device carry (pos/emitted/ctx) flows
+        N→N+1 as undelivered futures. Token streams are byte-identical
+        to the unpipelined path (the PRNG key depends only on the
+        dispatch counter)."""
         import time as _time
         timings = getattr(self, "wave_timings", None)  # opt-in observability
         _t0 = _time.perf_counter()
-        if not self.spec_supported:
-            return self.wave_once(steps=iters, seed=seed)
         active = [(sid, st) for sid, st in self.seqs.items()
                   if not st.done][:self.max_batch]
         if not active:
-            return 0
+            return None
         llm = self.llm
         limit = self.max_pages_per_seq * self.page_size
         ps = self.page_size
@@ -1266,14 +1349,21 @@ class _SpecWaveMixin:
         mpp = self.max_pages_per_seq
         sig = (tuple(sid for sid, _ in active), B, iters, draft)
         prev = getattr(self, "_spec_state", None)
+        infl = getattr(self, "_spec_infl", None)
+        if infl is None:
+            infl = self._spec_infl = {}
+        if (prev is None or prev["sig"] != sig) and not allow_rebuild:
+            return "drain"
 
-        # pre-extend page allocations to cover the wave's max advance,
-        # then build the page-index table from the grown lists
+        # pre-extend page allocations to cover the wave's max advance —
+        # including any in-flight waves' outstanding advance when
+        # pipelined — then build the page-index table from the grown lists
         page_idx = np.zeros((B, mpp), np.int32)
         page_idx[:, 0] = trash
         cover = np.zeros(B, np.int32)
         for i, (sid, st) in enumerate(active):
-            room = min(iters * draft, limit - 1 - int(st.pos),
+            room = min(infl.get(sid, 0) + iters * draft,
+                       limit - 1 - int(st.pos),
                        st.max_new - len(st.out))
             if room > 0:
                 self.cache.extend(sid, room)
@@ -1342,31 +1432,95 @@ class _SpecWaveMixin:
                             "done": done_d, "emitted": emitted, "pos": pos_d,
                             "ctx": ctx, "temps": temps_d, "rps": rps_d,
                             "max_new": max_new_d}
-        _t1 = _time.perf_counter()
-        host = np.asarray(packed)  # ONE fetch: [tokens | pos | done]
+        for sid, _ in active:
+            infl[sid] = infl.get(sid, 0) + iters * draft
         if timings is not None:
-            timings.append({"prep+dispatch": _t1 - _t0,
-                            "fetch": _time.perf_counter() - _t1})
-        for i, (sid, st) in enumerate(active):
+            timings.append({"prep+dispatch": _time.perf_counter() - _t0})
+        return {"active": active, "packed": packed, "iters": iters,
+                "draft": draft}
+
+    def _spec_collect(self, entry) -> int:
+        """Fetch one in-flight spec wave's packed [tokens | pos | done]
+        and update host state. Returns sequences still active."""
+        import time as _time
+        timings = getattr(self, "wave_timings", None)
+        _t0 = _time.perf_counter()
+        iters, draft = entry["iters"], entry["draft"]
+        infl = self._spec_infl
+        host = np.asarray(entry["packed"])  # ONE fetch per wave
+        if timings is not None:
+            timings.append({"fetch": _time.perf_counter() - _t0})
+        for i, (sid, st) in enumerate(entry["active"]):
             row = [int(t) for t in host[i, :iters * draft] if t >= 0]
             st.out.extend(row)
             st.seen.update(row)
             st.pos = int(host[i, iters * draft])
             if sid in self.seqs:
                 self.cache.seq_len[sid] = st.pos
+            left = infl.get(sid, 0) - iters * draft
+            if left > 0:
+                infl[sid] = left
+            else:
+                infl.pop(sid, None)
             st.vals = None
             st.dev_logits = None  # carried in _spec_state until flushed
             if host[i, iters * draft + 1]:
                 st.done = True
         return sum(1 for _, st in self.seqs.items() if not st.done)
 
-    def run_spec(self, iters: int = 4, draft: int = 8, seed: int = 0
-                 ) -> Dict[object, List[int]]:
-        while self.spec_wave_once(iters=iters, draft=draft, seed=seed) > 0:
-            pass
+    def run_spec(self, iters: int = 4, draft: int = 8, seed: int = 0,
+                 pipeline: bool = True) -> Dict[object, List[int]]:
+        """Decode all active sequences to completion in spec waves.
+
+        With pipeline=True, wave N+1 dispatches against the pre-extended
+        page cover BEFORE wave N's packed fetch (see _spec_dispatch) —
+        the ~26 ms D2H round-trip and host bookkeeping overlap device
+        compute exactly like run_wave's plain-wave pipeline. The host
+        predicts liveness optimistically (a row that went done on device
+        wastes at most the in-flight wave); membership changes force a
+        drain. Byte-identical outputs."""
+        if not self.spec_supported:
+            while self.spec_wave_once(iters=iters, draft=draft,
+                                      seed=seed) > 0:
+                pass
+            return self.results()
+        if not pipeline:
+            while self.spec_wave_once(iters=iters, draft=draft,
+                                      seed=seed) > 0:
+                pass
+            return self.results()
+        from collections import deque
+        q: deque = deque()
+        infl = getattr(self, "_spec_infl", None)
+        if infl is None:
+            infl = self._spec_infl = {}
+        limit = self.max_pages_per_seq * self.page_size
+        while True:
+            more = any(
+                not st.done
+                and len(st.out) + infl.get(sid, 0) < st.max_new
+                and st.pos + infl.get(sid, 0) + 1 < limit
+                for sid, st in self.seqs.items())
+            if more:
+                entry = self._spec_dispatch(iters, draft, seed,
+                                            allow_rebuild=not q)
+                if entry == "drain":
+                    self._spec_collect(q.popleft())
+                    continue
+                if entry is None:
+                    break
+                q.append(entry)
+                if len(q) >= 2:
+                    self._spec_collect(q.popleft())
+            elif q:
+                self._spec_collect(q.popleft())
+            else:
+                break
         return self.results()
 
 
 ServingEngine.spec_supported = _SpecWaveMixin.spec_supported
 ServingEngine.spec_wave_once = _SpecWaveMixin.spec_wave_once
+ServingEngine._spec_dispatch = _SpecWaveMixin._spec_dispatch
+ServingEngine._spec_collect = _SpecWaveMixin._spec_collect
 ServingEngine.run_spec = _SpecWaveMixin.run_spec

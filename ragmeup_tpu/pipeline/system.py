@@ -92,7 +92,8 @@ class RagSystem:
                         mesh=(self.mesh
                               if cfg.parallel.model_axis > 1 else None),
                         max_seq_len=cfg.model.llm_max_seq_len,
-                        int4_w4a8=cfg.model.int4_w4a8)
+                        int4_w4a8=cfg.model.int4_w4a8,
+                        int4_group=cfg.model.int4_group)
                 # prompt assembly uses the checkpoint's own chat template
                 # when it ships one (tokenizer.apply_chat_template parity,
                 # RAGHelper_local.py:246-249); generic Llama-3-style otherwise

@@ -61,11 +61,19 @@ class HybridRetriever:
         self._ivf_view = None
         if ann == "ivf":
             if mesh is not None:
-                raise ValueError("ann='ivf' is single-chip; use the sharded "
-                                 "exact path when corpus_axis > 1")
-            from ragmeup_tpu.retrieval.ivf import IVFDenseView
-            self._ivf_view = IVFDenseView(dense, nprobe=ivf_nprobe,
-                                          n_clusters=ivf_clusters)
+                # corpus-sharded IVF (round-3 verdict #9): the cluster
+                # layout shards over 'corpus', per-shard probes merge
+                # with the exact two-key sort — the single-query-latency
+                # lever no longer disappears exactly where corpora are
+                # biggest
+                from ragmeup_tpu.parallel.sharded_ivf import ShardedIVFView
+                self._ivf_view = ShardedIVFView(dense, mesh,
+                                                nprobe=ivf_nprobe,
+                                                n_clusters=ivf_clusters)
+            else:
+                from ragmeup_tpu.retrieval.ivf import IVFDenseView
+                self._ivf_view = IVFDenseView(dense, nprobe=ivf_nprobe,
+                                              n_clusters=ivf_clusters)
 
     # -- stages -----------------------------------------------------------------
 

@@ -71,6 +71,12 @@ def main():
                         "so acceptance is maximal — this measures the spec "
                         "path's CEILING and its per-forward overhead")
     parser.add_argument("--quant-kernel", action="store_true")
+    parser.add_argument("--real-ckpt", default=None,
+                        help="path to a real (or synthetic-weights) 8B "
+                        "checkpoint: REALISTIC spec acceptance instead of "
+                        "the zero-weight ceiling (round-3 verdict #4a); "
+                        "runs plain waves, sync spec, and pipelined spec "
+                        "back-to-back with measured tokens-per-forward")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -80,7 +86,13 @@ def main():
 
     from ragmeup_tpu.pipeline.serving import ServingEngine
 
-    llm = build_llm(args.quant_kernel)
+    if args.real_ckpt:
+        from ragmeup_tpu.models.hf_loader import load_local_llm
+        print("loading checkpoint (streaming int8)...", file=sys.stderr)
+        llm = load_local_llm(args.real_ckpt, quantization="int8",
+                             head_quantization="int8", max_seq_len=2048)
+    else:
+        llm = build_llm(args.quant_kernel)
 
     def fresh(new_tok):
         e = ServingEngine(llm, num_pages=64, page_size=128,
@@ -91,6 +103,39 @@ def main():
             e.add_request(i, p, max_new_tokens=new_tok, temperature=0.0,
                           repetition_penalty=1.0)
         return e
+
+    if args.real_ckpt:
+        # realistic-acceptance comparison: plain waves vs sync spec vs
+        # pipelined spec on the SAME model/prompts (greedy, rp=1.0)
+        it, dr = args.steps_per_dispatch, args.spec_draft or 8
+        fresh(8).run_wave(steps_per_dispatch=it)                # compile
+        fresh(8).run_spec(iters=it, draft=dr, pipeline=False)   # compile
+        rows = []
+        for name, run in (
+                ("plain waves", lambda e: e.run_wave(
+                    steps_per_dispatch=it)),
+                ("spec sync", lambda e: e.run_spec(
+                    iters=it, draft=dr, pipeline=False)),
+                ("spec pipelined", lambda e: e.run_spec(
+                    iters=it, draft=dr, pipeline=True))):
+            eng = fresh(args.new_tokens)
+            eng.wave_timings = []
+            t0 = time.time()
+            out = run(eng)
+            dt = time.time() - t0
+            ntok = sum(len(v) for v in out.values())
+            waves = sum(1 for t in eng.wave_timings
+                        if "prep+dispatch" in t or "prep" in t)
+            fw = waves * it   # chunk forwards issued
+            rows.append((name, ntok, dt, fw))
+        print(f"8B engine at REALISTIC acceptance ({args.seqs} seqs, "
+              f"greedy rp=1.0, iters={it}, draft={dr}):")
+        for name, ntok, dt, fw in rows:
+            acc = ntok / max(fw, 1)
+            print(f"  {name:15s} {ntok:5d} tokens in {dt:6.2f}s -> "
+                  f"{ntok / dt:7.1f} tok/s aggregate "
+                  f"({acc:.2f} emitted tokens/forward)")
+        return
 
     if args.spec_draft > 0:
         fresh(8).run_spec(iters=args.steps_per_dispatch,

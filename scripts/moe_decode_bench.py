@@ -345,9 +345,129 @@ def bench_model(n1: int, n2: int, repeat: int):
           f"expert parameters resident)")
 
 
+def bench_batch(iters: int, e: int = 8, top_k: int = 2, k: int = 4096,
+                n: int = 14336, t: int = 8):
+    """BATCHED decode (round-3 verdict #6): t tokens per step, S = t*top_k
+    > E, so the per-slot gather's gate is closed. Compares
+
+      dedup-grouped  sort by expert + grouped kernel (tm=16, no_stack):
+                     each UNIQUE routed expert's tiles cross HBM once
+      all-experts    the einsum fallback this batch size used to take
+      slot-gather    per-slot kernel at S slots (duplicate reads)
+      int4 rows      the same for packed int4 (per-slot gather vs the
+                     full-stack dequant einsum)
+
+    Weight traffic column counts the bytes the path actually reads."""
+    import jax
+    import jax.numpy as jnp
+    from ragmeup_tpu.ops.moe_matmul import (moe_gather_matmul,
+                                            moe_gather_matmul_int4,
+                                            moe_grouped_matmul)
+    from ragmeup_tpu.ops.quant_matmul import int4_tiling, pack_int4
+
+    s_tot = t * top_k
+    C = 2
+    rng = np.random.default_rng(0)
+    ws = [jnp.asarray(rng.integers(-127, 128, (e, k, n), dtype=np.int8))
+          for _ in range(C)]
+    ss = [jnp.full((e, n), 1e-3, jnp.float32) for _ in range(C)]
+    # realistic routing: concentrated (zipf-ish) expert choice per slot
+    probs = 1.0 / np.arange(1, e + 1) ** 1.0
+    probs /= probs.sum()
+    ids_h = rng.choice(e, size=s_tot, p=probs).astype(np.int32)
+    uniq = len(np.unique(ids_h))
+    idss = [jnp.asarray(np.sort(ids_h)) for _ in range(C)]
+    gszs = [jnp.asarray(np.bincount(ids_h, minlength=e).astype(np.int32))
+            for _ in range(C)]
+    x = jnp.asarray(rng.standard_normal((s_tot, k)), jnp.bfloat16)
+    rows = []
+
+    @jax.jit
+    def chain_dedup(x, ws, ss, gszs):
+        acc = x
+        for c in range(C):
+            y = moe_grouped_matmul(acc, ws[c], gszs[c], ss[c], tm=16,
+                                   tile_k=2048, tile_n=1024, no_stack=True)
+            acc = y[:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int8 dedup-grouped",
+                 slope_time(lambda: chain_dedup(x, ws, ss, gszs), iters),
+                 uniq * k * n))
+
+    @jax.jit
+    def chain_all(x, ws, ss, gszs):
+        acc = x
+        for c in range(C):
+            wd = ws[c].astype(acc.dtype) * ss[c][:, None, :].astype(acc.dtype)
+            y = jnp.einsum("sk,ekn->esn", acc, wd,
+                           preferred_element_type=acc.dtype)
+            acc = y[0][:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int8 all-experts",
+                 slope_time(lambda: chain_all(x, ws, ss, gszs), iters),
+                 e * k * n))
+
+    @jax.jit
+    def chain_slot(x, ws, ss, idss):
+        acc = x
+        for c in range(C):
+            y = moe_gather_matmul(acc, ws[c], idss[c], ss[c])
+            acc = y[:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int8 slot-gather",
+                 slope_time(lambda: chain_slot(x, ws, ss, idss), iters),
+                 s_tot * k * n))
+
+    tile_k, group = int4_tiling(k)
+    q4 = rng.integers(-8, 8, (e, k, n)).astype(np.int8)
+    wp = [jnp.asarray(np.stack([pack_int4(q4[i], tile_k)
+                                for i in range(e)])) for _ in range(C)]
+    gs = [jnp.full((e, k // group, n), 1e-3, jnp.float32) for _ in range(C)]
+
+    @jax.jit
+    def chain_i4_slot(x, wp, gs, idss):
+        acc = x
+        for c in range(C):
+            y = moe_gather_matmul_int4(acc, wp[c], gs[c], idss[c],
+                                       tile_k, group)
+            acc = y[:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int4 slot-gather",
+                 slope_time(lambda: chain_i4_slot(x, wp, gs, idss), iters),
+                 s_tot * k * n // 2))
+
+    @jax.jit
+    def chain_i4_all(x, wp, gs, gszs):
+        from ragmeup_tpu.ops.quant_matmul import unpack_int4
+        acc = x
+        for c in range(C):
+            q = jax.vmap(lambda w: unpack_int4(w, tile_k))(wp[c])
+            wd = q.astype(acc.dtype) * jnp.repeat(
+                gs[c], group, axis=-2).astype(acc.dtype)
+            y = jnp.einsum("sk,ekn->esn", acc, wd,
+                           preferred_element_type=acc.dtype)
+            acc = y[0][:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int4 all-experts",
+                 slope_time(lambda: chain_i4_all(x, wp, gs, gszs), iters),
+                 e * k * n // 2))
+
+    print(f"\nBatched MoE decode (E={e}, top_k={top_k}, k={k}, n={n}, "
+          f"t={t} -> S={s_tot} slots, {uniq} unique experts, chain={C}):")
+    for name, t_ms, wbytes in rows:
+        per_us = t_ms / C * 1e3
+        gbs = wbytes / (per_us * 1e-6) / 1e9
+        print(f"  {name:18s} {per_us:8.1f} us/mlp-matmul  "
+              f"({wbytes / 1e6:6.0f} MB weights read, {gbs:5.0f} GB/s, "
+              f"ideal {wbytes / 819e9 * 1e6:6.1f} us)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", action="store_true")
+    ap.add_argument("--batch", action="store_true",
+                    help="batched decode: dedup-grouped vs all-experts "
+                    "vs slot-gather, int8 + int4 (round-3 verdict #6)")
     ap.add_argument("--prefill", action="store_true")
     ap.add_argument("--prefill-large-e", action="store_true",
                     help="Qwen3-MoE-class shape (E=64, top_k=8): the "
@@ -362,9 +482,11 @@ def main():
     from ragmeup_tpu.utils.platform import ensure_platform
     print("backend:", ensure_platform(args.platform), file=sys.stderr)
     do_all = not (args.op or args.model or args.prefill
-                  or args.prefill_large_e)
+                  or args.prefill_large_e or args.batch)
     if args.op or do_all:
         bench_op(args.iters)
+    if args.batch or do_all:
+        bench_batch(args.iters)
     if args.prefill or do_all:
         bench_prefill(args.iters)
         bench_prefill(args.iters, quant=True)

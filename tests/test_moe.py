@@ -538,3 +538,111 @@ def test_moe_int4_experts(tmp_path):
     out = llm.generate(IDS, max_new_tokens=4, temperature=0.0,
                        repetition_penalty=1.0)
     assert len(out) == 4
+
+
+def test_moe_gather_int4_kernel_parity():
+    """Packed-int4 gather kernel (interpret mode, tiling shapes) must
+    match the XLA take+unpack+dequant fallback exactly — the kernel is
+    the decode path that streams only the routed slots' packed bytes."""
+    from ragmeup_tpu.ops.moe_matmul import (_moe_matmul4_call,
+                                            moe_gather_matmul_int4)
+    from ragmeup_tpu.ops.quant_matmul import pack_int4
+
+    rng = np.random.default_rng(3)
+    E, k, n = 4, 1024, 512
+    tile_k, group = 512, 128
+    q = rng.integers(-8, 8, (E, k, n)).astype(np.int8)
+    gs = (0.01 + rng.random((E, k // group, n)).astype(np.float32))
+    wp = np.stack([pack_int4(q[e], tile_k) for e in range(E)])
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    ids = jnp.asarray([2, 0, 2, 3], jnp.int32)
+    got = np.asarray(_moe_matmul4_call(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(gs), ids,
+        tile_k, 256, group, True, jnp.float32))
+    # fallback reference (forced by the s_slots>64 gate never mattering:
+    # call the public API on a non-tiling tile_n to route to XLA)
+    want = np.asarray(moe_gather_matmul_int4(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(gs), ids,
+        tile_k, group, tile_n=0, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # group == tile_k fast path (output-scaled)
+    gs1 = (0.01 + rng.random((E, k // tile_k, n)).astype(np.float32))
+    got1 = np.asarray(_moe_matmul4_call(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(gs1), ids,
+        tile_k, 256, tile_k, True, jnp.float32))
+    want1 = np.asarray(moe_gather_matmul_int4(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(gs1), ids,
+        tile_k, tile_k, tile_n=0, interpret=True))
+    np.testing.assert_allclose(got1, want1, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_dedup_decode_matches_einsum():
+    """Batched decode past the per-slot gate (t*top_k > E) routes through
+    the DEDUP grouped gather (moe_grouped='auto') — outputs must equal
+    the all-experts einsum ('off') exactly."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaMoeMlp
+
+    cfg = LlamaConfig.tiny(dtype="float32", num_experts=4,
+                           num_experts_per_tok=2)
+    assert cfg.moe_grouped == "auto"
+    mlp = LlamaMoeMlp(cfg)
+    rng = np.random.default_rng(9)
+    # t=4 tokens, top_k=2 → S=8 > E=4, S <= 4E → dedup engages
+    x = jnp.asarray(rng.standard_normal((4, 1, cfg.hidden_size)),
+                    jnp.float32)
+    params = mlp.init(jax.random.PRNGKey(0), x)["params"]
+    out_dedup = mlp.apply({"params": params}, x)
+    cfg_off = dataclasses.replace(cfg, moe_grouped="off")
+    out_einsum = LlamaMoeMlp(cfg_off).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_dedup),
+                               np.asarray(out_einsum),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_moe_int4_expert_parallel_matches_single_device():
+    """int4 MoE under a mesh (ADVICE round-3): EP decode takes the
+    shard_map packed-int4 gather (engagement counted), and generation
+    matches the single-device int4 LLM exactly; the prefill einsum path
+    (dequant stacks sharded on the expert axis) matches too."""
+    import ragmeup_tpu.ops.moe_matmul as mm
+    from flax import linen as fnn
+    from ragmeup_tpu.models.decoder import LlamaConfig, LocalLLM
+    from ragmeup_tpu.models.hf_loader import quantize_decoder_params
+    from ragmeup_tpu.models.tokenizer import SimpleTokenizer
+    from ragmeup_tpu.parallel.mesh import make_mesh, mesh_shape_for
+
+    cfg = LlamaConfig.tiny(num_heads=4, num_kv_heads=4, dtype="float32",
+                           num_experts=16, num_experts_per_tok=2)
+    tok = SimpleTokenizer(cfg.vocab_size)
+    base = LocalLLM(cfg, tok, seed=5)
+    params_f = fnn.meta.unbox(base.params)
+    qparams = quantize_decoder_params(params_f, bits=4,
+                                      embeddings_bf16=False)
+    cfg4 = dataclasses.replace(cfg, quantization="int4")
+    solo = LocalLLM(cfg4, tok, params=qparams)
+    prompt = [3, 9, 4, 17, 2]
+    want = solo.generate(prompt, max_new_tokens=6, temperature=0.0,
+                         speculative="off")
+    want_logits = solo.forward_logits(prompt)
+
+    calls = []
+    orig = mm.moe_gather_matmul_int4
+    real_calls = mm.moe_gather_matmul_int4
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_calls(*a, **k)
+
+    mm.moe_gather_matmul_int4 = spy
+    try:
+        mesh = make_mesh(mesh_shape_for(8, model_parallel=4))
+        ep = LocalLLM(cfg4, tok, params=qparams, mesh=mesh)
+        got_logits = ep.forward_logits(prompt)
+        got = ep.generate(prompt, max_new_tokens=6, temperature=0.0,
+                          speculative="off")
+    finally:
+        mm.moe_gather_matmul_int4 = orig
+    np.testing.assert_allclose(got_logits, want_logits,
+                               atol=2e-4, rtol=2e-4)
+    assert got == want, (got, want)
+    assert calls, "mesh int4 EP decode gather did not engage"

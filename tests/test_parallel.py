@@ -964,3 +964,87 @@ def test_tp_llm_pallas_kernels_active(monkeypatch):
                        speculative="off")
     assert calls["n"] > 0, "TP decode never reached the pallas int8 kernel"
     assert g_tp == g_ref
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF (round-3 verdict #9): cluster layout over 'corpus'
+# ---------------------------------------------------------------------------
+
+def test_sharded_ivf_full_probe_is_exact(rng):
+    """With nprobe >= K every cluster is probed on some shard, so the
+    sharded IVF view must equal the exact oracle (incl. lowest-row
+    tie-break through the two-key merge)."""
+    from ragmeup_tpu.parallel.sharded_ivf import ShardedIVFView
+    mesh = make_mesh((1, 4, 2))
+    d, n = 32, 256
+    corpus = _corpus(rng, n, d)
+    idx = ShardedDenseIndex(mesh, d, tile_n=32, dtype="float32")
+    idx.add(corpus)
+    view = ShardedIVFView(idx, mesh, nprobe=8, n_clusters=8)
+    q = _corpus(rng, 4, d)
+    got = view.search(q, k=5)
+    _, oracle = topk_oracle(q, corpus, 5)
+    for i in range(4):
+        assert [r for r, _ in got[i]] == oracle[i].tolist()
+
+
+def test_sharded_ivf_recall_ge_single_chip(rng):
+    """At equal nprobe the sharded view probes each shard's local top-
+    nprobe — a superset of the global top-nprobe — so recall@10 must be
+    >= the single-chip IVF view on the same clustered corpus."""
+    from ragmeup_tpu.retrieval.ivf import IVFIndex
+    from ragmeup_tpu.parallel.sharded_ivf import ShardedIVFView
+    mesh = make_mesh((1, 4, 2))
+    d, per = 64, 64
+    centers = _corpus(rng, 16, d)
+    corpus = np.concatenate(
+        [c + 0.15 * rng.standard_normal((per, d)).astype(np.float32)
+         for c in centers])
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = ShardedDenseIndex(mesh, d, tile_n=64, dtype="float32")
+    idx.add(corpus)
+    view = ShardedIVFView(idx, mesh, nprobe=4, n_clusters=16)
+    single = IVFIndex(n_clusters=16, iters=10)
+    single.fit(corpus, dtype=jnp.float32)
+    q = corpus[rng.choice(len(corpus), 16, replace=False)]
+    got_sh = view.search(q, k=10)
+    got_1c = single.search(q, k=10, nprobe=4)
+    _, oracle = topk_oracle(q, corpus, 10)
+    rec = lambda got: np.mean([
+        len({r for r, _ in got[i]} & set(oracle[i].tolist())) / 10
+        for i in range(len(q))])
+    r_sh, r_1c = rec(got_sh), rec(got_1c)
+    assert r_sh >= 0.9, r_sh
+    assert r_sh >= r_1c - 1e-9, (r_sh, r_1c)
+
+
+def test_sharded_ivf_refresh_and_mmr(rng):
+    """The view refreshes on corpus mutation (global row ids stay the
+    DenseIndex's), and MMR selection runs over the fetched candidates."""
+    from ragmeup_tpu.parallel.sharded_ivf import ShardedIVFView
+    mesh = make_mesh((1, 4, 2))
+    d = 32
+    corpus = _corpus(rng, 128, d)
+    idx = ShardedDenseIndex(mesh, d, tile_n=32, dtype="float32")
+    idx.add(corpus[:96])
+    view = ShardedIVFView(idx, mesh, nprobe=8, n_clusters=8)
+    q = _corpus(rng, 2, d)
+    got1 = view.search(q, k=5)
+    assert all(len(row) == 5 for row in got1)
+    idx.add(corpus[96:])          # mutation → lazy refresh
+    got2 = view.search(q, k=5)
+    _, oracle = topk_oracle(q, corpus, 5)
+    for i in range(2):
+        assert [r for r, _ in got2[i]] == oracle[i].tolist()
+    got_mmr = view.search(q, k=3, search_type="mmr", fetch_k=8)
+    assert all(len(row) == 3 for row in got_mmr)
+    # ivf through the hybrid knob under a mesh no longer raises
+    from ragmeup_tpu.retrieval.hybrid import HybridRetriever
+    from ragmeup_tpu.retrieval.sparse import BM25Index
+    from ragmeup_tpu.data.store import ChunkStore
+    import tempfile
+    sparse = BM25Index()
+    store = ChunkStore(tempfile.mkdtemp())
+    r = HybridRetriever(store, idx, sparse, lambda t: _corpus(rng, len(t), d),
+                        mesh=mesh, ann="ivf", ivf_nprobe=8, ivf_clusters=8)
+    assert r._ivf_view is not None

@@ -876,3 +876,19 @@ def test_prefix_cache_disabled_knob(llm):
         eng.retire(sid)
     assert eng.cache.prefix_hits == 0
     assert not eng.cache.registry
+
+
+def test_spec_pipeline_matches_unpipelined(llm):
+    """run_spec(pipeline=True) must produce byte-identical streams to the
+    synchronous wave-at-a-time path (the cover-clamped optimistic
+    dispatch never changes emissions)."""
+    prompts = {"a": ([5, 17, 101, 42], 9), "b": ([9, 8, 7, 6, 5], 14),
+               "c": ([200, 300, 200], 3)}
+    outs = []
+    for pipe in (False, True):
+        eng = _engine(llm)
+        for k, (v, mn) in prompts.items():
+            eng.add_request(k, v, max_new_tokens=mn, temperature=0.0,
+                            repetition_penalty=1.0)
+        outs.append(eng.run_spec(iters=2, draft=4, pipeline=pipe))
+    assert outs[0] == outs[1]
