@@ -323,7 +323,8 @@ class QuantDense(nn.Module):
                                                       unpack_int4)
             tile_k, group = int4_tiling(d_in)
             if self.q_group:
-                group = min(self.q_group, tile_k)
+                from ragmeup_tpu.ops.quant_matmul import int4_group_for
+                group = int4_group_for(tile_k, self.q_group)
             w = self.param("kernel_p", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), self.names),
                 (d_in // 2, self.features), jnp.int8)
@@ -932,8 +933,9 @@ class LlamaMoeMlp(nn.Module):
             tk_h, grp_h = int4_tiling(h)
             tk_f, grp_f = int4_tiling(f)
             if c.int4_group:
-                grp_h = min(c.int4_group, tk_h)
-                grp_f = min(c.int4_group, tk_f)
+                from ragmeup_tpu.ops.quant_matmul import int4_group_for
+                grp_h = int4_group_for(tk_h, c.int4_group)
+                grp_f = int4_group_for(tk_f, c.int4_group)
             wg = self.param("gate_p", nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), n_up),
                 (e_num, h // 2, f), jnp.int8)

@@ -601,7 +601,8 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
         in_dim = w.shape[1]
         tile_k, group = int4_tiling(in_dim)
         if int4_group:
-            group = min(int4_group, tile_k)
+            from ragmeup_tpu.ops.quant_matmul import int4_group_for
+            group = int4_group_for(tile_k, int4_group)
         p, gs = dev_quant4(jnp.asarray(w), tile_k=tile_k, group=group)
         return {"kernel_p": p, "gscale": gs}
 
@@ -632,7 +633,8 @@ def llama_int4_params_from_hf(tensors: Dict[str, np.ndarray],
         in_dim = ws[0].shape[1]
         tile_k, group = int4_tiling(in_dim)
         if int4_group:
-            group = min(int4_group, tile_k)
+            from ragmeup_tpu.ops.quant_matmul import int4_group_for
+            group = int4_group_for(tile_k, int4_group)
         ps, gs = zip(*(dev_quant4(jnp.asarray(w), tile_k=tile_k,
                                   group=group) for w in ws))
         return jnp.stack(ps), jnp.stack(gs)

@@ -133,6 +133,19 @@ def int4_tiling(k: int) -> tuple:
     return tile_k, group
 
 
+def int4_group_for(tile_k: int, requested: int) -> int:
+    """Largest scale-group <= ``requested`` that divides ``tile_k``.
+
+    The config knob (``int4_group=512``) assumes 512-divisible input
+    dims; shapes like a 768-wide MoE intermediate need the group walked
+    down (768 → 256) or the group-scale reshape breaks. Halving
+    preserves the power-of-two groups real checkpoints use."""
+    g = min(requested, tile_k)
+    while g > 1 and tile_k % g:
+        g //= 2
+    return max(g, 1)
+
+
 def pack_int4(q: np.ndarray, tile_k: int) -> np.ndarray:
     """(k, n) int8 values in [-8, 7] → (k//2, n) packed int8."""
     k, n = q.shape
@@ -375,10 +388,10 @@ def quantize_int4_groupwise(w: np.ndarray, k_for_tiling: Optional[int] = None,
     on your checkpoint) for the kernel's ~1.5x faster output-scaled path."""
     k, n = w.shape
     tile_k, auto_group = int4_tiling(k_for_tiling or k)
-    group = group or auto_group
-    if tile_k % group and group % tile_k:
-        raise ValueError(f"group {group} incompatible with tile_k {tile_k}")
-    group = min(group, tile_k)
+    # resolve to the largest compatible group (a 512 request on a
+    # 768-wide dim walks down to 256) — same rule as the decoder's
+    # param shapes and the streaming loader, so layouts always agree
+    group = int4_group_for(tile_k, group or auto_group)
     wg = w.reshape(k // group, group, n)
     amax = np.abs(wg).max(axis=1, keepdims=True)
     scale = np.maximum(amax, 1e-8) / 7.0
