@@ -430,10 +430,13 @@ _ENV_KEYMAP = {
     "breakpoint_threshold_type": ("data", "breakpoint_threshold_type", str),
     "breakpoint_threshold_amount": ("data", "breakpoint_threshold_amount", lambda v: _parse_opt(v, float)),
     "number_of_chunks": ("data", "number_of_chunks", lambda v: _parse_opt(v, int)),
+    # the reference's milvus db file path → our index artifact directory
+    "vector_store_uri": ("data", "index_directory", str),
     "vector_store_k": ("retrieval", "vector_store_k", int),
     "rerank": ("retrieval", "rerank", _parse_bool),
     "rerank_k": ("retrieval", "rerank_k", int),
     "rerank_model": ("retrieval", "rerank_model", str),
+    "llm_quantization": ("model", "quantization", str),
     "llm_head_quantization": ("model", "head_quantization", str),
     "llm_int4_w4a8": ("model", "int4_w4a8", _parse_bool),
     "llm_int4_group": ("model", "int4_group", int),
@@ -442,6 +445,7 @@ _ENV_KEYMAP = {
     "kv_pages": ("server", "kv_pages", int),
     "kv_page_size": ("server", "kv_page_size", int),
     "kv_max_pages_per_seq": ("server", "kv_max_pages_per_seq", int),
+    "kv_prefix_cache": ("server", "kv_prefix_cache", _parse_bool),
     "llm_wave_steps": ("server", "llm_wave_steps", int),
     "llm_spec_draft": ("server", "llm_spec_draft", int),
     "max_document_limit": ("retrieval", "max_document_limit", int),
@@ -575,6 +579,12 @@ def load_config(env_file: Optional[str] = None,
             _apply_nested(cfg, json.load(f))
     if overrides:
         _apply_nested(cfg, overrides)
+    # drop-in .env parity: the reference's llm_model takes an HF id OR a
+    # local save_pretrained directory (transformers resolves both). An
+    # env-only config therefore points llm_model at a local path; route
+    # it to llm_checkpoint so load_local_llm reads it.
+    if cfg.model.llm_checkpoint is None and os.path.isdir(cfg.model.llm_model):
+        cfg.model.llm_checkpoint = cfg.model.llm_model
     return cfg
 
 

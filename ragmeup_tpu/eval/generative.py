@@ -66,10 +66,24 @@ def _expected_tools(system) -> list:
     return expected
 
 
+_JUDGE_PROMPT = (
+    "You are grading a RAG answer. Question: {q}\n\nReference answer: "
+    "{gt}\n\nRetrieved context (may be partial):\n{ctx}\n\nCandidate "
+    "answer: {a}\n\nScore the candidate 0-10 for correctness and "
+    "grounding in the context (10 = fully correct and grounded). Reply "
+    "with the score only.")
+
+
 def evaluate_pairs(system, pairs: List[Dict],
-                   disable_rewrite: bool = True) -> Dict:
+                   disable_rewrite: bool = True, judge_fn=None) -> Dict:
     """Run the real pipeline per question and score (the reference's
-    evaluate loop, Ragas_eval.py:117-134 + deepeval.evaluate)."""
+    evaluate loop, Ragas_eval.py:117-134 + deepeval.evaluate).
+
+    ``judge_fn`` (optional, ``prompt -> reply``, e.g. the system's own
+    ``backend.complete``) adds an ``llm_judge`` metric — the reference's
+    LLM-judged scoring (DeepEval_eval.py:237) with the LOCAL model as
+    judge, since network judges don't exist in a self-contained
+    deployment. Scored against ``eval.correctness_threshold``."""
     if not pairs:
         return {"pairs": [], "summary": {}}
     saved_rewrite = system.cfg.pipeline.use_rewrite_loop
@@ -102,6 +116,12 @@ def evaluate_pairs(system, pairs: List[Dict],
                     M.tools_called_from_response(out),
                     _expected_tools(system)),
             }
+            if judge_fn is not None:
+                scores["llm_judge"] = M.llm_judge_score(
+                    judge_fn, _JUDGE_PROMPT.format(
+                        q=pair["question"], gt=pair["ground_truth"],
+                        ctx="\n---\n".join(contexts)[:4000],
+                        a=out["reply"]))
             passed = {
                 "answer_relevancy": scores["answer_relevancy"] >= th.answer_relevancy_threshold,
                 "faithfulness": scores["faithfulness"] >= th.faithfulness_threshold,
@@ -116,6 +136,9 @@ def evaluate_pairs(system, pairs: List[Dict],
                 "tool_correctness":
                     scores["tool_correctness"] >= th.tool_correctness_threshold,
             }
+            if judge_fn is not None:
+                passed["llm_judge"] = (scores["llm_judge"]
+                                       >= th.correctness_threshold)
             results.append({"question": pair["question"],
                             "answer": out["reply"],
                             "ground_truth": pair["ground_truth"],

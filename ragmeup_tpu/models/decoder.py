@@ -999,11 +999,40 @@ class LlamaMoeMlp(nn.Module):
             return q * jnp.repeat(gs, group, axis=-2).astype(c.jdtype)
 
         s_tot = t * top_k
+        if (quant4 and self.tp_mesh is None and c.moe_grouped == "auto"
+                and e_num < s_tot <= 4 * e_num):
+            # Batched int4 decode DEDUP gather: past the per-slot gate
+            # each expert's packed tiles would be re-read once PER SLOT
+            # routed to it; the grouped int4 kernel reads each UNIQUE
+            # routed expert's packed bytes once and dequantizes in VMEM
+            # (the einsum alternative's full-stack dequant transient runs
+            # 33 GB/s effective — BENCH_NOTES round 4). Engage only when
+            # the kernel path is viable: its FALLBACK is that einsum, so
+            # taking it by accident would regress below per-slot.
+            from ragmeup_tpu.ops.moe_matmul import (grouped_int4_viable,
+                                                    moe_grouped_matmul_int4)
+            if (grouped_int4_viable(s_tot, e_num, h, f, tk_h, grp_h,
+                                    c.jdtype)
+                    and grouped_int4_viable(s_tot, e_num, f, h, tk_f,
+                                            grp_f, c.jdtype)):
+                ids = topi.reshape(s_tot)
+                order = jnp.argsort(ids)          # stable: slot order kept
+                inv = jnp.argsort(order)
+                xs = jnp.repeat(xf, top_k, axis=0).astype(c.jdtype)[order]
+                gsz = jnp.bincount(ids, length=e_num).astype(jnp.int32)
+                g = moe_grouped_matmul_int4(xs, wg, sg, gsz, tk_h, grp_h)
+                u = moe_grouped_matmul_int4(xs, wu, su, gsz, tk_h, grp_h)
+                a = (act(g) * u).astype(c.jdtype)
+                y = moe_grouped_matmul_int4(a, wn, sn, gsz, tk_f, grp_f)
+                y = y[inv].astype(jnp.float32) * topw.reshape(s_tot, 1)
+                out = y.reshape(t, top_k, h).sum(axis=1)
+                return out.astype(c.jdtype).reshape(lead + (h,))
         # int4's per-slot gate extends past S <= E: the einsum alternative
         # dequantizes the FULL packed stacks every step (reads E·kn/2
         # packed + writes/reads an E·kn·2 bf16 transient ≈ 4.5·E·kn/2
         # bytes), so per-slot packed reads win while S < ~4.5E; the
-        # kernel's slot cap is 64.
+        # kernel's slot cap is 64. Batched routing (E < S ≤ 4E) prefers
+        # the dedup-grouped int4 path above when its shapes tile.
         slot_gate = (s_tot <= e_num or
                      (quant4 and s_tot <= min(64, 4 * e_num)))
         if slot_gate and self.tp_mesh is None:

@@ -337,17 +337,11 @@ def _stack_tiles(mp: int, e: int, k: int, n: int, wb: int, xb: int):
     return (best[1], best[0]) if best else None
 
 
-def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
-                      no_stack: bool = False):
-    """Pad each group to a tm-row multiple, scatter rows into the padded
-    layout (every tile then reads exactly ONE expert), run the kernel,
-    gather the real rows back. ``no_stack`` forces the per-tile kernel:
-    the full-stack variant reads ALL E experts' tiles per grid step
-    (optimal for prefill where every expert is routed anyway), which
-    defeats the batched-decode DEDUP gather — there only the UNIQUE
-    routed experts' tiles may cross HBM."""
+def _scatter_layout(xs, gsz, tm, e):
+    """Pad each expert group to a ``tm``-row multiple and scatter rows
+    into the padded layout so every m-tile reads exactly ONE expert.
+    Returns (padded rows, inverse gather indices, per-tile expert ids)."""
     m, k = xs.shape
-    e = w.shape[0]
     mp = -(-(m + e * (tm - 1)) // tm) * tm
     csum = jnp.cumsum(gsz)
     pgs = -(-gsz // tm) * tm
@@ -359,6 +353,21 @@ def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
     tid = jnp.arange(mp // tm, dtype=jnp.int32) * tm
     texp = jnp.minimum(jnp.searchsorted(pcs, tid, side="right"),
                        e - 1).astype(jnp.int32)
+    return xp, dst, texp
+
+
+def _pad_scatter_call(xs, w, scale, gsz, tm, tile_k, tile_n, interpret,
+                      no_stack: bool = False):
+    """Pad each group to a tm-row multiple, scatter rows into the padded
+    layout (every tile then reads exactly ONE expert), run the kernel,
+    gather the real rows back. ``no_stack`` forces the per-tile kernel:
+    the full-stack variant reads ALL E experts' tiles per grid step
+    (optimal for prefill where every expert is routed anyway), which
+    defeats the batched-decode DEDUP gather — there only the UNIQUE
+    routed experts' tiles may cross HBM."""
+    xp, dst, texp = _scatter_layout(xs, gsz, tm, w.shape[0])
+    e = w.shape[0]
+    mp = xp.shape[0]
     k, n = w.shape[1], w.shape[2]
     st = None if no_stack else _stack_tiles(mp, e, k, n, w.dtype.itemsize,
                                             xs.dtype.itemsize)
@@ -597,6 +606,172 @@ def moe_gather_matmul_int4(x: jnp.ndarray, w_p: jnp.ndarray,
     q = jax.vmap(functools.partial(unpack_int4, tile_k=tile_k))(wp_s)
     wd = q.astype(x.dtype) * jnp.repeat(gs_s, group, axis=-2).astype(x.dtype)
     return jnp.einsum("sk,skn->sn", x, wd, preferred_element_type=x.dtype)
+
+
+def _grouped_kernel4(texp_ref, x_ref, w_ref, s_ref, o_ref, acc, *,
+                     k_blocks: int, tm: int, pack_tile: int, group: int,
+                     sub_tiles: int):
+    """Dedup-grouped variant of _kernel4: grid (n, k, m) with m INNERMOST
+    so consecutive m-tiles of the same expert revisit (and skip
+    re-copying) the PACKED weight block — each unique routed expert's
+    packed tiles cross HBM once. A block spans ``sub_tiles`` packing
+    tiles; each unpacks (the int32 shift dance — Mosaic cannot legalize
+    int8-vector shifts on this libtpu) and group-dequantizes in VMEM."""
+    kb = pl.program_id(1)
+    m = pl.program_id(2)
+    rows = pl.ds(m * tm, tm)
+    x = x_ref[...]                     # (tm, sub_tiles*pack_tile)
+    wblk = w_ref[0]                    # (sub_tiles*pack_tile//2, tile_n)
+    sblk = s_ref[0]                    # (sub_tiles*8, tile_n) padded scales
+    gpt = pack_tile // group
+    half = pack_tile // 2
+    part = jnp.zeros((x.shape[0], wblk.shape[1]), jnp.float32)
+    for st in range(sub_tiles):
+        bi = wblk[st * half:(st + 1) * half].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(bi, 28), 28)
+        hi = jnp.right_shift(bi, 4)
+        wq = jnp.concatenate([lo, hi], axis=0)   # (pack_tile, tile_n)
+        xs = x[:, st * pack_tile:(st + 1) * pack_tile]
+        s = sblk[st * 8:st * 8 + gpt]
+        if gpt == 1:
+            part = part + (jnp.dot(xs, wq.astype(x.dtype),
+                                   preferred_element_type=jnp.float32)
+                           * s[0][None, :].astype(jnp.float32))
+        else:
+            srep = jnp.repeat(s, group, axis=0)  # (pack_tile, tile_n)
+            wd = (wq.astype(jnp.float32) * srep).astype(x.dtype)
+            part = part + jnp.dot(xs, wd,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc[rows, :] = part
+
+    @pl.when(kb != 0)
+    def _accum():
+        acc[rows, :] = acc[rows, :] + part
+
+    @pl.when(kb == k_blocks - 1)
+    def _emit():
+        o_ref[rows, :] = acc[rows, :].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "pack_tile", "group",
+                                             "sub_tiles", "tile_n",
+                                             "interpret", "out_dtype"))
+def _grouped_matmul4_call(xp, w_p, gscale, texp, tm: int, pack_tile: int,
+                          group: int, sub_tiles: int, tile_n: int,
+                          interpret: bool, out_dtype):
+    mp, k = xp.shape
+    e, _, n = w_p.shape
+    tile_k_blk = pack_tile * sub_tiles
+    k_blocks = k // tile_k_blk
+    gpt = pack_tile // group
+    # pad scales to 8 rows per packing tile (Mosaic sublane rule)
+    gs = gscale.reshape(e, k // pack_tile, gpt, n).astype(jnp.float32)
+    if gpt < 8:
+        gs = jnp.pad(gs, ((0, 0), (0, 0), (0, 8 - gpt), (0, 0)))
+    gs = gs.reshape(e, (k // pack_tile) * 8, n)
+    kern = functools.partial(_grouped_kernel4, k_blocks=k_blocks, tm=tm,
+                             pack_tile=pack_tile, group=group,
+                             sub_tiles=sub_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n, k_blocks, mp // tm),
+        in_specs=[
+            pl.BlockSpec((tm, tile_k_blk), lambda nb, kb, m, te: (m, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k_blk // 2, tile_n),
+                         lambda nb, kb, m, te: (te[m], kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub_tiles * 8, tile_n),
+                         lambda nb, kb, m, te: (te[m], kb, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mp, tile_n), lambda nb, kb, m, te: (0, nb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=e * (k // 2) * n + e * (k // group) * n * 4
+            + (n // tile_n) * mp * k * xp.dtype.itemsize
+            + mp * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(texp, xp, w_p, gs)
+
+
+def grouped_int4_viable(m: int, e: int, k: int, n: int, pack_tile: int,
+                        group: int, dtype) -> bool:
+    """True when ``moe_grouped_matmul_int4`` will take the KERNEL path —
+    callers gate on this because the fallback (full-stack dequant +
+    ragged_dot) is far worse than the per-slot int4 gather at decode
+    shapes, so routing to it by accident would be a regression."""
+    tm = 16 if dtype == jnp.bfloat16 else 8
+    gpt = pack_tile // max(group, 1)
+    tile_n = (1024 if n % 1024 == 0 else 512 if n % 512 == 0 else
+              256 if n % 256 == 0 else 0)
+    mp = -(-(m + e * (tm - 1)) // tm) * tm
+    return bool(tile_n and k % pack_tile == 0 and pack_tile % group == 0
+                and gpt <= 8 and (pack_tile // 2) % 8 == 0
+                and e * (tm - 1) <= 1024 and mp <= 512)
+
+
+def moe_grouped_matmul_int4(xs: jnp.ndarray, w_p: jnp.ndarray,
+                            gscale: jnp.ndarray, gsz: jnp.ndarray,
+                            pack_tile: int, group: int, tm: int = 0,
+                            tile_n: int = 0,
+                            interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Dedup-grouped GEMM over PACKED int4 expert stacks: rows of ``xs``
+    sorted by expert (``gsz[e]`` rows for expert e), each UNIQUE routed
+    expert's packed tiles crossing HBM exactly once, nibbles unpacked +
+    group-dequantized in VMEM.
+
+    xs (M, k); w_p (E, k//2, n) two-per-byte (ops/quant_matmul pack_int4
+    layout per ``pack_tile``); gscale (E, k//group, n); gsz (E,) int32
+    summing to M. Returns (M, n) in xs.dtype.
+
+    This is the batched-decode int4 path past the per-slot gate: the
+    per-slot gather (``moe_gather_matmul_int4``) re-reads an expert's
+    packed bytes once PER SLOT routed to it, and the einsum alternative
+    dequantizes the full stacks through a bf16 HBM transient measured at
+    33 GB/s effective (BENCH_NOTES round 4). Here reads are
+    ``unique·k·n/2`` packed bytes — the routed minimum. Fallback
+    (non-tiling shapes / off-TPU): full-stack dequant + ragged_dot;
+    callers should gate on ``grouped_int4_viable`` to avoid it."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, k = xs.shape
+    e, k2, n = w_p.shape
+    assert k2 * 2 == k, (w_p.shape, xs.shape)
+    tm = tm or (16 if xs.dtype == jnp.bfloat16 else 8)
+    tile_n = tile_n or (1024 if n % 1024 == 0 else
+                        512 if n % 512 == 0 else
+                        256 if n % 256 == 0 else 0)
+    if not grouped_int4_viable(m, e, k, n, pack_tile, group, xs.dtype):
+        from ragmeup_tpu.ops.quant_matmul import unpack_int4
+        q = jax.vmap(functools.partial(unpack_int4, tile_k=pack_tile))(w_p)
+        wd = (q.astype(xs.dtype)
+              * jnp.repeat(gscale, group, axis=-2).astype(xs.dtype))
+        return _grouped_fallback(xs, wd, gsz.astype(jnp.int32), None)
+    # block spans up to 2048 logical k (the int8 dedup sweep's winner;
+    # smaller k-tiles lose to per-tile overhead — BENCH_NOTES round 4)
+    sub_tiles = max(1, 2048 // pack_tile)
+    while sub_tiles > 1 and k % (pack_tile * sub_tiles):
+        sub_tiles -= 1
+    xp, dst, texp = _scatter_layout(xs, gsz.astype(jnp.int32), tm, e)
+    yp = _grouped_matmul4_call(xp, w_p, gscale, texp, tm, pack_tile,
+                               group, sub_tiles, tile_n, interpret,
+                               xs.dtype)
+    return yp[dst]
 
 
 def moe_gather_matmul(x: jnp.ndarray, w: jnp.ndarray,

@@ -783,6 +783,9 @@ class BatchedChatBackend(ChatBackend):
     per request match LocalChatBackend (template, assistant-token strip).
     """
 
+    import weakref as _weakref
+    _instances: "_weakref.WeakSet" = _weakref.WeakSet()
+
     def __init__(self, llm, template=llama3_template,
                  assistant_token=None, seed: int = 0, wave_steps: int = 8,
                  spec_draft: int = 8, **engine_kwargs):
@@ -814,6 +817,22 @@ class BatchedChatBackend(ChatBackend):
         self._metrics = _dq(maxlen=1024)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        BatchedChatBackend._instances.add(self)
+
+    def stop(self) -> None:
+        """Stop the worker thread (idempotent). In-flight requests finish;
+        queued-but-unadmitted requests are failed. Long-lived servers
+        never call this; tests and scripted runs do so each backend's
+        engine (device pools, jit caches) becomes collectable instead of
+        being pinned by a parked worker thread for the process lifetime."""
+        if self._worker.is_alive():
+            self._submit.put(None)
+            self._worker.join(timeout=10)
+
+    @classmethod
+    def stop_all(cls) -> None:
+        for b in list(cls._instances):
+            b.stop()
 
     def latency_stats(self) -> dict:
         """p50/p95 TTFT (ms) and per-request decode throughput (tok/s)
@@ -875,6 +894,13 @@ class BatchedChatBackend(ChatBackend):
                     while True:
                         req = self._submit.get(
                             block=block, timeout=None if block else 0)
+                        if req is None:       # stop() sentinel
+                            drain_all()
+                            for w in (list(pending.values())
+                                      + list(waiting)):
+                                self._fail(w, RuntimeError(
+                                    "backend stopped"))
+                            return
                         waiting.append(req)
                         block = False
                 except queue.Empty:

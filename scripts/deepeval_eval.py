@@ -29,6 +29,13 @@ def main():
     parser.add_argument("--qa-pairs", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--pairs-file", default=None,
+                        help="jsonl of fixed {question, ground_truth} "
+                        "pairs (skips LLM self-generation)")
+    parser.add_argument("--judge", choices=["none", "local"], default="none",
+                        help="'local': add an llm_judge metric scored by "
+                        "the system's own backend (the reference's "
+                        "LLM-judged scoring with the local model as judge)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -40,11 +47,24 @@ def main():
 
     cfg = load_config(env_file=args.env_file)
     system = RagSystem(cfg)
-    pairs = generate_qa_pairs(system,
-                              args.sample_size or cfg.eval.sample_size,
-                              args.qa_pairs or cfg.eval.qa_pairs,
-                              seed=args.seed)
-    results = evaluate_pairs(system, pairs)
+    if args.pairs_file:
+        # fixed QA pairs (jsonl: {question, ground_truth[, context]}) —
+        # reproducible eval of the REAL pipeline independent of the
+        # generator model's QA-authoring quality
+        with open(args.pairs_file, encoding="utf-8") as f:
+            pairs = [json.loads(ln) for ln in f if ln.strip()]
+        for p in pairs:
+            p.setdefault("context", [])
+    else:
+        pairs = generate_qa_pairs(system,
+                                  args.sample_size or cfg.eval.sample_size,
+                                  args.qa_pairs or cfg.eval.qa_pairs,
+                                  seed=args.seed)
+    judge_fn = None
+    if args.judge == "local":
+        judge_fn = lambda p: system.backend.complete(  # noqa: E731
+            p, max_new_tokens=8, temperature=0.0)
+    results = evaluate_pairs(system, pairs, judge_fn=judge_fn)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=2)
     print(f"evaluated {len(results['pairs'])} QA pairs -> {args.out}")

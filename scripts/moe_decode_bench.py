@@ -436,6 +436,22 @@ def bench_batch(iters: int, e: int = 8, top_k: int = 2, k: int = 4096,
                  slope_time(lambda: chain_i4_slot(x, wp, gs, idss), iters),
                  s_tot * k * n // 2))
 
+    from ragmeup_tpu.ops.moe_matmul import (grouped_int4_viable,
+                                            moe_grouped_matmul_int4)
+    assert grouped_int4_viable(s_tot, e, k, n, tile_k, group, jnp.bfloat16)
+
+    @jax.jit
+    def chain_i4_dedup(x, wp, gs, gszs):
+        acc = x
+        for c in range(C):
+            y = moe_grouped_matmul_int4(acc, wp[c], gs[c], gszs[c],
+                                        tile_k, group)
+            acc = y[:, :k].astype(x.dtype)
+        return acc
+    rows.append(("int4 dedup-grouped",
+                 slope_time(lambda: chain_i4_dedup(x, wp, gs, gszs), iters),
+                 uniq * k * n // 2))
+
     @jax.jit
     def chain_i4_all(x, wp, gs, gszs):
         from ragmeup_tpu.ops.quant_matmul import unpack_int4

@@ -646,3 +646,79 @@ def test_moe_int4_expert_parallel_matches_single_device():
                                atol=2e-4, rtol=2e-4)
     assert got == want, (got, want)
     assert calls, "mesh int4 EP decode gather did not engage"
+
+
+def test_moe_grouped_int4_kernel_parity():
+    """Dedup-grouped packed-int4 kernel (interpret mode): rows sorted by
+    expert with zero-size groups must match a dequant-stacks per-row
+    reference exactly — this is the batched int4 decode path that reads
+    each UNIQUE routed expert's packed bytes once."""
+    from ragmeup_tpu.ops.moe_matmul import (grouped_int4_viable,
+                                            moe_grouped_matmul_int4)
+    from ragmeup_tpu.ops.quant_matmul import pack_int4
+
+    rng = np.random.default_rng(7)
+    E, k, n = 4, 1024, 512
+    pack_tile, group = 512, 128
+    q = rng.integers(-8, 8, (E, k, n)).astype(np.int8)
+    gs = (0.01 + rng.random((E, k // group, n))).astype(np.float32)
+    wp = np.stack([pack_int4(q[e], pack_tile) for e in range(E)])
+    m = 10
+    gsz = np.array([3, 0, 5, 2], np.int32)
+    xs = rng.standard_normal((m, k)).astype(np.float32)
+    assert grouped_int4_viable(m, E, k, n, pack_tile, group, jnp.float32)
+    got = np.asarray(moe_grouped_matmul_int4(
+        jnp.asarray(xs), jnp.asarray(wp), jnp.asarray(gs),
+        jnp.asarray(gsz), pack_tile, group, interpret=True))
+    wd = q.astype(np.float32) * np.repeat(gs, group, axis=1)
+    eid = np.repeat(np.arange(E), gsz)
+    want = np.stack([xs[i] @ wd[eid[i]] for i in range(m)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # group == pack_tile (output-scaled fast path inside the kernel)
+    gs1 = (0.01 + rng.random((E, k // pack_tile, n))).astype(np.float32)
+    got1 = np.asarray(moe_grouped_matmul_int4(
+        jnp.asarray(xs), jnp.asarray(wp), jnp.asarray(gs1),
+        jnp.asarray(gsz), pack_tile, pack_tile, interpret=True))
+    wd1 = q.astype(np.float32) * np.repeat(gs1, pack_tile, axis=1)
+    want1 = np.stack([xs[i] @ wd1[eid[i]] for i in range(m)])
+    np.testing.assert_allclose(got1, want1, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_int4_dedup_decode_matches_einsum():
+    """Batched int4 decode past the per-slot gate (E < t*top_k <= 4E,
+    moe_grouped='auto') routes through the dedup-grouped packed kernel —
+    outputs must equal the all-experts dequant einsum ('off') exactly.
+    Shapes are chosen so grouped_int4_viable holds (h=512, f=256)."""
+    from ragmeup_tpu.models.decoder import LlamaConfig, LlamaMoeMlp
+
+    cfg = LlamaConfig.tiny(dtype="float32", quantization="int4",
+                           hidden_size=512, intermediate_size=256,
+                           num_heads=4, num_kv_heads=2,
+                           num_experts=4, num_experts_per_tok=2)
+    assert cfg.moe_grouped == "auto"
+    mlp = LlamaMoeMlp(cfg)
+    rng = np.random.default_rng(11)
+    # t=4 tokens, top_k=2 -> S=8 > E=4, S <= 4E -> int4 dedup engages
+    x = jnp.asarray(rng.standard_normal((4, 1, cfg.hidden_size)),
+                    jnp.float32)
+    from flax.core import meta
+    zero = meta.unbox(mlp.init(jax.random.PRNGKey(0), x)["params"])
+
+    def randomize(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if leaf.dtype == jnp.int8:
+            return jnp.asarray(rng.integers(-127, 128, leaf.shape),
+                               jnp.int8)
+        if "gs" in name:
+            return jnp.asarray(0.01 + 0.1 * rng.random(leaf.shape),
+                               jnp.float32)
+        return jnp.asarray(rng.standard_normal(leaf.shape), leaf.dtype)
+
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: randomize([getattr(k, "key", k) for k in p], v), zero)
+    out_dedup = mlp.apply({"params": params}, x)
+    cfg_off = dataclasses.replace(cfg, moe_grouped="off")
+    out_einsum = LlamaMoeMlp(cfg_off).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_dedup),
+                               np.asarray(out_einsum),
+                               atol=2e-4, rtol=2e-4)

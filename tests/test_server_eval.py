@@ -201,8 +201,15 @@ def test_generate_qa_pairs_shape(client):
         assert p["question"] and p["ground_truth"] and p["context"]
     res = evaluate_pairs(system, pairs)
     assert set(res["summary"]) >= {"answer_relevancy", "faithfulness"}
+    assert "llm_judge" not in res["summary"]
     # rewrite loop flag restored
     assert system.cfg.pipeline.use_rewrite_loop is False
+    # local-LLM-as-judge leg (the reference's LLM-judged scoring,
+    # DeepEval_eval.py:237): judge_fn replies are parsed 0-10 → [0,1]
+    res_j = evaluate_pairs(system, pairs, judge_fn=lambda p: "7")
+    assert res_j["summary"]["llm_judge"]["mean"] == pytest.approx(0.7)
+    assert all(r["passed"]["llm_judge"] in (True, False)
+               for r in res_j["pairs"])
 
 
 # -- UI surface -------------------------------------------------------------------
