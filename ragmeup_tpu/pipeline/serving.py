@@ -947,8 +947,20 @@ class BatchedChatBackend(ChatBackend):
                     drain_all()
                     continue
                 try:
+                    # spec drafts only engage for greedy rows; a wave of
+                    # purely sampled rows through the spec program pays a
+                    # draft-wide chunk forward per emitted token for
+                    # nothing (measured: 233 vs 389 tok/s on a batch
+                    # whose greedy rows had retired — engine_8b_bench
+                    # --mixed), so route all-sampled phases through plain
+                    # waves. Mixed phases keep spec: greedy rows' multi-
+                    # token advance outweighs the sampled rows' overhead.
+                    any_greedy = any(
+                        st.temperature == 0 and not st.done
+                        for st in self.engine.seqs.values())
                     use_spec = (self.spec_draft > 0
-                                and self.engine.spec_supported)
+                                and self.engine.spec_supported
+                                and any_greedy)
                     if self.wave_steps > 0:
                         eng = self.engine
                         imap = getattr(
@@ -1120,7 +1132,16 @@ class _WaveMixin:
                 static_argnames=("steps",),
                 donate_argnums=(1, 3, 4, 5, 6, 13, 14))
         self._wave_jit = self.llm._wave_jit
-        B = _next_pow2_int(len(active))
+        # B rides at the engine-wide high-water mark: shrinking to the
+        # next pow2 when rows retire early would change the program shape
+        # and re-trace the whole 32-layer model (measured 17 s mid-run on
+        # a mixed greedy/sampled batch — engine_8b_bench --mixed). Done
+        # rows ride as masked pad rows instead; decode is weight-bound,
+        # so the extra rows' FLOPs are ~free. The mark is SHARED with the
+        # spec path so a mid-run spec→wave handoff reuses an
+        # already-compiled shape instead of minting a new one.
+        B = max(_next_pow2_int(len(active)), getattr(self, "_B_hwm", 0))
+        self._B_hwm = B
         V = self.llm.cfg.vocab_size
         trash = self.cache.seq_pages["__pad__"][0]
         limit = self.max_pages_per_seq * self.page_size
@@ -1368,7 +1389,10 @@ class _SpecWaveMixin:
                 static_argnames=("iters", "draft", "page_size", "limit"),
                 donate_argnums=(1, 3, 4, 5, 6, 7, 15, 16))
             jits[key_tup] = fn
-        B = _next_pow2_int(len(active))
+        # engine-wide high-water-mark B — same shrink-retrace guard (and
+        # shape sharing) as _wave_dispatch
+        B = max(_next_pow2_int(len(active)), getattr(self, "_B_hwm", 0))
+        self._B_hwm = B
         V = llm.cfg.vocab_size
         T = limit
         trash = self.cache.seq_pages["__pad__"][0]
@@ -1505,16 +1529,24 @@ class _SpecWaveMixin:
         predicts liveness optimistically (a row that went done on device
         wastes at most the in-flight wave); membership changes force a
         drain. Byte-identical outputs."""
+        def any_greedy():
+            # spec drafts only engage for greedy rows — an all-sampled
+            # phase through the spec program pays a draft-wide chunk
+            # forward per emitted token for nothing (measured 233 vs 389
+            # tok/s), so hand the remainder to plain waves
+            return any(st.temperature == 0 and not st.done
+                       for st in self.seqs.values())
+
         if not self.spec_supported:
             while self.spec_wave_once(iters=iters, draft=draft,
                                       seed=seed) > 0:
                 pass
             return self.results()
         if not pipeline:
-            while self.spec_wave_once(iters=iters, draft=draft,
-                                      seed=seed) > 0:
+            while any_greedy() and self.spec_wave_once(
+                    iters=iters, draft=draft, seed=seed) > 0:
                 pass
-            return self.results()
+            return self.run_wave(steps_per_dispatch=iters, seed=seed)
         from collections import deque
         q: deque = deque()
         infl = getattr(self, "_spec_infl", None)
@@ -1522,6 +1554,10 @@ class _SpecWaveMixin:
             infl = self._spec_infl = {}
         limit = self.max_pages_per_seq * self.page_size
         while True:
+            if not any_greedy():
+                while q:                       # drain in-flight spec waves
+                    self._spec_collect(q.popleft())
+                return self.run_wave(steps_per_dispatch=iters, seed=seed)
             more = any(
                 not st.done
                 and len(st.out) + infl.get(sid, 0) < st.max_new

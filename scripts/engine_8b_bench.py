@@ -77,6 +77,11 @@ def main():
                         "the zero-weight ceiling (round-3 verdict #4a); "
                         "runs plain waves, sync spec, and pipelined spec "
                         "back-to-back with measured tokens-per-forward")
+    parser.add_argument("--mixed", action="store_true",
+                        help="heterogeneous acceptance: half the batch at "
+                        "per-row spec ceiling (constant stream), half at "
+                        "the floor (penalty-forced novel tokens) — plain "
+                        "waves vs pipelined spec on the zero-weight model")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -94,13 +99,20 @@ def main():
     else:
         llm = build_llm(args.quant_kernel)
 
-    def fresh(new_tok):
+    def fresh(new_tok, mixed=False):
         e = ServingEngine(llm, num_pages=64, page_size=128,
                           max_pages_per_seq=6, max_batch=args.seqs)
         erng = np.random.default_rng(0)
         for i in range(args.seqs):
             p = list(erng.integers(5, 100000, 150 + 17 * i))
-            e.add_request(i, p, max_new_tokens=new_tok, temperature=0.0,
+            # --mixed: even rows greedy (zero-weight model → constant
+            # stream → 2-gram drafts always accepted: per-row ceiling), odd
+            # rows temperature-sampled (spec drafts only engage for greedy
+            # rows — the product's own gate — so these advance exactly one
+            # token per forward: per-row floor). A heterogeneous batch, the
+            # serving-mix shape the uniform ceiling/floor runs can't show.
+            temp = 0.7 if (mixed and i % 2) else 0.0
+            e.add_request(i, p, max_new_tokens=new_tok, temperature=temp,
                           repetition_penalty=1.0)
         return e
 
@@ -135,6 +147,23 @@ def main():
             print(f"  {name:15s} {ntok:5d} tokens in {dt:6.2f}s -> "
                   f"{ntok / dt:7.1f} tok/s aggregate "
                   f"({acc:.2f} emitted tokens/forward)")
+        return
+
+    if args.mixed:
+        # heterogeneous acceptance: half ceiling rows, half floor rows
+        it, dr = args.steps_per_dispatch, args.spec_draft or 8
+        fresh(8, mixed=True).run_wave(steps_per_dispatch=it)       # compile
+        fresh(8, mixed=True).run_spec(iters=it, draft=dr)          # compile
+        for name, run in (
+                ("plain waves", lambda e: e.run_wave(steps_per_dispatch=it)),
+                ("spec pipelined", lambda e: e.run_spec(iters=it, draft=dr))):
+            eng = fresh(args.new_tokens, mixed=True)
+            t0 = time.time()
+            out = run(eng)
+            dt = time.time() - t0
+            ntok = sum(len(v) for v in out.values())
+            print(f"  mixed-acceptance {name:15s} {ntok:5d} tokens in "
+                  f"{dt:6.2f}s -> {ntok / dt:7.1f} tok/s aggregate")
         return
 
     if args.spec_draft > 0:
