@@ -10,8 +10,15 @@ one 16 GB chip" was arithmetic, not a run) provisions its input.
 One safetensors shard per layer bounds writer memory; the loader walks
 every *.safetensors in the directory (hf_loader.load_safetensors).
 
+--fast draws each expert as a rolled view of one per-layer random pool
+instead of fresh i.i.d. samples: bytes on disk / through the loader /
+resident on chip are identical, expert weights stay distinct (different
+roll per expert), only the i.i.d.-ness goes — fine for the capacity and
+throughput proof, not for statistics of the weights themselves. Fresh
+RNG everywhere is ~20x slower (the RNG dominates, not the disk).
+
 Usage: python scripts/make_synthetic_30b_moe.py [--out /tmp/ckpt30bmoe]
-       [--layers 48]
+       [--layers 48] [--fast]
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ def main():
     ap.add_argument("--out", default="/tmp/ckpt30bmoe")
     ap.add_argument("--layers", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true")
     args = ap.parse_args()
     d = args.out
     os.makedirs(d, exist_ok=True)
@@ -84,11 +92,22 @@ def main():
                 np.ones(h, ml_dtypes.bfloat16),
             p + "mlp.gate.weight": t((E, h)),
         }
-        for e in range(E):
-            b = f"{p}mlp.experts.{e}."
-            shard[b + "gate_proj.weight"] = t((f_moe, h))
-            shard[b + "up_proj.weight"] = t((f_moe, h))
-            shard[b + "down_proj.weight"] = t((h, f_moe))
+        if args.fast:
+            # one fresh pool per layer; experts are distinct rolls of it
+            pools = {"gate_proj": t((f_moe, h)), "up_proj": t((f_moe, h)),
+                     "down_proj": t((h, f_moe))}
+            for e in range(E):
+                b = f"{p}mlp.experts.{e}."
+                for name, pool in pools.items():
+                    shard[b + name + ".weight"] = np.roll(
+                        pool, 3 * e + (0 if name == "down_proj" else e),
+                        axis=1)
+        else:
+            for e in range(E):
+                b = f"{p}mlp.experts.{e}."
+                shard[b + "gate_proj.weight"] = t((f_moe, h))
+                shard[b + "up_proj.weight"] = t((f_moe, h))
+                shard[b + "down_proj.weight"] = t((h, f_moe))
         total += sum(x.nbytes for x in shard.values())
         save_file(shard, os.path.join(d, f"model-{i:05d}.safetensors"))
         del shard
