@@ -54,6 +54,17 @@ REWRITE_QUERY_INSTRUCTION = (
 
 REWRITE_QUERY_QUESTION = "The user's question is:\n\n{question}"
 
+# Shared-context layout (PipelineConfig.shared_context_layout): the ask
+# rides in the USER turn under the same rag_instruction system block the
+# generate thread uses, so both forwards token-share the context prefix
+# and the paged-KV prefix cache serves the generate's prefill from the
+# ask's pages.
+REWRITE_QUERY_SHARED_QUESTION = (
+    "Before answering: decide whether the documents above contain the "
+    "answer to the user's question. Answer with exactly yes or no, nothing "
+    "else. The user's question is:\n\n{question}"
+)
+
 REWRITE_QUERY_PROMPT = (
     "You are given a user query that is answered by looking up documents in a "
     "document store with a distance-based similarity measure. The documents "
@@ -174,6 +185,7 @@ class PromptLibrary:
     rag_fetch_new_question: str = RAG_FETCH_NEW_QUESTION
     rewrite_query_instruction: str = REWRITE_QUERY_INSTRUCTION
     rewrite_query_question: str = REWRITE_QUERY_QUESTION
+    rewrite_query_shared_question: str = REWRITE_QUERY_SHARED_QUESTION
     rewrite_query_prompt: str = REWRITE_QUERY_PROMPT
     re2_prompt: str = RE2_PROMPT
     provenance_llm_prompt: str = PROVENANCE_LLM_PROMPT
@@ -308,6 +320,14 @@ class PipelineConfig:
     provenance_method: str = "rerank"  # rerank | attention | similarity | llm
     provenance_similarity_llm: str = "sentence-transformers/distiluse-base-multilingual-cased-v2"
     provenance_include_query: bool = False
+    # Shared-context prompt layout: the rewrite-ask forward leads with the
+    # SAME system block the generate thread uses (rag_instruction + context;
+    # the ask rides in the user turn), so under the paged KV prefix cache
+    # the generate forward of the same /chat reuses the ask's context pages
+    # instead of re-prefilling them. Same task semantics; different prompt
+    # text from the reference's rewrite_query_instruction (set False for
+    # verbatim reference layout).
+    shared_context_layout: bool = True
 
 
 @dataclass

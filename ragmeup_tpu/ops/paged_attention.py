@@ -234,6 +234,38 @@ class PagedKVCache:
             have += self.page_size
         self.seq_len[seq_id] = new
 
+    def _register_pages(self, pages: List[int], tokens) -> None:
+        """Enter `tokens`' full pages into the prefix registry (chain
+        digests; first-writer wins, later identical chains just refresh
+        LRU position)."""
+        parent = None
+        for i, (digest, blk) in enumerate(self._chain_digests(tokens)):
+            if i >= len(pages):
+                break
+            if digest not in self.registry \
+                    and pages[i] not in self.page_digest:
+                self.registry[digest] = pages[i]
+                self.page_digest[pages[i]] = digest
+                self.reg_meta[digest] = (parent, blk)
+            if digest in self.registry:
+                self.registry.move_to_end(digest)
+            parent = digest
+
+    def register_prefix(self, seq_id, tokens) -> None:
+        """Register a LIVE sequence's full pages right after prefill (the
+        retire-time registration in ``free`` only helps requests that
+        arrive after this one finishes). A full page is immutable the
+        moment the chunk writer passes it — decode appends strictly past
+        the prompt — so concurrent requests and the LATER FORWARDS OF THE
+        SAME /chat (rewrite-ask → generate share the system+context block
+        under the shared-context layout) can reuse it while this sequence
+        is still generating. Pages stay refcounted by the live sequence;
+        eviction can't touch them until both the sequence and any reusers
+        release."""
+        pages = self.seq_pages.get(seq_id)
+        if pages:
+            self._register_pages(pages, tokens)
+
     def free(self, seq_id, register_tokens=None) -> None:
         """Release a sequence's pages. With ``register_tokens`` (the
         sequence's confirmed token stream: prompt + generated), its full
@@ -245,19 +277,7 @@ class PagedKVCache:
         pages = self.seq_pages.pop(seq_id, [])
         self.seq_len.pop(seq_id, None)
         if register_tokens is not None and pages:
-            parent = None
-            for i, (digest, blk) in enumerate(
-                    self._chain_digests(register_tokens)):
-                if i >= len(pages):
-                    break
-                if digest not in self.registry \
-                        and pages[i] not in self.page_digest:
-                    self.registry[digest] = pages[i]
-                    self.page_digest[pages[i]] = digest
-                    self.reg_meta[digest] = (parent, blk)
-                if digest in self.registry:
-                    self.registry.move_to_end(digest)
-                parent = digest
+            self._register_pages(pages, register_tokens)
         for p in reversed(pages):
             self.refs[p] -= 1
             if self.refs[p] == 0 and p not in self.page_digest:

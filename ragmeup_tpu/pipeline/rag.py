@@ -32,7 +32,31 @@ logger = logging.getLogger("ragmeup_tpu.pipeline")
 
 
 def _is_yes(reply: str) -> bool:
-    return reply.strip().lower().startswith("yes") or "yes" in reply.strip().lower()[:16]
+    """Parse an LLM yes/no verdict (RAGHelper_local.py:219-226 semantics).
+
+    Anchored to the FIRST word: punctuation/markup is stripped and the
+    leading token must itself be an assent/dissent word. A bare substring
+    scan is wrong — "no — yes would be wrong" must parse as no. If the
+    first word is neither, fall back to scanning the first few words for
+    a known token so verdicts like "Sure, yes." still resolve; an explicit
+    leading "no" always wins.
+    """
+    words = [w.strip("\"'`*_.,;:!?()[]{}<>—–-") for w in reply.lower().split()]
+    words = [w for w in words if w]
+    if not words:
+        return False
+    _YES = {"yes", "y", "yep", "yeah", "true", "affirmative"}
+    _NO = {"no", "n", "nope", "false", "negative"}
+    if words[0] in _YES:
+        return True
+    if words[0] in _NO:
+        return False
+    for w in words[1:4]:
+        if w in _YES:
+            return True
+        if w in _NO:
+            return False
+    return False
 
 
 class RAGPipeline:
@@ -75,13 +99,27 @@ class RAGPipeline:
 
     def handle_rewrite(self, query: str, docs: List[Chunk]) -> Optional[str]:
         """Ask if docs answer the query; if 'no', rewrite once
-        (RAGHelper_local.py:173-188). Returns the rewritten query or None."""
+        (RAGHelper_local.py:173-188). Returns the rewritten query or None.
+
+        With ``shared_context_layout`` (default) the ask leads with the
+        SAME system block the generate thread uses (rag_instruction +
+        context) so, under a paged-KV prefix cache, the generate forward
+        of this very request reuses the ask's context pages instead of
+        re-prefilling them (intra-request hit; at 16k context this removes
+        most of the second forward's prefill)."""
         p = self.cfg.prompts
         context = format_documents(docs)
-        ask = [{"role": "system",
-                "content": p.rewrite_query_instruction.replace("{context}", context)},
-               {"role": "user",
-                "content": p.rewrite_query_question.replace("{question}", query)}]
+        if getattr(self.cfg.pipeline, "shared_context_layout", False):
+            ask = [{"role": "system",
+                    "content": p.rag_instruction.replace("{context}", context)},
+                   {"role": "user",
+                    "content": p.rewrite_query_shared_question.replace(
+                        "{question}", query)}]
+        else:
+            ask = [{"role": "system",
+                    "content": p.rewrite_query_instruction.replace("{context}", context)},
+                   {"role": "user",
+                    "content": p.rewrite_query_question.replace("{question}", query)}]
         verdict = self.backend.chat(ask, max_new_tokens=8,
                                     temperature=self.cfg.generation.temperature,
                                     repetition_penalty=self.cfg.generation.repetition_penalty)

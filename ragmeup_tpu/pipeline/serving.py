@@ -509,6 +509,12 @@ class ServingEngine:
                 self.cache.k_pages, self.cache.v_pages)
             self.cache.k_pages = list(new_k)
             self.cache.v_pages = list(new_v)
+        if self.prefix_cache:
+            # register the prompt's full pages NOW (not only at retire):
+            # concurrent requests and the same /chat's later forwards
+            # (rewrite-ask → generate share the system+context block)
+            # reuse them while this sequence is still generating
+            self.cache.register_prefix(seq_id, prompt_ids)
         return logits
 
     def add_requests(self, reqs: List[dict]) -> None:
@@ -642,6 +648,8 @@ class ServingEngine:
             st.dev_logits = logits_rows[i]
             st.reserved_pages = self._lifetime_pages(len(pids), r["max_new"])
             self.seqs[r["id"]] = st
+            if self.prefix_cache:
+                self.cache.register_prefix(r["id"], pids)
 
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""

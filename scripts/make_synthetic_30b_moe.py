@@ -10,7 +10,7 @@ one 16 GB chip" was arithmetic, not a run) provisions its input.
 One safetensors shard per layer bounds writer memory; the loader walks
 every *.safetensors in the directory (hf_loader.load_safetensors).
 
---fast draws each expert as a rolled view of one per-layer random pool
+--fast draws each expert as a rolled copy of one per-layer random pool
 instead of fresh i.i.d. samples: bytes on disk / through the loader /
 resident on chip are identical, expert weights stay distinct (different
 roll per expert), only the i.i.d.-ness goes — fine for the capacity and
@@ -93,7 +93,13 @@ def main():
             p + "mlp.gate.weight": t((E, h)),
         }
         if args.fast:
-            # one fresh pool per layer; experts are distinct rolls of it
+            # one fresh pool per layer; experts are distinct rolled copies
+            # of it. Distinctness requires every shift (max 4*(E-1) for
+            # gate/up over axis h, 3*(E-1) for down over axis f_moe) to
+            # stay below the rolled axis length, or shifts collide mod
+            # the axis and experts silently alias.
+            assert 4 * (E - 1) < h and 3 * (E - 1) < f_moe, \
+                "--fast roll shifts would alias experts for this geometry"
             pools = {"gate_proj": t((f_moe, h)), "up_proj": t((f_moe, h)),
                      "down_proj": t((h, f_moe))}
             for e in range(E):

@@ -196,6 +196,10 @@ def main():
     log(f"mixed load {dur:.0f}s: {counts['search']} searches "
         f"({qps:.1f} QPS), {counts['chat_req']} chats "
         f"({toks:.1f} tok/s aggregate), {counts['errors']} errors")
+    # per-request distribution, not just aggregates (round-3 verdict #10 /
+    # round-4 weak #3): the same counters /stats serves
+    lat = backend.latency_stats()
+    log(f"per-request percentiles: {lat}")
     summary = {
         "docs": n, "quant": quant, "duration_s": round(dur, 1),
         "search_qps": round(qps, 1), "chat_tok_s": round(toks, 1),
@@ -203,6 +207,7 @@ def main():
         "hbm_peak_gb": round((jax.local_devices()[0].memory_stats() or {})
                              .get("peak_bytes_in_use", 0) / 1e9, 2),
         "total_s": round(time.time() - t_all, 1),
+        **lat,
     }
     print(json.dumps(summary))
 

@@ -63,6 +63,31 @@ def _make_pipeline(tmp_path, backend, cfg=None, **kw):
 
 # -- state machine -------------------------------------------------------------
 
+def test_is_yes_parsing():
+    from ragmeup_tpu.pipeline.rag import _is_yes
+    # anchored assent
+    assert _is_yes("yes")
+    assert _is_yes("Yes.")
+    assert _is_yes("Yes — the documents answer it.")
+    assert _is_yes("  YES, fetch new documents")
+    assert _is_yes('"Yes"')
+    assert _is_yes("yeah, do it")
+    # anchored dissent — an explicit leading no wins even if "yes" follows
+    assert not _is_yes("no")
+    assert not _is_yes("No.")
+    assert not _is_yes("no — yes would be wrong")
+    assert not _is_yes("No, yes is incorrect here")
+    assert not _is_yes("Nope")
+    # bounded fallback: known token within the first few words
+    assert _is_yes("Sure, yes.")
+    assert not _is_yes("Answer: no")
+    # neither/empty → not assent
+    assert not _is_yes("")
+    assert not _is_yes("maybe")
+    assert not _is_yes("the eyes have it")  # substring 'yes' must not match
+    assert not _is_yes("I cannot determine that")
+
+
 def test_first_turn_always_fetches(tmp_path):
     backend = StaticChatBackend(default="The answer.")
     pipe, _ = _make_pipeline(tmp_path, backend)

@@ -864,6 +864,72 @@ def test_prefix_cache_collision_content_compare(llm):
     assert cache.prefix_hits == 0
 
 
+def test_prefix_cache_prefill_time_registration(llm):
+    """Full prompt pages register AT PREFILL, not only at retire: a second
+    request admitted while the first is still live (not yet decoded) hits
+    the first's pages, and both decode byte-identically (round-4 verdict
+    #4)."""
+    rng = np.random.default_rng(16)
+    prompt = _rand_prompt(rng, 40)  # ps=16 → 2 reusable full pages
+    want = llm.generate(prompt, max_new_tokens=5, temperature=0.0,
+                        repetition_penalty=1.0, speculative="off")
+    eng = _engine(llm, prefill_chunk=32)
+    eng.add_request("a", prompt, max_new_tokens=5, temperature=0.0,
+                    repetition_penalty=1.0)
+    # "a" is live and un-decoded; "b" must reuse its registered prompt pages
+    eng.add_request("b", prompt, max_new_tokens=5, temperature=0.0,
+                    repetition_penalty=1.0)
+    assert eng.cache.prefix_hits == 2
+    # the reused pages are shared: refcount 2 while both live
+    shared = eng.cache.seq_pages["a"][:2]
+    assert eng.cache.seq_pages["b"][:2] == shared
+    assert all(eng.cache.refs[p] == 2 for p in shared)
+    got = eng.run()
+    assert got["a"] == want and got["b"] == want
+    eng.retire("a")
+    # pages still live under "b" after "a" retires
+    assert all(eng.cache.refs[p] == 1 for p in shared)
+    assert eng.retire("b") == want
+
+
+def test_prefix_cache_intra_request_chat(llm):
+    """The /chat state machine's own forwards share pages WITHIN one
+    request: under the shared-context layout the rewrite-ask forward leads
+    with the same system+context block as the generate forward, so the
+    generate's prefill hits the ask's prefill-registered pages (round-4
+    verdict #4)."""
+    from ragmeup_tpu.config import RagConfig
+    from ragmeup_tpu.data.documents import Chunk
+    from ragmeup_tpu.pipeline.rag import RAGPipeline
+    from ragmeup_tpu.pipeline.serving import BatchedChatBackend
+
+    cfg = RagConfig()
+    cfg.pipeline.use_provenance = False
+    cfg.generation.temperature = 0.0
+    cfg.generation.max_new_tokens = 4
+
+    class _StubRetriever:
+        def retrieve(self, q):
+            # long enough for the system+context block to span full pages
+            # (ps=16) but short of tiny-config max_seq_len=256, so the
+            # engine's left-truncation never desynchronizes the prefix
+            return [Chunk(content="the quick brown fox jumps over the "
+                                  "lazy dog " * 6,
+                          metadata={"source": "doc.txt"})]
+
+    be = BatchedChatBackend(llm, num_pages=256, page_size=16,
+                            max_pages_per_seq=64, wave_steps=2,
+                            spec_draft=0)
+    try:
+        pipe = RAGPipeline(cfg, _StubRetriever(), be)
+        out = pipe.handle_user_interaction("what does the fox do?")
+        assert isinstance(out["reply"], str)
+        # the ask and generate forwards shared the system+context prefix
+        assert be.engine.cache.prefix_hits > 0
+    finally:
+        be.stop()
+
+
 def test_prefix_cache_disabled_knob(llm):
     """prefix_cache=False keeps the old behavior: no registry, no hits."""
     rng = np.random.default_rng(15)
@@ -876,6 +942,79 @@ def test_prefix_cache_disabled_knob(llm):
         eng.retire(sid)
     assert eng.cache.prefix_hits == 0
     assert not eng.cache.registry
+
+
+def test_prefix_cache_eviction_races_pipelined_spec(llm):
+    """LRU eviction racing a pipelined spec wave whose cover pre-extends
+    into evictable pages (round-4 verdict #8a): the pool is sized so the
+    waves' page-cover extensions must evict registered prefix pages
+    mid-pipeline. Token streams stay byte-identical to the unpipelined
+    path and to dense generation."""
+    rng = np.random.default_rng(17)
+    seed_prompt = _rand_prompt(rng, 40)   # registers 2 full pages at ps=16
+    # a grows to 60 tokens (4 pages), b to 45 (3 pages): 7 live pages in a
+    # 7-usable-page pool → the 3 cover extensions beyond the prompts must
+    # consume the 1 free page AND evict both registered seed pages
+    prompts = {"a": (_rand_prompt(rng, 20), 40),
+               "b": (_rand_prompt(rng, 25), 20)}
+    want = {k: llm.generate(v, max_new_tokens=mn, temperature=0.0,
+                            repetition_penalty=1.0, speculative="off")
+            for k, (v, mn) in prompts.items()}
+    outs = []
+    for pipe in (False, True):
+        # 7 usable pages (1 is __pad__): the retired seed keeps 2
+        # registered resident, a+b prompts take 4, and their covers
+        # (12/10 new tokens) need a 6th live page — _take must evict a
+        # registered seed page while spec waves are in flight
+        eng = _engine(llm, num_pages=8, page_size=16, max_pages_per_seq=4,
+                      prefill_chunk=32)
+        eng.add_request("seed", seed_prompt, max_new_tokens=2,
+                        temperature=0.0, repetition_penalty=1.0)
+        eng.run()
+        eng.retire("seed")
+        seed_digests = set(eng.cache.registry)
+        assert len(seed_digests) >= 2  # the evictable prefix is resident
+        for k, (v, mn) in prompts.items():
+            eng.add_request(k, v, max_new_tokens=mn, temperature=0.0,
+                            repetition_penalty=1.0)
+        outs.append(eng.run_spec(iters=2, draft=4, pipeline=pipe))
+        evicted = seed_digests - set(eng.cache.registry)
+        assert evicted  # pressure really evicted a registered seed page
+    assert outs[0] == outs[1] == want
+
+
+def test_prefix_cache_under_mesh(tp_llms):
+    """Prefix reuse with pools sharded over 'model' (round-4 verdict #8b):
+    page ids are global pool indices, so a reused page addresses the same
+    (sharded) rows on every device — a second request over the mesh hits
+    the first's pages and decodes byte-identically to the single-device
+    engine."""
+    base, tp = tp_llms
+    rng = np.random.default_rng(18)
+    prompt = _rand_prompt(rng, 40)
+    eng0 = _engine(base, prefill_chunk=32)
+    eng0.add_request("a", prompt, max_new_tokens=6, temperature=0.0,
+                     repetition_penalty=1.0)
+    eng0.run()
+    want = eng0.retire("a")
+    eng = _engine(tp, prefill_chunk=32)
+    eng.add_request("a", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("a") == want
+    assert eng.cache.prefix_hits == 0
+    # second request: reuses the retired first's registered pages
+    eng.add_request("b", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    eng.run()
+    assert eng.retire("b") == want
+    assert eng.cache.prefix_hits == 2
+    # and a spec wave over a mesh-reused prefix stays exact too
+    eng.add_request("c", prompt, max_new_tokens=6, temperature=0.0,
+                    repetition_penalty=1.0)
+    got = eng.run_spec(iters=2, draft=4)["c"]
+    assert got == want
+    assert eng.cache.prefix_hits == 4
 
 
 def test_spec_pipeline_matches_unpipelined(llm):
