@@ -398,6 +398,14 @@ class ServerConfig:
     # requests emit up to this many tokens per forward, byte-identical.
     # 0 disables (plain waves).
     llm_spec_draft: int = 8
+    # adaptive speculation: measured emitted-tokens-per-forward (EWMA over
+    # greedy rows) below this floor falls back to plain waves, re-probing
+    # spec every llm_spec_reprobe plain dispatches. The draft-8 chunk
+    # forward costs ~1.24x a plain forward at 8B (362.7 vs 448.8 tok/s at
+    # floor acceptance — BENCH_NOTES round 5), so 1.35 keeps spec only
+    # when it actually pays. 0 disables adaptation (spec always on).
+    llm_spec_accept_floor: float = 1.35
+    llm_spec_reprobe: int = 16
     # hash-block KV prefix reuse on the page pool: retired sequences
     # register their full pages (sha1 chain digests over the token
     # prefix), later prompts sharing the prefix skip re-prefilling it —
@@ -468,6 +476,8 @@ _ENV_KEYMAP = {
     "kv_prefix_cache": ("server", "kv_prefix_cache", _parse_bool),
     "llm_wave_steps": ("server", "llm_wave_steps", int),
     "llm_spec_draft": ("server", "llm_spec_draft", int),
+    "llm_spec_accept_floor": ("server", "llm_spec_accept_floor", float),
+    "llm_spec_reprobe": ("server", "llm_spec_reprobe", int),
     "max_document_limit": ("retrieval", "max_document_limit", int),
     "temperature": ("generation", "temperature", float),
     "repetition_penalty": ("generation", "repetition_penalty", float),

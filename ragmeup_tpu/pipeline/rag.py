@@ -152,14 +152,32 @@ class RAGPipeline:
         return out[:self.cfg.retrieval.max_document_limit]
 
     def _build_thread(self, question: str, history: Sequence[Message],
-                      docs: List[Chunk]) -> List[Message]:
-        """System rag_instruction(context) + sanitized history + initial/
-        follow-up question (RAGHelper_local.py:228-239)."""
+                      docs: List[Chunk], fetch_new: bool = True
+                      ) -> List[Message]:
+        """Prompt-thread assembly (RAGHelper_local.py:228-239).
+
+        Follow-up without a fetch (``fetch_new=False``): the thread is the
+        sanitized history + the follow-up question — NO new system message
+        (reference parity; history[0] already carries the turn-1 system
+        block with its baked context). This also makes the follow-up's
+        token stream a strict extension of the previous turn's registered
+        pages, so the paged-KV prefix cache skips re-prefilling the whole
+        prior thread (the 16k system+docs block dominates).
+
+        With a fetch (or no history): a fresh system rag_instruction with
+        the new context leads. Deviation from the reference kept on
+        purpose: the reference DISCARDS history when fetching new
+        documents (RAGHelper_local.py:231-233, ``thread = []``) — we keep
+        it so multi-turn conversations survive a re-retrieval
+        (test_thread_has_context_and_history codifies this).
+        """
         p = self.cfg.prompts
-        context = format_documents(docs)
-        thread: List[Message] = [
-            {"role": "system",
-             "content": p.rag_instruction.replace("{context}", context)}]
+        thread: List[Message] = []
+        if fetch_new or not history:
+            context = format_documents(docs)
+            thread.append(
+                {"role": "system",
+                 "content": p.rag_instruction.replace("{context}", context)})
         for m in history:
             thread.append({"role": m.get("role", "user"),
                            "content": str(m.get("content", ""))})
@@ -239,7 +257,7 @@ class RAGPipeline:
         if self.cfg.pipeline.use_re2:
             final_question = question + "\n" + self.cfg.prompts.re2_prompt + question
 
-        thread = self._build_thread(final_question, history, docs)
+        thread = self._build_thread(final_question, history, docs, fetch_new)
         t0 = time.perf_counter()
         reply = self.backend.chat(thread, max_new_tokens=gen.max_new_tokens,
                                   temperature=gen.temperature,

@@ -307,9 +307,26 @@ class ServingEngine:
     def __init__(self, llm: LocalLLM, num_pages: int = 256,
                  page_size: int = 64, max_pages_per_seq: int = 16,
                  max_batch: int = 16, topk_support: int = 64,
-                 prefill_chunk: int = 256, prefix_cache: bool = True):
+                 prefill_chunk: int = 256, prefix_cache: bool = True,
+                 spec_accept_floor: float = 1.35,
+                 spec_reprobe_every: int = 16):
         self.llm = llm
         cfg = llm.cfg
+        # adaptive speculation (round-4 measurement: at floor acceptance a
+        # draft-8 chunk forward costs ~1.24x a plain wave forward at 8B —
+        # 362.7 vs 448.8 tok/s batch-8 — so spec only pays when rows emit
+        # more than ~1.24 tokens/forward). _spec_collect tracks the greedy
+        # rows' emitted-tokens-per-forward EWMA; _spec_gate falls back to
+        # plain waves below the floor and re-probes spec every
+        # `spec_reprobe_every` plain dispatches (acceptance can recover
+        # mid-generation, e.g. once the answer starts quoting the prompt).
+        # floor <= 0 disables adaptation (spec always on when requested).
+        self.spec_accept_floor = spec_accept_floor
+        self.spec_reprobe_every = max(spec_reprobe_every, 1)
+        self._spec_accept: Optional[float] = None
+        self._spec_waves = 0
+        self._spec_mode = "spec"
+        self._spec_probe_left = 0
         self.page_size = page_size
         # sampling happens within the device-computed top-K support (top-k
         # sampling; greedy is exact since the argmax is always in support)
@@ -458,6 +475,7 @@ class ServingEngine:
         st.dev_logits = logits  # stays on device (wave mode)
         st.reserved_pages = self._lifetime_pages(n, max_new_tokens)
         self.seqs[seq_id] = st
+        self._spec_track_reset()  # new prompt: re-earn speculation
 
     def _prefill_into_pages(self, seq_id, prompt_ids):
         """Chunked paged prefill (see _prefill_chunk_program). Returns the
@@ -650,6 +668,7 @@ class ServingEngine:
             self.seqs[r["id"]] = st
             if self.prefix_cache:
                 self.cache.register_prefix(r["id"], pids)
+        self._spec_track_reset()  # new prompts: re-earn speculation
 
     def _sample(self, st: _SeqState) -> int:
         """Sample within the top-K support (penalty + temperature)."""
@@ -966,9 +985,14 @@ class BatchedChatBackend(ChatBackend):
                     any_greedy = any(
                         st.temperature == 0 and not st.done
                         for st in self.engine.seqs.values())
+                    # the adaptive gate (ServingEngine._spec_gate) is only
+                    # consulted when spec is otherwise eligible — it
+                    # falls back to plain waves while measured acceptance
+                    # is below break-even and re-probes periodically
                     use_spec = (self.spec_draft > 0
                                 and self.engine.spec_supported
-                                and any_greedy)
+                                and any_greedy
+                                and self.engine._spec_gate())
                     if self.wave_steps > 0:
                         eng = self.engine
                         imap = getattr(
@@ -1508,6 +1532,7 @@ class _SpecWaveMixin:
         host = np.asarray(entry["packed"])  # ONE fetch per wave
         if timings is not None:
             timings.append({"fetch": _time.perf_counter() - _t0})
+        acc_toks = acc_fwds = 0
         for i, (sid, st) in enumerate(entry["active"]):
             row = [int(t) for t in host[i, :iters * draft] if t >= 0]
             st.out.extend(row)
@@ -1524,7 +1549,53 @@ class _SpecWaveMixin:
             st.dev_logits = None  # carried in _spec_state until flushed
             if host[i, iters * draft + 1]:
                 st.done = True
+            elif st.temperature == 0:
+                # acceptance sample for the adaptive gate: greedy rows that
+                # ran the full wave (rows that finished mid-wave emitted
+                # fewer tokens for max_new/eos reasons, not rejection)
+                acc_toks += len(row)
+                acc_fwds += iters
+        if acc_fwds:
+            a = acc_toks / acc_fwds
+            prev = self._spec_accept
+            self._spec_accept = a if prev is None else 0.5 * prev + 0.5 * a
+            self._spec_waves += 1
         return sum(1 for _, st in self.seqs.items() if not st.done)
+
+    def _spec_track_reset(self) -> None:
+        """Newly admitted prompts re-earn speculation: acceptance is a
+        property of the text being decoded, so a fresh arrival resets the
+        EWMA and puts the gate back in spec mode."""
+        self._spec_accept = None
+        self._spec_waves = 0
+        self._spec_mode = "spec"
+        self._spec_probe_left = 0
+
+    def _spec_gate(self) -> bool:
+        """Adaptive spec decision — call ONCE per wave-dispatch decision.
+
+        Returns True to dispatch a spec wave, False to dispatch a plain
+        wave. In spec mode, drops to plain once >=2 waves averaged below
+        `spec_accept_floor` emitted tokens/forward (the measured draft-8
+        break-even is ~1.24x at 8B batch-8; see __init__). In plain mode,
+        counts down `spec_reprobe_every` decisions then re-probes spec
+        with a fresh EWMA. Greedy outputs are byte-identical either way
+        (both programs implement the same penalized argmax); only
+        throughput changes."""
+        if self.spec_accept_floor <= 0:
+            return True
+        if getattr(self, "_spec_mode", "spec") == "spec":
+            if (self._spec_accept is not None and self._spec_waves >= 2
+                    and self._spec_accept < self.spec_accept_floor):
+                self._spec_mode = "plain"
+                self._spec_probe_left = self.spec_reprobe_every
+                return False
+            return True
+        self._spec_probe_left -= 1
+        if self._spec_probe_left <= 0:
+            self._spec_track_reset()
+            return True
+        return False
 
     def run_spec(self, iters: int = 4, draft: int = 8, seed: int = 0,
                  pipeline: bool = True) -> Dict[object, List[int]]:
@@ -1550,40 +1621,57 @@ class _SpecWaveMixin:
                                       seed=seed) > 0:
                 pass
             return self.results()
-        if not pipeline:
-            while any_greedy() and self.spec_wave_once(
-                    iters=iters, draft=draft, seed=seed) > 0:
-                pass
-            return self.run_wave(steps_per_dispatch=iters, seed=seed)
+        # Unified tagged-kind loop: each iteration picks spec vs plain per
+        # the current phase (greedy rows present?) AND the adaptive gate
+        # (_spec_gate: measured acceptance vs break-even, with periodic
+        # re-probes). Kind switches are state-safe — the other program's
+        # dispatch flushes the stale carry and rebuilds from host state,
+        # and "drain" forces in-flight collects first.
         from collections import deque
         q: deque = deque()
-        infl = getattr(self, "_spec_infl", None)
-        if infl is None:
-            infl = self._spec_infl = {}
+        sinfl = getattr(self, "_spec_infl", None)
+        if sinfl is None:
+            sinfl = self._spec_infl = {}
+        winfl = getattr(self, "_infl_steps", None)
+        if winfl is None:
+            winfl = self._infl_steps = {}
         limit = self.max_pages_per_seq * self.page_size
+        depth = 2 if pipeline else 1
+
+        def collect_one():
+            kind, entry = q.popleft()
+            if kind == "spec":
+                self._spec_collect(entry)
+            else:
+                self._wave_collect(entry)
+
         while True:
-            if not any_greedy():
-                while q:                       # drain in-flight spec waves
-                    self._spec_collect(q.popleft())
-                return self.run_wave(steps_per_dispatch=iters, seed=seed)
+            use_spec = any_greedy() and self._spec_gate()
+            imap = sinfl if use_spec else winfl
             more = any(
                 not st.done
-                and len(st.out) + infl.get(sid, 0) < st.max_new
-                and st.pos + infl.get(sid, 0) + 1 < limit
+                and len(st.out) + imap.get(sid, 0) < st.max_new
+                and st.pos + imap.get(sid, 0) + 1 < limit
                 for sid, st in self.seqs.items())
             if more:
-                entry = self._spec_dispatch(iters, draft, seed,
-                                            allow_rebuild=not q)
+                if use_spec:
+                    entry = self._spec_dispatch(iters, draft, seed,
+                                                allow_rebuild=not q)
+                    kind = "spec"
+                else:
+                    entry = self._wave_dispatch(iters, seed,
+                                                allow_rebuild=not q)
+                    kind = "wave"
                 if entry == "drain":
-                    self._spec_collect(q.popleft())
+                    collect_one()
                     continue
                 if entry is None:
                     break
-                q.append(entry)
-                if len(q) >= 2:
-                    self._spec_collect(q.popleft())
+                q.append((kind, entry))
+                if len(q) >= depth:
+                    collect_one()
             elif q:
-                self._spec_collect(q.popleft())
+                collect_one()
             else:
                 break
         return self.results()
@@ -1593,4 +1681,6 @@ ServingEngine.spec_supported = _SpecWaveMixin.spec_supported
 ServingEngine.spec_wave_once = _SpecWaveMixin.spec_wave_once
 ServingEngine._spec_dispatch = _SpecWaveMixin._spec_dispatch
 ServingEngine._spec_collect = _SpecWaveMixin._spec_collect
+ServingEngine._spec_track_reset = _SpecWaveMixin._spec_track_reset
+ServingEngine._spec_gate = _SpecWaveMixin._spec_gate
 ServingEngine.run_spec = _SpecWaveMixin.run_spec

@@ -103,7 +103,10 @@ class RagSystem:
                     from ragmeup_tpu.pipeline.serving import BatchedChatBackend
                     ekw = dict(num_pages=cfg.server.kv_pages,
                                page_size=cfg.server.kv_page_size,
-                               prefix_cache=cfg.server.kv_prefix_cache)
+                               prefix_cache=cfg.server.kv_prefix_cache,
+                               spec_accept_floor=(
+                                   cfg.server.llm_spec_accept_floor),
+                               spec_reprobe_every=cfg.server.llm_spec_reprobe)
                     if cfg.server.kv_max_pages_per_seq > 0:
                         ekw["max_pages_per_seq"] = \
                             cfg.server.kv_max_pages_per_seq

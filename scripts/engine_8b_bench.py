@@ -99,9 +99,12 @@ def main():
     else:
         llm = build_llm(args.quant_kernel)
 
-    def fresh(new_tok, mixed=False):
+    def fresh(new_tok, mixed=False, **ekw):
+        # floor=0 by default: bench rows measure PURE paths; the
+        # "spec adaptive" row passes the product default explicitly
+        ekw.setdefault("spec_accept_floor", 0.0)
         e = ServingEngine(llm, num_pages=64, page_size=128,
-                          max_pages_per_seq=6, max_batch=args.seqs)
+                          max_pages_per_seq=6, max_batch=args.seqs, **ekw)
         erng = np.random.default_rng(0)
         for i in range(args.seqs):
             p = list(erng.integers(5, 100000, 150 + 17 * i))
@@ -123,14 +126,20 @@ def main():
         fresh(8).run_wave(steps_per_dispatch=it)                # compile
         fresh(8).run_spec(iters=it, draft=dr, pipeline=False)   # compile
         rows = []
-        for name, run in (
+        for name, run, ekw in (
                 ("plain waves", lambda e: e.run_wave(
-                    steps_per_dispatch=it)),
+                    steps_per_dispatch=it), {}),
                 ("spec sync", lambda e: e.run_spec(
-                    iters=it, draft=dr, pipeline=False)),
+                    iters=it, draft=dr, pipeline=False), {}),
                 ("spec pipelined", lambda e: e.run_spec(
-                    iters=it, draft=dr, pipeline=True))):
-            eng = fresh(args.new_tokens)
+                    iters=it, draft=dr, pipeline=True), {}),
+                # product default: acceptance-gated fallback to plain waves
+                # (ServingEngine._spec_gate) — at floor acceptance this
+                # should recover ~plain-wave throughput
+                ("spec adaptive", lambda e: e.run_spec(
+                    iters=it, draft=dr, pipeline=True),
+                 {"spec_accept_floor": 1.35, "spec_reprobe_every": 16})):
+            eng = fresh(args.new_tokens, **ekw)
             eng.wave_timings = []
             t0 = time.time()
             out = run(eng)

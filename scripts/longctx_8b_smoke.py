@@ -152,9 +152,15 @@ def main():
     n_prompt2 = getattr(system.backend, "last_prompt_tokens", -1)
     assert isinstance(out2["reply"], str)
     print(f"second-turn /chat (prefix cache): prompt={n_prompt2} tokens, "
+          f"fetched_new={out2['fetched_new_documents']}, "
           f"{dt2:.1f}s end-to-end vs {dt_warm:.1f}s full-prefill turn, "
           f"{hits} cached pages reused across its forwards "
           f"(~{hits * page} prompt tokens skipped prefill)")
+    if not out2["fetched_new_documents"]:
+        # follow-up threads extend the previous turn's registered token
+        # stream (rag.py _build_thread), so the generate forward must have
+        # reused the prior thread's pages
+        assert hits > 0, "no-fetch follow-up reused 0 cached pages"
     srv.shutdown()
     print("LONGCTX 8B SMOKE PASS")
 

@@ -113,6 +113,32 @@ def test_followup_fetch_decision_no(tmp_path):
     assert len(out["history"]) == 4
 
 
+def test_followup_thread_extends_history(tmp_path):
+    """A no-fetch follow-up thread must be EXACTLY history + the follow-up
+    question (RAGHelper_local.py:231-239): no fresh system message. This is
+    what lets the paged-KV prefix cache reuse the whole previous thread's
+    pages on turn N+1 (the token stream is a strict extension)."""
+    backend = StaticChatBackend(
+        rules=[("Answer with exactly yes or no", "no"),
+               ("new documents be fetched", "no")],
+        default="Follow-up answer.")
+    pipe, cfg = _make_pipeline(tmp_path, backend)
+    cfg.pipeline.use_re2 = False
+    history = [{"role": "system", "content": "SYSBLOCK with baked context"},
+               {"role": "user", "content": "q1"},
+               {"role": "assistant", "content": "a1"}]
+    out = pipe.handle_user_interaction("tell me more", history)
+    assert out["fetched_new_documents"] is False
+    final_thread = backend.calls[-1]
+    # the thread starts with the HISTORY's system block, verbatim — no new
+    # system message was prepended
+    assert final_thread[0] == history[0]
+    assert [m["content"] for m in final_thread[:3]] == \
+        [m["content"] for m in history]
+    assert sum(1 for m in final_thread if m["role"] == "system") == 1
+    assert "tell me more" in final_thread[-1]["content"]
+
+
 def test_rewrite_loop(tmp_path):
     # verdict 'no' → rewrite once; the rewrite response is used as the query
     backend = StaticChatBackend(

@@ -19,6 +19,11 @@ def _engine(llm, **kw):
     kw.setdefault("num_pages", 64)
     kw.setdefault("page_size", 16)
     kw.setdefault("max_pages_per_seq", 8)
+    # random tiny models accept ~no 2-gram drafts, so the adaptive gate
+    # would reroute spec tests to plain waves after two dispatches —
+    # disable it here so spec tests exercise the spec program throughout;
+    # dedicated tests cover the gate itself
+    kw.setdefault("spec_accept_floor", 0.0)
     return ServingEngine(llm, **kw)
 
 
@@ -526,6 +531,86 @@ def test_spec_wave_eos_and_page_limits(llm):
     want = eng1.run()
     got = eng2.run_spec(iters=3, draft=4)
     assert got == want
+
+
+def test_spec_gate_state_machine(llm):
+    """The adaptive gate's mode transitions: spec → plain after two
+    below-floor waves, countdown in plain mode, re-probe with a fresh
+    EWMA; floor<=0 disables adaptation entirely."""
+    eng = _engine(llm, spec_accept_floor=1.35, spec_reprobe_every=3)
+    # fresh engine: optimistic spec
+    assert eng._spec_gate() is True
+    # two waves of measured floor-level acceptance → plain
+    eng._spec_accept, eng._spec_waves = 1.0, 2
+    assert eng._spec_gate() is False
+    assert eng._spec_mode == "plain"
+    # countdown: reprobe_every=3 decisions, the 3rd re-probes
+    assert eng._spec_gate() is False
+    assert eng._spec_gate() is False
+    assert eng._spec_gate() is True          # re-probe, EWMA reset
+    assert eng._spec_accept is None and eng._spec_mode == "spec"
+    # one below-floor wave is NOT enough to drop (needs >=2)
+    eng._spec_accept, eng._spec_waves = 0.5, 1
+    assert eng._spec_gate() is True
+    # high acceptance keeps spec indefinitely
+    eng._spec_accept, eng._spec_waves = 3.0, 10
+    assert eng._spec_gate() is True
+    # floor<=0: always spec, regardless of tracker state
+    eng0 = _engine(llm)  # _engine defaults spec_accept_floor=0
+    eng0._spec_accept, eng0._spec_waves = 0.0, 99
+    assert eng0._spec_gate() is True
+    # admission resets the tracker (new prompts re-earn speculation)
+    eng._spec_mode, eng._spec_accept, eng._spec_waves = "plain", 0.1, 9
+    eng.add_request("r", [5, 17, 101], max_new_tokens=2, temperature=0.0,
+                    repetition_penalty=1.0)
+    assert eng._spec_mode == "spec" and eng._spec_accept is None
+
+
+def test_adaptive_spec_falls_back_and_matches(llm):
+    """With the gate armed, a random model (near-zero draft acceptance)
+    must fall back to plain waves mid-run — and the greedy token streams
+    stay byte-identical to the plain engine."""
+    prompts = {"a": [5, 17, 101, 42, 5, 17], "b": [9, 8, 7, 6, 5]}
+    want = {k: llm.generate(v, max_new_tokens=24, temperature=0.0,
+                            repetition_penalty=1.1, speculative="off")
+            for k, v in prompts.items()}
+    eng = _engine(llm, spec_accept_floor=1.35, spec_reprobe_every=64)
+    wave_calls = {"n": 0}
+    orig = eng._wave_dispatch
+    def counting_wave_dispatch(*a, **k):
+        wave_calls["n"] += 1
+        return orig(*a, **k)
+    eng._wave_dispatch = counting_wave_dispatch
+    for k, v in prompts.items():
+        eng.add_request(k, v, max_new_tokens=24, temperature=0.0,
+                        repetition_penalty=1.1)
+    got = eng.run_spec(iters=2, draft=4)
+    assert got == want
+    assert wave_calls["n"] > 0, "gate never fell back to plain waves"
+
+
+def test_adaptive_spec_reprobes(llm):
+    """After falling back, the gate re-probes spec every
+    spec_reprobe_every decisions — spec dispatches must appear again
+    later in the run, and outputs stay exact."""
+    want = llm.generate([5, 17, 101, 42], max_new_tokens=40,
+                        temperature=0.0, repetition_penalty=1.0,
+                        speculative="off")
+    eng = _engine(llm, spec_accept_floor=10.0,  # force immediate fallback
+                  spec_reprobe_every=2, num_pages=128,
+                  max_pages_per_seq=16)
+    spec_calls = {"n": 0}
+    orig = eng._spec_dispatch
+    def counting_spec_dispatch(*a, **k):
+        spec_calls["n"] += 1
+        return orig(*a, **k)
+    eng._spec_dispatch = counting_spec_dispatch
+    eng.add_request("a", [5, 17, 101, 42], max_new_tokens=40,
+                    temperature=0.0, repetition_penalty=1.0)
+    got = eng.run_spec(iters=1, draft=4)
+    assert got == {"a": want}
+    # initial optimistic burst (>=2 waves) plus at least one re-probe
+    assert spec_calls["n"] >= 3, spec_calls
 
 
 def test_spec_wave_fallback_on_packed_layout():
