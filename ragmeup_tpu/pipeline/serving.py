@@ -168,6 +168,24 @@ def _wave_spec_program(model, params, logits0, key0, seen0, done0, emitted0,
     draft token is only emitted when it EQUALS the penalized argmax at its
     position (solo _generate_spec acceptance, batched).
 
+    Parity contract, precisely: every emitted token equals the penalized
+    argmax of the logits its OWN verify forward computed — the guarantee
+    is per-forward, not cross-kernel. The d-wide chunk forward and the
+    s=1 decode forward are different XLA/pallas programs whose attention
+    reductions round differently at the last bf16 bit (measured: layer-0
+    K/V writes are BIT-IDENTICAL between the two paths and the projection/
+    rope math is exact — scripts/debug_kv_parity.py; the one-ulp attention
+    output difference then rides the bf16 residual stream and lands on the
+    logits at roughly one bf16 ulp of their magnitude, ~0.02-0.1 at a
+    4-layer/1024-hidden scale — scripts/debug_demote_parity.py). When a
+    step's true argmax margin is below that, spec and plain waves can emit
+    different (equally valid) tokens. Margins on real checkpoints are
+    almost always far above it (measured streams match byte-for-byte);
+    RANDOM-weight models (near-uniform logits, margins ~1 ulp) flip
+    routinely — see docs/BENCH_NOTES.md "Kind-switch parity". The
+    adaptive gate's spec->wave demotion inherits exactly this contract
+    (the carry handoff itself is exact).
+
     ctx0 (B, T): per-row confirmed tokens (prompt + generated) — the draft
     source, updated on device. Page/slot for every written token computes
     on device from page_idx (host pre-extends page allocations).
@@ -989,6 +1007,7 @@ class BatchedChatBackend(ChatBackend):
                     # consulted when spec is otherwise eligible — it
                     # falls back to plain waves while measured acceptance
                     # is below break-even and re-probes periodically
+                    self.engine._spec_gate_iters = self.wave_steps
                     use_spec = (self.spec_draft > 0
                                 and self.engine.spec_supported
                                 and any_greedy
@@ -1207,12 +1226,34 @@ class _WaveMixin:
                     tables[i, ss] = plist[tp // self.page_size]
                     tables[i, steps + ss] = tp % self.page_size
 
+        sprev = getattr(self, "_spec_state", None)
         if prev is not None and prev["sig"] == sig:
             logits, seen, done, emitted, pos = (
                 prev["logits"], prev["seen"], prev["done"], prev["emitted"],
                 prev["pos"])
             temps_d, rps_d, max_new_d = (prev["temps"], prev["rps"],
                                          prev["max_new"])
+        elif (sprev is not None and sprev["sig"][0] == sig[0]
+                and sprev["sig"][1] == B):
+            # Cross-kind carry adoption (round 5): a spec->wave switch with
+            # unchanged batch membership reuses the spec carry's device
+            # arrays directly (same rows, same dtypes/shapes; the spec
+            # carry's extra ctx is dropped). The per-row flush/rebuild
+            # detour mints tiny dynamic-slice/scatter programs whose FIRST
+            # compile costs ~0.5s each through the remote compile service
+            # (and is never persisted — "<1s" entries are skipped), which
+            # dominated the adaptive gate's switch cost
+            # (scripts/spec_gate_probe.py). Values are identical to a host
+            # rebuild: kind switches happen only after a drain, so host
+            # bookkeeping and the device carry agree.
+            logits, seen, done, emitted, pos = (
+                sprev["logits"], sprev["seen"], sprev["done"],
+                sprev["emitted"], sprev["pos"])
+            temps_d, rps_d, max_new_d = (sprev["temps"], sprev["rps"],
+                                         sprev["max_new"])
+            self._spec_state = None  # buffers are donated to the wave jit
+            if prev is not None:
+                self._flush_wave_state()  # stale wave carry from old rows
         else:
             self._flush_wave_state()
             logits = jnp.zeros((B, V), jnp.float32)
@@ -1454,12 +1495,34 @@ class _SpecWaveMixin:
             plist = self.cache.seq_pages[sid]
             page_idx[i, :len(plist)] = plist
 
+        wprev = getattr(self, "_wave_state", None)
         if prev is not None and prev["sig"] == sig:
             logits, seen, done, emitted, pos, ctx = (
                 prev["logits"], prev["seen"], prev["done"], prev["emitted"],
                 prev["pos"], prev["ctx"])
             temps_d, rps_d, max_new_d = (prev["temps"], prev["rps"],
                                          prev["max_new"])
+        elif (wprev is not None and wprev["sig"][0] == sig[0]
+                and wprev["sig"][1] == B):
+            # Cross-kind carry adoption, wave->spec direction (re-probes):
+            # reuse the wave carry's device arrays; only ctx (the confirmed
+            # token stream the 2-gram drafter reads) must be rebuilt, and
+            # it is host-known (prompt + collected out), so this is one
+            # plain upload — no per-row slice/scatter programs to compile
+            # (see _wave_dispatch's adoption note).
+            logits, seen, done, emitted, pos = (
+                wprev["logits"], wprev["seen"], wprev["done"],
+                wprev["emitted"], wprev["pos"])
+            temps_d, rps_d, max_new_d = (wprev["temps"], wprev["rps"],
+                                         wprev["max_new"])
+            ctx_h = np.full((B, T), -1, np.int32)
+            for i, (sid, st) in enumerate(active):
+                confirmed = (list(st.prompt_ids) + list(st.out))[:T]
+                ctx_h[i, :len(confirmed)] = confirmed
+            ctx = jnp.asarray(ctx_h)
+            self._wave_state = None  # buffers are donated to the spec jit
+            if prev is not None:
+                self._flush_wave_state()  # stale spec carry from old rows
         else:
             self._flush_wave_state()
             logits = jnp.zeros((B, V), jnp.float32)
@@ -1580,8 +1643,9 @@ class _SpecWaveMixin:
         break-even is ~1.24x at 8B batch-8; see __init__). In plain mode,
         counts down `spec_reprobe_every` decisions then re-probes spec
         with a fresh EWMA. Greedy outputs are byte-identical either way
-        (both programs implement the same penalized argmax); only
-        throughput changes."""
+        up to argmax near-ties at cross-kernel noise scale (~one bf16 ulp
+        of the logits between the chunk and s=1 forwards — see the parity
+        contract in _wave_spec_program); only throughput changes."""
         if self.spec_accept_floor <= 0:
             return True
         if getattr(self, "_spec_mode", "spec") == "spec":
@@ -1593,6 +1657,17 @@ class _SpecWaveMixin:
             return True
         self._spec_probe_left -= 1
         if self._spec_probe_left <= 0:
+            # tail guard: a re-probe costs >=2 spec waves at the (low)
+            # acceptance that demoted us — only worth it if some greedy
+            # row still has enough tokens left for a recovered acceptance
+            # to pay that back
+            it = getattr(self, "_spec_gate_iters", 0)
+            if it and not any(
+                    not st.done and st.temperature == 0
+                    and st.max_new - len(st.out) >= 4 * it
+                    for st in self.seqs.values()):
+                self._spec_probe_left = self.spec_reprobe_every
+                return False
             self._spec_track_reset()
             return True
         return False
@@ -1628,6 +1703,7 @@ class _SpecWaveMixin:
         # dispatch flushes the stale carry and rebuilds from host state,
         # and "drain" forces in-flight collects first.
         from collections import deque
+        self._spec_gate_iters = iters  # for the gate's re-probe tail guard
         q: deque = deque()
         sinfl = getattr(self, "_spec_infl", None)
         if sinfl is None:

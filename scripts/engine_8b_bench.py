@@ -152,10 +152,13 @@ def main():
         print(f"8B engine at REALISTIC acceptance ({args.seqs} seqs, "
               f"greedy rp=1.0, iters={it}, draft={dr}):")
         for name, ntok, dt, fw in rows:
-            acc = ntok / max(fw, 1)
+            # per-row acceptance: each chunk forward advances every row, so
+            # tokens/forward/row = 1.0 at the floor (plain waves too) and
+            # up to `draft` at the ceiling
+            acc = ntok / max(fw, 1) / args.seqs
             print(f"  {name:15s} {ntok:5d} tokens in {dt:6.2f}s -> "
                   f"{ntok / dt:7.1f} tok/s aggregate "
-                  f"({acc:.2f} emitted tokens/forward)")
+                  f"({acc:.2f} emitted tokens/forward/row)")
         return
 
     if args.mixed:
